@@ -1,0 +1,478 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The batch query layer a ksqlDB user of the reference pipeline has
+  * (filters, projections, aggregations, windowed aggregations, joins —
+  * reference: README.md "ksqlDB | Stream processing engine" and the
+  * sink's table materializations), expressed declaratively so Catalyst
+  * picks partial aggregation, broadcast joins and pushdown.
+  *
+  * Scale notes (100 TB): every query here does at most ONE shuffle on
+  * its natural key; dimension joins are broadcast; all expressions are
+  * whole-stage-codegen (no UDFs). Double aggregates are rounded on both
+  * the Spark and oracle side so the hash compare is insensitive to
+  * floating-point summation order (which differs across partitionings).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** TPC-H Q1 shape: wide multi-aggregate scan. Partial aggregation
+    * (map-side combine) means the shuffle moves |groups| rows, not
+    * |lineitem| — holds at any scale factor. */
+  val q1Agg: Q = Q(
+    "q1_agg",
+    (s, dir) => {
+      val l = t(s, dir).lineitem
+        .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  round(sum(l_extendedprice), 2) AS sum_base_price,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+           |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+           |  round(avg(l_quantity), 4) AS avg_qty,
+           |  round(avg(l_discount), 4) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** TPC-H Q3 shape: selective dim filter -> fact join -> top-k.
+    * customer is broadcast; orders/lineitem join shuffles once on
+    * orderkey; sort-limit is a TakeOrdered, not a global sort. */
+  val q3TopkJoin: Q = Q(
+    "q3_topk_join",
+    (s, dir) => {
+      val tb = t(s, dir)
+      val cust = tb.customer.filter(col("c_mktsegment") === "BUILDING")
+      val ord = tb.orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = tb.lineitem.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01'
+           |  AND l_shipdate > TIMESTAMP '1998-01-01'
+           |GROUP BY l_orderkey
+           |ORDER BY revenue DESC, l_orderkey ASC
+           |LIMIT 10""".stripMargin))
+
+  /** TPC-H Q5 shape: star join across 6 tables. region/nation/customer/
+    * supplier are broadcast (each far under the threshold even at
+    * 100 TB fact scale); the only shuffle is lineitem><orders on
+    * orderkey. */
+  val q5MultiJoin: Q = Q(
+    "q5_multijoin",
+    (s, dir) => {
+      val tb = t(s, dir)
+      val dims = tb.nation
+        .join(broadcast(tb.region.filter(col("r_name").isin("ASIA", "EUROPE"))),
+          col("n_regionkey") === col("r_regionkey"))
+      tb.lineitem
+        .join(tb.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tb.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tb.supplier),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+           |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name IN ('ASIA','EUROPE')
+           |GROUP BY n_name
+           |ORDER BY revenue DESC, n_name""".stripMargin))
+
+  /** TPC-H Q6 shape: tight filter + global aggregate. Zero shuffle
+    * beyond the final single-row combine; filters reach the parquet
+    * scan (PushedFilters). */
+  val q6FilterAgg: Q = Q(
+    "q6_filter_agg",
+    (s, dir) =>
+      t(s, dir).lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n")),
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           |  count(*) AS n
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01'
+           |  AND l_discount BETWEEN 0.05 AND 0.07
+           |  AND l_quantity < 24""".stripMargin))
+
+  /** EXISTS semi join: customers with at least one high-value order.
+    * left_semi keeps only the probe side's columns — no row
+    * multiplication, and Spark can use a broadcast semi join. */
+  val qSemiJoin: Q = Q(
+    "q_semijoin",
+    (s, dir) => {
+      val tb = t(s, dir)
+      tb.customer
+        .join(tb.orders.filter(col("o_totalprice") > 400000).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders
+           |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** NOT EXISTS anti join: customers with no in-progress ('P') order. */
+  val qAntiJoin: Q = Q(
+    "q_antijoin",
+    (s, dir) => {
+      val tb = t(s, dir)
+      tb.customer
+        .join(tb.orders.filter(col("o_orderstatus") === "P").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** TPC-H Q13 shape: left outer join + two-level aggregation (order
+    * count distribution over customers, zeros included). */
+  val qOuterAgg: Q = Q(
+    "q_outer_agg",
+    (s, dir) => {
+      val tb = t(s, dir)
+      tb.customer
+        .join(tb.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+           |  SELECT c_custkey, count(o_orderkey) AS c_count
+           |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY c_custkey)
+           |GROUP BY c_count
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  /** Top-N per group via ranking window — the distributed replacement
+    * for a per-key ORDER BY ... LIMIT. One shuffle on the partition
+    * key; ties broken deterministically by orderkey. */
+  val qWindowRank: Q = Q(
+    "q_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir).orders
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rk")
+    },
+    Some("""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+           |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+           |    row_number() OVER (PARTITION BY o_orderpriority
+           |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           |  FROM orders)
+           |WHERE rk <= 3
+           |ORDER BY o_orderpriority, rk""".stripMargin))
+
+  /** Running aggregate over an ordered per-key frame (cumulative spend
+    * per customer). Frame is ROWS UNBOUNDED PRECEDING..CURRENT — a
+    * streaming-friendly prefix sum, one shuffle on custkey. */
+  val qWindowRunning: Q = Q(
+    "q_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir).orders
+        .withColumn("cum_spend", round(sum("o_totalprice").over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("cum_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           |    ORDER BY o_orderdate ASC, o_orderkey ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+           |FROM orders
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** Multi-column DISTINCT — hash aggregate, one shuffle. */
+  val qDistinct: Q = Q(
+    "q_distinct",
+    (s, dir) =>
+      t(s, dir).lineitem
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** HLL approximate distinct — the scale path for count(distinct) at
+    * 100 TB (constant memory per partition, one tiny combine). Exact
+    * value differs from the oracle by design -> rows-only check. */
+  val qApproxDistinct: Q = Q(
+    "q_approx_distinct",
+    (s, dir) =>
+      t(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy("l_returnflag"),
+    None)
+
+  /** HAVING — aggregate filter evaluated post-agg. */
+  val qHaving: Q = Q(
+    "q_having",
+    (s, dir) =>
+      t(s, dir).part
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg("p_retailprice"), 2).as("avg_price"))
+        .filter(col("n_parts") > 50)
+        .orderBy("p_brand"),
+    Some("""SELECT p_brand, count(*) AS n_parts,
+           |  round(avg(p_retailprice), 2) AS avg_price
+           |FROM part GROUP BY p_brand HAVING count(*) > 50
+           |ORDER BY p_brand""".stripMargin))
+
+  /** CASE-based conditional aggregation (manual pivot). */
+  val qConditionalAgg: Q = Q(
+    "q_conditional_agg",
+    (s, dir) =>
+      t(s, dir).customer
+        .groupBy("c_nationkey")
+        .agg(
+          sum(when(col("c_acctbal") > 0, 1).otherwise(0)).as("n_positive"),
+          sum(when(col("c_acctbal") <= 0, 1).otherwise(0)).as("n_nonpositive"),
+          round(sum(when(col("c_acctbal") > 0, col("c_acctbal")).otherwise(0.0)), 2)
+            .as("sum_positive"))
+        .orderBy("c_nationkey"),
+    Some("""SELECT c_nationkey,
+           |  sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS n_positive,
+           |  sum(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS n_nonpositive,
+           |  round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END), 2) AS sum_positive
+           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
+  /** Calendar rollup: month bucketing. DATE output (not timestamp) so
+    * the compare is timezone-representation-proof. */
+  val qDateRollup: Q = Q(
+    "q_date_rollup",
+    (s, dir) =>
+      t(s, dir).orders
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("month"),
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+           |FROM orders GROUP BY 1 ORDER BY month""".stripMargin))
+
+  /** Exact interpolated percentiles per group (median + p90). */
+  val qPercentiles: Q = Q(
+    "q_percentiles",
+    (s, dir) =>
+      t(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Argmax pattern: latest order per customer — the same latest-per-key
+    * primitive the CDC materializer uses (cdc/Changelog.scala). */
+  val qArgmax: Q = Q(
+    "q_argmax",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir).orders
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+           |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+           |  FROM orders) WHERE rk = 1
+           |ORDER BY o_custkey""".stripMargin))
+
+  /** Pivot event_type into columns (daily activity matrix). Explicit
+    * pivot values — no extra distinct-collection job at scale. */
+  val qPivot: Q = Q(
+    "q_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir).events
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p)((df, c) => df.withColumn(c, coalesce(col(c), lit(0L))))
+        .orderBy("day")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS day,
+           |  count(CASE WHEN event_type='click' THEN 1 END) AS click,
+           |  count(CASE WHEN event_type='error' THEN 1 END) AS error,
+           |  count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+           |  count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+           |  count(CASE WHEN event_type='view' THEN 1 END) AS view
+           |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
+
+  /** ROLLUP subtotals; grouping keys coalesced to 'ALL' so null
+    * ordering/hashing differences can't bite. */
+  val qGroupingSets: Q = Q(
+    "q_grouping_sets",
+    (s, dir) =>
+      t(s, dir).lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy("returnflag", "linestatus"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           |  coalesce(l_linestatus, 'ALL') AS linestatus,
+           |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY returnflag, linestatus""".stripMargin))
+
+  /** UNION + dedup across two derived sets. */
+  val qUnionDedup: Q = Q(
+    "q_union_dedup",
+    (s, dir) => {
+      val tb = t(s, dir)
+      val a = tb.customer.filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nationkey"))
+      val b = tb.supplier.filter(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("nationkey"))
+      a.union(b).distinct().orderBy("nationkey")
+    },
+    Some("""SELECT nationkey FROM (
+           |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+           |  UNION
+           |  SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000)
+           |ORDER BY nationkey""".stripMargin))
+
+  /** Sessionization: 30-min-gap sessions per user then per-session
+    * aggregates. Classic lag+cumsum — both windows share ONE shuffle on
+    * user_id (same partition key). Timestamps handled as epoch micros
+    * end-to-end to dodge ns/us representation differences. */
+  val qSessionize: Q = Q(
+    "q_sessionize",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+      t(s, dir).events
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_sess").over(byUser))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("session_value"),
+          min("us").as("start_us"), max("us").as("end_us"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events),
+           |g AS (
+           |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+           |      THEN 1 ELSE 0 END AS new_sess
+           |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+           |    ORDER BY us ASC, event_id ASC) AS prev_us FROM e)),
+           |sess AS (
+           |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+           |    ORDER BY us ASC, event_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM g)
+           |SELECT user_id, session_id, count(*) AS n_events,
+           |  round(sum(value), 2) AS session_value,
+           |  min(us) AS start_us, max(us) AS end_us
+           |FROM sess GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin))
+
+  /** Tumbling hourly window aggregate over the event stream (batch
+    * form; streaming twin lives in streaming/StreamOps.scala). Bucket
+    * is integer hour-since-epoch — shuffle on the bucket only. */
+  val qTumblingWindow: Q = Q(
+    "q_tumbling_window",
+    (s, dir) =>
+      t(s, dir).events
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_bucket", "event_type"),
+    Some("""SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS hour_bucket,
+           |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin))
+
+  /** Semi-structured: extract a JSON property and aggregate on it —
+    * the ksqlDB EXTRACTJSONFIELD equivalent. */
+  val qEventsJson: Q = Q(
+    "q_events_json",
+    (s, dir) =>
+      t(s, dir).events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("k_mod"),
+    Some("""SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod,
+           |  count(*) AS n, round(avg(value), 4) AS avg_value
+           |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
+    qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
+    qHaving, qConditionalAgg, qDateRollup, qPercentiles, qArgmax, qPivot,
+    qGroupingSets, qUnionDedup, qSessionize, qTumblingWindow, qEventsJson)
+}

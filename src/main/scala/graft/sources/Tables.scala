@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema'd loaders for the driver-generated TPC-H-ish tables
+  * (see TESTDATA.md). One place to hang partitioning/bucketing hints;
+  * everything downstream takes these DataFrames, so a production
+  * deployment swaps this for its own catalog without touching
+  * operators.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def load(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = load("region")
+  def nation: DataFrame     = load("nation")
+  def customer: DataFrame   = load("customer")
+  def supplier: DataFrame   = load("supplier")
+  def part: DataFrame       = load("part")
+  def orders: DataFrame     = load("orders")
+  def lineitem: DataFrame   = load("lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects as a
+    * timestamp type; read it as long nanos and truncate to micros —
+    * the same truncation DuckDB applies casting TIMESTAMP_NS->TIMESTAMP,
+    * so oracle comparisons agree. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents: DataFrame  = load("documents")
+  def embeddings: DataFrame = load("embeddings")
+}
