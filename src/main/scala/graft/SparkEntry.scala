@@ -2,13 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
+import graft.cdc.CdcQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
   /** All implemented capabilities, one Q per SURVEY.md §2 row. */
   def registry: Seq[Q] =
-    Relational.all
+    Relational.all ++ CdcQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

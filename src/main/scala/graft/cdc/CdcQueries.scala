@@ -1,0 +1,176 @@
+package graft.cdc
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §A inventory rows. The change feed is synthesized deterministically
+  * from the `events` table by pure string concatenation of integer and
+  * string columns (no floats -> byte-identical JSON in Spark and in the
+  * DuckDB oracle): event_id becomes the scn, user_id the primary key,
+  * event_type maps onto op c/u/d exactly like the reference's
+  * insert/update/delete verification flow (reference: README.md
+  * "Verification" section).
+  */
+object CdcQueries {
+
+  /** op mapping: signup->c (insert), error->d (delete), rest->u. */
+  private val opSql =
+    "CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END"
+
+  /** Build the OLR-style JSON feed column (Spark side). */
+  def feed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .withColumn("op", expr(opSql))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("payload_name",
+        when(col("op") === "d", lit("before")).otherwise(lit("after")))
+    e.select(col("event_id"), concat(
+      lit("{\"scn\":"), col("event_id"),
+      lit(",\"tm\":"), unix_micros(col("ts")),
+      lit(",\"xid\":\""), col("user_id"), lit("."), col("event_id"),
+      lit("\",\"op\":\""), col("op"),
+      lit("\",\"key\":"), col("user_id"),
+      lit(",\""), col("payload_name"), lit("\":{\"id\":"), col("user_id"),
+      lit(",\"cents\":"), col("cents"),
+      lit(",\"type\":\""), col("event_type"), lit("\"}}")).as("json"))
+  }
+
+  /** Same feed in DuckDB SQL (must concatenate identically). */
+  private val feedSql =
+    s"""SELECT event_id,
+       |  '{"scn":' || event_id ||
+       |  ',"tm":' || epoch_us(CAST(ts AS TIMESTAMP)) ||
+       |  ',"xid":"' || user_id || '.' || event_id ||
+       |  '","op":"' || ($opSql) ||
+       |  '","key":' || user_id ||
+       |  ',"' || (CASE WHEN ($opSql) = 'd' THEN 'before' ELSE 'after' END) ||
+       |  '":{"id":' || user_id ||
+       |  ',"cents":' || CAST(round(value * 100) AS BIGINT) ||
+       |  ',"type":"' || event_type || '"}}' AS json
+       |FROM events""".stripMargin
+
+  /** DuckDB equivalent of the typed parse (json_extract). */
+  private val parsedSql =
+    s"""SELECT
+       |  CAST(json_extract(json, '$$.scn') AS BIGINT) AS scn,
+       |  CAST(json_extract(json, '$$.tm') AS BIGINT) AS tm,
+       |  json_extract_string(json, '$$.xid') AS xid,
+       |  json_extract_string(json, '$$.op') AS op,
+       |  CAST(json_extract(json, '$$.key') AS BIGINT) AS key,
+       |  coalesce(CAST(json_extract(json, '$$.after.id') AS BIGINT), -1) AS after_id,
+       |  coalesce(CAST(json_extract(json, '$$.after.cents') AS BIGINT), -1) AS after_cents,
+       |  coalesce(json_extract_string(json, '$$.after.type'), '') AS after_type,
+       |  coalesce(CAST(json_extract(json, '$$.before.id') AS BIGINT), -1) AS before_id,
+       |  coalesce(CAST(json_extract(json, '$$.before.cents') AS BIGINT), -1) AS before_cents,
+       |  coalesce(json_extract_string(json, '$$.before.type'), '') AS before_type
+       |FROM feed""".stripMargin
+
+  private def parsed(s: SparkSession, dir: String): DataFrame =
+    Cdc.parse(feed(s, dir), col("json"))
+
+  /** Flattened parse result (structs -> columns so parquet/oracle
+    * schemas line up). Absent-payload numerics are coalesced to -1 so
+    * the oracle hash compare never has to equate numeric NULL/NaN
+    * representations. */
+  private def flatten(p: DataFrame): DataFrame =
+    p.select(col("scn"), col("tm"), col("xid"), col("op"), col("key"),
+      coalesce(col("after.id"), lit(-1L)).as("after_id"),
+      coalesce(col("after.cents"), lit(-1L)).as("after_cents"),
+      coalesce(col("after.type"), lit("")).as("after_type"),
+      coalesce(col("before.id"), lit(-1L)).as("before_id"),
+      coalesce(col("before.cents"), lit(-1L)).as("before_cents"),
+      coalesce(col("before.type"), lit("")).as("before_type"))
+
+  val cdcParse: Q = Q(
+    "cdc_parse",
+    (s, dir) => flatten(parsed(s, dir)).orderBy("scn"),
+    Some(s"""WITH feed AS ($feedSql)
+            |$parsedSql
+            |ORDER BY scn""".stripMargin))
+
+  val cdcUnwrap: Q = Q(
+    "cdc_unwrap",
+    (s, dir) => Cdc.unwrap(parsed(s, dir), rewrite = false).orderBy("scn"),
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql)
+            |SELECT scn, key, after_id AS id, after_cents AS cents,
+            |  after_type AS type, 'false' AS __deleted
+            |FROM p WHERE op <> 'd' ORDER BY scn""".stripMargin))
+
+  val cdcDeleteRewrite: Q = Q(
+    "cdc_delete_rewrite",
+    (s, dir) => Cdc.unwrap(parsed(s, dir), rewrite = true).orderBy("scn"),
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql)
+            |SELECT scn, key,
+            |  CASE WHEN op='d' THEN before_id ELSE after_id END AS id,
+            |  CASE WHEN op='d' THEN before_cents ELSE after_cents END AS cents,
+            |  CASE WHEN op='d' THEN before_type ELSE after_type END AS type,
+            |  CASE WHEN op='d' THEN 'true' ELSE 'false' END AS __deleted
+            |FROM p ORDER BY scn""".stripMargin))
+
+  /** Redelivery simulation: every 10th event is delivered twice, then
+    * deduped back to exactly-once. */
+  val cdcDedupEvents: Q = Q(
+    "cdc_dedup_events",
+    (s, dir) => {
+      val p = flatten(parsed(s, dir))
+      val redelivered = p.union(p.filter(col("scn") % 10 === 0))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("key", "scn").orderBy(col("xid").asc)
+      redelivered.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .groupBy("key").agg(count(lit(1)).as("n_events"), max("scn").as("max_scn"))
+        .orderBy("key")
+    },
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql),
+            |redelivered AS (
+            |  SELECT * FROM p UNION ALL SELECT * FROM p WHERE scn % 10 = 0),
+            |deduped AS (
+            |  SELECT * FROM (SELECT *, row_number() OVER
+            |      (PARTITION BY key, scn ORDER BY xid ASC) AS rn
+            |    FROM redelivered) WHERE rn = 1)
+            |SELECT key, count(*) AS n_events, max(scn) AS max_scn
+            |FROM deduped GROUP BY key ORDER BY key""".stripMargin))
+
+  val cdcMaterialize: Q = Q(
+    "cdc_materialize",
+    (s, dir) => Cdc.materialize(parsed(s, dir)).orderBy("key"),
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql),
+            |ranked AS (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY key ORDER BY scn DESC, xid DESC) AS rn
+            |  FROM p)
+            |SELECT key, after_id AS id, after_cents AS cents,
+            |  after_type AS type, scn AS last_scn
+            |FROM ranked WHERE rn = 1 AND op <> 'd'
+            |ORDER BY key""".stripMargin))
+
+  /** ksqlDB-style stream-table enrichment: change feed joined to a
+    * broadcast dimension (customer keyed by custkey = CDC key). */
+  val cdcSnapshotJoin: Q = Q(
+    "cdc_snapshot_join",
+    (s, dir) => {
+      val snap = Cdc.materialize(parsed(s, dir))
+      val cust = Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      snap.join(broadcast(cust), snap("key") === cust("c_custkey"))
+        .select(col("key"), col("cents"), col("type"), col("c_name"),
+          col("c_nationkey"))
+        .orderBy("key")
+    },
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql),
+            |ranked AS (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY key ORDER BY scn DESC, xid DESC) AS rn
+            |  FROM p),
+            |snap AS (
+            |  SELECT key, after_cents AS cents, after_type AS type
+            |  FROM ranked WHERE rn = 1 AND op <> 'd')
+            |SELECT key, cents, type, c_name, c_nationkey
+            |FROM snap JOIN customer ON key = c_custkey
+            |ORDER BY key""".stripMargin))
+
+  val all: Seq[Q] = Seq(cdcParse, cdcUnwrap, cdcDeleteRewrite,
+    cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin)
+}

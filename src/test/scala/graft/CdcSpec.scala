@@ -1,0 +1,51 @@
+package graft
+
+import graft.cdc.{Cdc, CdcQueries}
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+
+  private lazy val parsed = Cdc.parse(CdcQueries.feed(spark, sfDir), col("json"))
+
+  test("parse round-trips every event with a valid op") {
+    val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(parsed.count() == n)
+    assert(parsed.filter(!col("op").isin("c", "u", "d")).count() == 0)
+    assert(parsed.filter(col("scn").isNull || col("key").isNull).count() == 0)
+  }
+
+  test("materialize: one row per surviving key; deleted keys absent") {
+    val snap = Cdc.materialize(parsed)
+    assert(snap.groupBy("key").count().filter(col("count") > 1).count() == 0)
+    // keys whose LAST event (max scn) is a delete must not appear
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("scn").desc)
+    val lastDeleted = parsed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "d").select("key")
+    assert(snap.join(lastDeleted, "key").count() == 0)
+    // and the surviving rows carry the key's max non-stale scn
+    val expected = parsed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d").count()
+    assert(snap.count() == expected)
+  }
+
+  test("unwrap rewrite keeps deletes flagged; non-rewrite drops them") {
+    val rewrite = Cdc.unwrap(parsed, rewrite = true)
+    val drop = Cdc.unwrap(parsed, rewrite = false)
+    val nDeletes = parsed.filter(col("op") === "d").count()
+    assert(rewrite.filter(col("__deleted") === "true").count() == nDeletes)
+    assert(rewrite.count() - drop.count() == nDeletes)
+    assert(drop.filter(col("__deleted") === "true").count() == 0)
+  }
+
+  test("dedup collapses redelivered events to exactly-once") {
+    val doubled = parsed.union(parsed.filter(col("scn") % 7 === 0))
+    assert(Cdc.dedup(doubled).count() == parsed.count())
+  }
+
+  test("materialize plan has exactly one shuffle (on the key)") {
+    val plan = Cdc.materialize(parsed).queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+  }
+}

@@ -20,7 +20,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     def norm(v):
         if isinstance(v, float):
-            return round(v, 6)
+            return "NaN" if math.isnan(v) else round(v, 6)
         if hasattr(v, "tolist"):  # numpy arrays / lists
             return tuple(norm(x) for x in v.tolist())
         if isinstance(v, (list, tuple)):
