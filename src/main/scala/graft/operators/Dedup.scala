@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Portable._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the `documents` table — the operators an
+  * LLM-training-data pipeline runs before anything else. Reference
+  * pipeline context: the CDC sink dedups by key (README.md upsert
+  * config); here we add content-level dedup as first-class operators.
+  *
+  * Scale design (100 TB): no candidate generator is ever O(n^2) —
+  * exact/norm dedup is one hash-partition groupBy on the text (or a
+  * 60-bit fingerprint of it, so the shuffle key is 8 bytes, not the
+  * document); near-dup candidates come from bounded blocking keys
+  * (shingles, MinHash LSH bands, SimHash hamming bands, hyperplane
+  * buckets) followed by exact verification within blocks only.
+  * Signatures (MinHash/SimHash) are computed per-document with folds
+  * over array columns — codegen'd, zero explode, zero shuffle — so the
+  * only shuffles are the block-key joins themselves.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+
+  /** exact dedup: one representative (min doc_id) per distinct text.
+    * The groupBy key at scale should be fp60(text), not the raw text —
+    * demonstrated in dedup_exact_norm; here we keep the semantic
+    * baseline on the raw text. */
+  val dedupExact: Q = Q(
+    "dedup_exact",
+    (s, dir) => docs(s, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies"),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM documents GROUP BY text""".stripMargin))
+
+  /** normalized exact dedup: group on a 60-bit fingerprint of the
+    * lower/whitespace-squeezed text — an 8-byte shuffle key instead of
+    * the full document, which at 100 TB is the difference between
+    * shuffling 100 TB and shuffling ~1% of it. */
+  val dedupExactNorm: Q = Q(
+    "dedup_exact_norm",
+    (s, dir) => docs(s, dir)
+      .withColumn("fp", expr(fp60(normText("text"))))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies"),
+    Some(s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            |FROM documents GROUP BY ${duckFp60(duckNormText("text"))}""".stripMargin))
+
+  /** word-3-gram Jaccard >= 0.8 duplicate pairs. Candidates are
+    * blocked by shared shingle (the self-join key), so cost is
+    * sum(block^2) over shingle blocks — bounded because natural-text
+    * shingles are rare; never an O(n^2) cross join. */
+  val dedupNgramJaccard: Q = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .withColumn("words", expr(words("text")))
+        .filter(expr("size(words) >= 3"))
+        .select(col("doc_id"), explode(expr(shingles3("words"))).as("sh"))
+        .distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+        .withColumn("jac", col("inter") / (col("ca.n") + col("cb.n") - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), sh AS (
+            |  SELECT DISTINCT doc_id, unnest(${duckShingles3("words")}) AS sh
+            |  FROM w WHERE len(words) >= 3
+            |), cnt AS (
+            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            |), pairs AS (
+            |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2
+            |)
+            |SELECT da, db, round(inter*1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+            |FROM pairs
+            |JOIN cnt ca ON da = ca.doc_id
+            |JOIN cnt cb ON db = cb.doc_id
+            |WHERE inter*1.0 / (ca.n + cb.n - inter) >= 0.8""".stripMargin))
+
+  /** 64-permutation MinHash signatures, one row per doc. Computed as a
+    * single fold per document (no 64x explode); at scale this is a
+    * map-only stage fused into the scan. */
+  val dedupMinhash: Q = Q(
+    "dedup_minhash",
+    (s, dir) => docs(s, dir)
+      .withColumn("words", expr(words("text")))
+      .filter(expr("size(words) >= 3"))
+      .select(col("doc_id"),
+        expr(minhashSig(shingleHashes(shingles3("words")))).as("sig")),
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |)
+            |SELECT doc_id, ${duckMinhashSig(duckShingleHashes(duckShingles3("words")))} AS sig
+            |FROM w WHERE len(words) >= 3""".stripMargin))
+
+  /** MinHash LSH: 16 bands x 4 rows -> candidate pairs sharing any
+    * band bucket, with the signature-estimated Jaccard. The only
+    * shuffle is the band-key self-join; bucket sizes are bounded (a
+    * hot bucket would be salted at scale). */
+  val dedupMinhashLsh: Q = Q(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      val sig = docs(s, dir)
+        .withColumn("words", expr(words("text")))
+        .filter(expr("size(words) >= 3"))
+        .select(col("doc_id"),
+          expr(minhashSig(shingleHashes(shingles3("words")))).as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        explode(expr(minhashBands("sig"))).as("bk"))
+      bands.as("a")
+        .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          round(expr(minhashEstJaccard("a.sig", "b.sig")), 6).as("est_jaccard"))
+        .distinct()
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), sig AS (
+            |  SELECT doc_id, ${duckMinhashSig(duckShingleHashes(duckShingles3("words")))} AS sig
+            |  FROM w WHERE len(words) >= 3
+            |), bands AS (
+            |  SELECT doc_id, sig, unnest(${duckMinhashBands("sig")}) AS bk FROM sig
+            |)
+            |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+            |  round(${duckMinhashEstJaccard("a.sig", "b.sig")}, 6) AS est_jaccard
+            |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin))
+
+  /** 60-bit SimHash fingerprints + hamming<=8 near-dup pairs from
+    * 15-bit hamming band buckets (a pair within hamming 3 of the 60
+    * bits must agree exactly on at least one of the 4 bands; we block
+    * on that and verify the exact hamming distance inside blocks). */
+  val dedupSimhash: Q = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      val fp = docs(s, dir)
+        .withColumn("words", expr(words("text")))
+        .select(col("doc_id"),
+          expr(simhash60(s"transform(${words("text")}, w -> ${fp60("w")})")).as("fp"))
+      val bands = fp.select(col("doc_id"), col("fp"),
+        explode(expr(simhashBands("fp"))).as("bk"))
+      bands.as("a")
+        .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+        .filter(col("hamming") <= 8)
+        .distinct()
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), fp AS (
+            |  SELECT doc_id, ${duckSimhash60(s"list_transform(words, w -> ${duckFp60("w")})")} AS fp FROM w
+            |), bands AS (
+            |  SELECT doc_id, fp, unnest(${duckSimhashBands("fp")}) AS bk FROM fp
+            |)
+            |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+            |  bit_count(xor(a.fp, b.fp)) AS hamming
+            |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin))
+
+  /** embedding near-dup: random-hyperplane LSH buckets (4 tables x 4
+    * bits, deterministic LCG hyperplanes) generate candidates; exact
+    * left-fold cosine >= 0.4 verifies inside buckets. Both the bucket
+    * keys and the cosine are bit-identical across engines, so the
+    * oracle reproduces the exact candidate set. */
+  val dedupEmbedding: Q = Q(
+    "dedup_embedding",
+    (s, dir) => {
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id"), expr(toDouble("embedding")).as("v"))
+      val keys = e.select(col("vec_id"), col("v"),
+        explode(expr(hyperplaneKeys("v"))).as("bk"))
+      keys.as("a")
+        .join(keys.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          expr(cosine("a.v", "b.v")).as("cos"))
+        .distinct()
+        .filter(col("cos") >= 0.4)
+        .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), keys AS (
+            |  SELECT vec_id, v, unnest(${duckHyperplaneKeys("v")}) AS bk FROM e
+            |), cand AS (
+            |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+            |    ${duckCosine("a.v", "b.v")} AS cos
+            |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id
+            |)
+            |SELECT va, vb, round(cos, 6) AS cos_sim FROM cand WHERE cos >= 0.4""".stripMargin))
+
+  val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupNgramJaccard,
+    dedupMinhash, dedupMinhashLsh, dedupSimhash, dedupEmbedding)
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Portable._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the per-document scoring
+  * pass of a training-data pipeline. Every operator here is a pure
+  * column expression (whole-stage-codegen, no UDFs), so at 100 TB these
+  * all fuse into the parquet scan stage: zero shuffles except the
+  * final corpus-level aggregation in text_ngram_freq.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+
+  /** BPE-ish token regex: letter runs, digit runs, single punctuation.
+    * Space-only char class (not \s) so the Java and RE2 dialects agree. */
+  private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** token counting: whitespace tokens + regex (BPE-ish) tokens. */
+  val textTokens: Q = Q(
+    "text_tokens",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      expr(s"size(${words("text")})").as("ws_tokens"),
+      expr(s"regexp_count(text, '$TokenRe')").as("re_tokens")),
+    Some(s"""SELECT doc_id,
+            |  len(${duckWords("text")}) AS ws_tokens,
+            |  len(regexp_extract_all(text, '$TokenRe')) AS re_tokens
+            |FROM documents""".stripMargin))
+
+  /** tiny stopword lexicons; scoring = multiset hit count per language. */
+  private val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "que", "dans", "vous"),
+    "es" -> Seq("el", "los", "de", "y", "es", "una", "por", "con", "del", "se"))
+
+  private def lexArr(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+  private def duckLexArr(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** stopword-lexicon language ID: hits per language over the word
+    * multiset, argmax with a fixed precedence for ties. The lexicons
+    * are literal arrays — on a cluster a broadcast variable — so this
+    * is again a map-only scoring pass. */
+  val textLangid: Q = Q(
+    "text_langid",
+    (s, dir) => {
+      val scored = Lexicons.foldLeft(
+        docs(s, dir).withColumn("w", expr(s"${normText("text")}"))
+          .withColumn("words", expr(words("w")))) {
+        case (df, (lang, lex)) =>
+          df.withColumn(s"s_$lang",
+            expr(s"size(filter(words, x -> array_contains(${lexArr(lex)}, x)))"))
+      }
+      val best = Lexicons.map(_._1).map(l => col(s"s_$l"))
+      scored.select(
+        col("doc_id"),
+        col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+        expr("""CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+               |     WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+               |     WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+               |     WHEN s_es > 0 THEN 'es'
+               |     ELSE 'und' END""".stripMargin).as("pred_lang"))
+    },
+    Some {
+      val scores = Lexicons.map { case (lang, lex) =>
+        s"len(list_filter(words, x -> list_contains(${duckLexArr(lex)}, x))) AS s_$lang"
+      }.mkString(",\n  ")
+      s"""WITH w AS (
+         |  SELECT doc_id, ${duckWords(duckNormText("text"))} AS words FROM documents
+         |), sc AS (
+         |  SELECT doc_id, $scores FROM w
+         |)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+         |       WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+         |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         |       WHEN s_es > 0 THEN 'es'
+         |       ELSE 'und' END AS pred_lang
+         |FROM sc""".stripMargin
+    })
+
+  /** quality scoring: length, punctuation ratio, stopword ratio, word
+    * diversity, combined into one score. Pure per-row arithmetic. */
+  val textQuality: Q = Q(
+    "text_quality",
+    (s, dir) => docs(s, dir)
+      .withColumn("words", expr(words("text")))
+      .withColumn("n_words", expr("size(words)"))
+      .withColumn("punct_ratio",
+        expr(s"regexp_count(text, '[^A-Za-z0-9 ]') / CAST(greatest(length(text), 1) AS DOUBLE)"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(words, x -> array_contains(${lexArr(Lexicons.head._2)}, x))) / CAST(greatest(n_words, 1) AS DOUBLE)"))
+      .withColumn("diversity",
+        expr("size(array_distinct(words)) / CAST(greatest(n_words, 1) AS DOUBLE)"))
+      .select(
+        col("doc_id"), col("n_words"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("diversity"), 6).as("diversity"),
+        round(expr("0.4*stop_ratio + 0.3*diversity + 0.3*least(n_words/CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))"), 6)
+          .as("quality")),
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, text, ${duckWords("text")} AS words FROM documents
+            |), m AS (
+            |  SELECT doc_id, len(words) AS n_words,
+            |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / greatest(length(text), 1) AS punct_ratio,
+            |    len(list_filter(words, x -> list_contains(${duckLexArr(Lexicons.head._2)}, x))) * 1.0 / greatest(len(words), 1) AS stop_ratio,
+            |    len(list_distinct(words)) * 1.0 / greatest(len(words), 1) AS diversity
+            |  FROM w
+            |)
+            |SELECT doc_id, n_words,
+            |  round(punct_ratio, 6) AS punct_ratio,
+            |  round(stop_ratio, 6) AS stop_ratio,
+            |  round(diversity, 6) AS diversity,
+            |  round(0.4*stop_ratio + 0.3*diversity + 0.3*least(n_words/100.0, 1.0), 6) AS quality
+            |FROM m""".stripMargin))
+
+  /** rolling polynomial 60-bit fingerprint of the normalized text —
+    * the content-address used by dedup_exact_norm. */
+  val textFingerprint: Q = Q(
+    "text_fingerprint",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      expr(fp60(normText("text"))).as("fp")),
+    Some(s"""SELECT doc_id, ${duckFp60(duckNormText("text"))} AS fp
+            |FROM documents""".stripMargin))
+
+  /** corpus-level word-3-gram frequency, top 100. The explode is the
+    * only data amplification (x n_words); partial aggregation combines
+    * map-side, the final top-k is a TakeOrdered (no global sort). */
+  val textNgramFreq: Q = Q(
+    "text_ngram_freq",
+    (s, dir) => docs(s, dir)
+      .withColumn("words", expr(words("text")))
+      .filter(expr("size(words) >= 3"))
+      .select(explode(expr(shingles3("words"))).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(100),
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), g AS (
+            |  SELECT unnest(${duckShingles3("words")}) AS gram FROM w WHERE len(words) >= 3
+            |)
+            |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+            |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin))
+
+  val all: Seq[Q] = Seq(textTokens, textLangid, textQuality,
+    textFingerprint, textNgramFreq)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the dedup + text suites at sf0.001 (the DuckDB
+  * hash-compare in tools/check.py is the full oracle; these specs pin
+  * the semantic invariants that survive data regeneration). */
+class DedupTextSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_exact keeps one representative per distinct text") {
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val d = Dedup.dedupExact.run(spark, dir)
+    assert(d.agg(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0) == n)
+  }
+
+  test("ngram jaccard pairs are ordered, thresholded, and symmetric-free") {
+    val rows = Dedup.dedupNgramJaccard.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+
+  test("minhash signature has 64 lanes and est-jaccard tracks true jaccard on lsh pairs") {
+    val sig = Dedup.dedupMinhash.run(spark, dir).head
+    assert(sig.getSeq[Long](1).length == 64)
+    val lsh = Dedup.dedupMinhashLsh.run(spark, dir).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // true near-dup pairs (jaccard ~0.99 in the synthetic corpus) must surface
+    assert(lsh.count(_.getDouble(2) > 0.9) > 0)
+  }
+
+  test("simhash near-dup pairs are within the hamming threshold") {
+    val rows = Dedup.dedupSimhash.run(spark, dir).limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(2) <= 8))
+  }
+
+  test("embedding near-dup pairs pass the exact cosine threshold") {
+    val rows = Dedup.dedupEmbedding.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
+  }
+
+  test("text metrics are well-formed") {
+    val q = TextOps.textQuality.run(spark, dir).collect()
+    q.foreach { r =>
+      val (punct, stop, div) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(punct >= 0 && punct <= 1 && stop >= 0 && stop <= 1 && div >= 0 && div <= 1)
+    }
+    val langs = TextOps.textLangid.run(spark, dir)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+}
