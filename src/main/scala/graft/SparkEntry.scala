@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Relational, TextOps}
+import graft.operators.{Ann, Dedup, Relational, TextOps}
 import graft.cdc.CdcQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -9,7 +9,7 @@ object SparkEntry {
 
   /** All implemented capabilities, one Q per SURVEY.md §2 row. */
   def registry: Seq[Q] =
-    Relational.all ++ CdcQueries.all ++ Dedup.all ++ TextOps.all
+    Relational.all ++ CdcQueries.all ++ Dedup.all ++ TextOps.all ++ Ann.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

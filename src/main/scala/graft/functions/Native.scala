@@ -1,0 +1,275 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-row loops.
+  *
+  * The SQL higher-order-function formulations in [[Portable]] define
+  * the semantics (and the DuckDB oracles mirror them); these
+  * expressions compute the SAME values — same fold order, same
+  * integer/floating-point arithmetic — as tight JVM loops. Spark
+  * evaluates lambda-based `aggregate`/`transform` interpretively,
+  * one function call per element, and re-evaluates any expression
+  * captured inside a lambda on every lambda invocation; on a scan of
+  * 10^9 documents that overhead dominates the query. Each expression
+  * here is one `eval` per row.
+  *
+  * [[ArrayDot]] additionally implements `doGenCode`, so vector scoring
+  * participates in whole-stage codegen (it sits inside the tightest
+  * loops: brute-force ANN is |probes| x n of them).
+  */
+object Native {
+
+  /** dot(a, b): strict left-fold sum of pairwise products —
+    * bit-identical to Portable.dot / duckDot. */
+  case class ArrayDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  private def polyHash(s: UTF8String, mult: Long, p: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * mult + cp) % p
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** polynomial code-point hash mod p — bit-identical to
+    * Portable.charHash (split('') + ascii + left fold). */
+  case class CharPolyHash(child: Expression, mult: Long, p: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_char_hash"
+    override def nullSafeEval(s: Any): Any =
+      polyHash(s.asInstanceOf[UTF8String], mult, p)
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** word-3-gram shingle hashes straight from the words array: hashes
+    * the virtual string "w_i w_(i+1) w_(i+2)" without materializing it.
+    * wide=false: one 30-bit hash (mult 31 mod P1) — bit-identical to
+    * Portable.shingleHashes(shingles3(words)); safe as MinHash input
+    * (the affine permutation must not overflow a signed 64-bit int).
+    * wide=true: the 60-bit fp60 combination of the (31,P1) and (37,P2)
+    * hashes — required by SimHash, whose bands cover bits 0..59; a
+    * 30-bit input would make bands 2-3 degenerate into one global
+    * bucket. */
+  case class ShingleHashes3(child: Expression, wide: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String =
+      if (wide) "graft_shingle_hashes60" else "graft_shingle_hashes"
+
+    override def nullSafeEval(wsAny: Any): Any = {
+      val ws = wsAny.asInstanceOf[ArrayData]
+      val n = ws.numElements()
+      if (n < 3) return new GenericArrayData(Array.empty[Long])
+      val words = new Array[String](n)
+      var i = 0
+      while (i < n) { words(i) = ws.getUTF8String(i).toString; i += 1 }
+      val out = new Array[Long](n - 2)
+      i = 0
+      while (i < n - 2) {
+        var h1 = 0L
+        var h2 = 0L
+        var k = 0
+        while (k < 3) {
+          if (k > 0) {
+            h1 = (h1 * 31 + ' '.toInt) % Portable.P1
+            h2 = (h2 * 37 + ' '.toInt) % Portable.P2
+          }
+          val w = words(i + k)
+          var j = 0
+          while (j < w.length) {
+            val cp = w.codePointAt(j)
+            h1 = (h1 * 31 + cp) % Portable.P1
+            h2 = (h2 * 37 + cp) % Portable.P2
+            j += Character.charCount(cp)
+          }
+          k += 1
+        }
+        out(i) = if (wide) h1 * Portable.TWO30 + h2 else h1
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 64-permutation MinHash signature — bit-identical to
+    * Portable.minhashSig. */
+  case class MinHashSig64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_sig"
+
+    override def nullSafeEval(hAny: Any): Any = {
+      val hs = hAny.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val out = new Array[Long](64)
+      var i = 0
+      while (i < 64) {
+        val a = 2L * i + 5
+        val b = i.toLong * i + 13
+        var m = Long.MaxValue
+        var k = 0
+        while (k < n) {
+          val v = (a * hs.getLong(k) + b) % Portable.P2
+          if (v < m) m = v
+          k += 1
+        }
+        out(i) = m
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 60-bit SimHash — bit-identical to Portable.simhash60 (the vote
+    * sums are integer additions, so accumulation order is free). */
+  case class SimHash60(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash60"
+
+    override def nullSafeEval(hAny: Any): Any = {
+      val hs = hAny.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val votes = new Array[Int](60)
+      var k = 0
+      while (k < n) {
+        val h = hs.getLong(k)
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        k += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < 60) {
+        if (votes(j) > 0) fp |= (1L << j)
+        j += 1
+      }
+      fp
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 4 x 6-bit random-hyperplane LSH keys — bit-identical to
+    * Portable.hyperplaneKeys (same LCG, same d-ascending fold). */
+  case class HyperplaneKeys(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_hyperplane_keys"
+
+    override def nullSafeEval(vAny: Any): Any = {
+      val v = vAny.asInstanceOf[ArrayData]
+      val out = new Array[Long](4)
+      var t = 0
+      while (t < 4) {
+        var key = 0L
+        var j = 0
+        while (j < 6) {
+          var s = 0.0
+          var d = 0
+          while (d < 64) {
+            val idx = (t * 8L + j) * 64L + d
+            val g = ((1103515245L * idx + 12345L) % 2147483648L) / 2147483648.0 - 0.5
+            s += v.getDouble(d) * g
+            d += 1
+          }
+          key = key * 2 + (if (s >= 0) 1L else 0L)
+          j += 1
+        }
+        out(t) = t * 64L + key
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[Native.type].getName, null, name, usage, "")
+
+  private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "left-fold dot product of two double arrays",
+      es => ArrayDot(es(0), es(1))),
+    ("graft_char_hash", "polynomial code-point hash mod p",
+      es => CharPolyHash(es.head,
+        es(1).eval().asInstanceOf[Number].longValue(),
+        es(2).eval().asInstanceOf[Number].longValue())),
+    ("graft_shingle_hashes", "word-3-gram shingle hashes from a words array",
+      es => ShingleHashes3(es.head, wide = false)),
+    ("graft_shingle_hashes60", "60-bit word-3-gram shingle hashes from a words array",
+      es => ShingleHashes3(es.head, wide = true)),
+    ("graft_minhash_sig", "64-permutation MinHash signature",
+      es => MinHashSig64(es.head)),
+    ("graft_simhash60", "60-bit SimHash fingerprint",
+      es => SimHash60(es.head)),
+    ("graft_hyperplane_keys", "4x6-bit random-hyperplane LSH keys",
+      es => HyperplaneKeys(es.head)))
+
+  /** Idempotently registers the graft_* functions in a session. Called
+    * from Tables() so every query works on any SparkSession, including
+    * the driver's. */
+  def install(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, usage, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.registerFunction(id, info(name, usage), builder)
+      }
+    }
+  }
+}

@@ -31,9 +31,11 @@ object Portable {
   def words(e: String): String =
     s"filter(split($e, ' '), w -> w <> '')"
 
-  /** polynomial char hash mod p. */
+  /** polynomial char hash mod p (native loop; the pure-SQL equivalent
+    * is `aggregate(filter(split(e,''), c -> c <> ''), 0L,
+    * (acc,c) -> (acc*mult + ascii(c)) % p)` — see the DuckDB mirror). */
   def charHash(e: String, mult: Int = 31, p: Long = P1): String =
-    s"aggregate(filter(split($e, ''), c -> c <> ''), CAST(0 AS BIGINT), (acc, c) -> (acc * $mult + ascii(c)) % $p)"
+    s"graft_char_hash($e, $mult, $p)"
 
   /** 60-bit fingerprint from two independent char hashes. */
   def fp60(e: String): String =
@@ -44,9 +46,11 @@ object Portable {
     s"CASE WHEN size($wordsArr) < 3 THEN array() " +
       s"ELSE transform(sequence(1, size($wordsArr) - 2), i -> concat_ws(' ', slice($wordsArr, i, 3))) END"
 
-  /** strict left-fold dot product of two double-array expressions. */
+  /** strict left-fold dot product of two double-array expressions
+    * (native codegen'd loop; pure-SQL equivalent:
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,v) -> acc+v)`). */
   def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"graft_dot($a, $b)"
 
   /** cosine similarity via left folds (bit-identical to duckCosine). */
   def cosine(a: String, b: String): String =
@@ -59,21 +63,30 @@ object Portable {
   def normText(e: String): String =
     s"trim(regexp_replace(lower($e), '\\\\s+', ' '))"
 
-  /** per-shingle polynomial hashes from a shingle-array expression. */
-  def shingleHashes(shinglesArr: String): String =
-    s"transform($shinglesArr, g -> ${charHash("g")})"
+  /** word-3-gram shingle hashes from a WORDS-array expression (native;
+    * equivalent to `transform(shingles3(words), g -> charHash(g))`
+    * without materializing the shingle strings). */
+  def shingleHashes(wordsArr: String): String =
+    s"graft_shingle_hashes($wordsArr)"
+
+  /** 60-bit (fp60) shingle hashes — SimHash input; see ShingleHashes3. */
+  def shingleHashes60(wordsArr: String): String =
+    s"graft_shingle_hashes60($wordsArr)"
 
   /** 64-permutation MinHash signature from a hash-array expression.
     * Permutation i is the affine map h -> ((2i+5)h + i^2+13) mod P2;
     * computed per-document with a fold, no (doc,shingle,perm) explode. */
   def minhashSig(hashesArr: String): String =
-    s"transform(sequence(0, 63), i -> array_min(transform($hashesArr, h -> ((2*i+5)*h + (i*i+13)) % $P2)))"
+    s"graft_minhash_sig($hashesArr)"
 
-  /** 16 LSH band keys (4 rows/band) from a 64-long signature; the band
-    * index seeds the fold so identical row values in different bands
-    * land in different buckets. */
-  def minhashBands(sigArr: String): String =
-    s"transform(sequence(0, 15), b -> aggregate(slice($sigArr, 4*b+1, 4), CAST(b+1 AS BIGINT), (acc, v) -> (acc*1000003 + v) % 2147483647))"
+  /** LSH band keys (rowsPer rows/band) from a 64-long signature; the
+    * band index seeds the fold so identical row values in different
+    * bands land in different buckets. 8x8 (not 16x4): with r=8 a
+    * random pair at Jaccard j collides with prob ~ bands*j^8, which
+    * keeps buckets bounded even on corpora with high baseline overlap,
+    * while a true near-dup at j>=0.9 still collides w.p. ~1. */
+  def minhashBands(sigArr: String, bands: Int = 8, rowsPer: Int = 8): String =
+    s"transform(sequence(0, ${bands - 1}), b -> aggregate(slice($sigArr, $rowsPer*b+1, $rowsPer), CAST(b+1 AS BIGINT), (acc, v) -> (acc*1000003 + v) % 2147483647))"
 
   /** estimated Jaccard = fraction of agreeing signature positions. */
   def minhashEstJaccard(sa: String, sb: String): String =
@@ -83,9 +96,7 @@ object Portable {
     * words vote +1/-1 by their j-th hash bit; fingerprint bit j is set
     * iff the vote is positive. */
   def simhash60(hashesArr: String): String =
-    s"aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) -> acc + IF(" +
-      s"aggregate($hashesArr, 0, (a, h) -> a + IF((h div shiftleft(CAST(1 AS BIGINT), j)) % 2 = 1, 1, -1)) > 0, " +
-      s"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+    s"graft_simhash60($hashesArr)"
 
   /** 4 hamming-LSH band keys (15 bits each) from a 60-bit fingerprint. */
   def simhashBands(fp: String): String =
@@ -95,14 +106,11 @@ object Portable {
     * hyperplane LSH: table t, bit j, dim d -> uniform(-0.5, 0.5) via an
     * LCG on the flattened index. Pure arithmetic, identical in both
     * engines. */
-  private def hyper(t: String, j: String, d: String): String =
-    s"(((1103515245 * CAST(($t*4+$j)*64+$d AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
-
-  /** 4 random-hyperplane LSH bucket keys (4 bits each) for a 64-dim
-    * double-array expression; key embeds the table index. */
+  /** 4 random-hyperplane LSH tables x 6 bits for a 64-dim double-array
+    * expression; key embeds the table index. Bits/table should grow
+    * with log(n) to hold expected bucket size constant at scale. */
   def hyperplaneKeys(v: String): String =
-    s"transform(sequence(0, 3), t -> t*16 + aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, j) -> acc*2 + " +
-      s"IF(aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (a, d) -> a + element_at($v, d+1) * ${hyper("t", "j", "d")}) >= 0, 1, 0)))"
+    s"graft_hyperplane_keys($v)"
 
   // ---- DuckDB dialect (must mirror the above exactly) --------------
 
@@ -130,11 +138,14 @@ object Portable {
   def duckShingleHashes(shinglesArr: String): String =
     s"list_transform($shinglesArr, g -> ${duckCharHash("g")})"
 
+  def duckShingleHashes60(shinglesArr: String): String =
+    s"list_transform($shinglesArr, g -> ${duckFp60("g")})"
+
   def duckMinhashSig(hashesArr: String): String =
     s"list_transform(range(0, 64), i -> list_min(list_transform($hashesArr, h -> ((2*i+5)*h + (i*i+13)) % $P2)))"
 
-  def duckMinhashBands(sigArr: String): String =
-    s"list_transform(range(0, 16), b -> list_reduce(list_prepend(CAST(b+1 AS BIGINT), list_slice($sigArr, 4*b+1, 4*b+4)), (acc, v) -> (acc*1000003 + v) % 2147483647))"
+  def duckMinhashBands(sigArr: String, bands: Int = 8, rowsPer: Int = 8): String =
+    s"list_transform(range(0, $bands), b -> list_reduce(list_prepend(CAST(b+1 AS BIGINT), list_slice($sigArr, $rowsPer*b+1, $rowsPer*b+$rowsPer)), (acc, v) -> (acc*1000003 + v) % 2147483647))"
 
   def duckMinhashEstJaccard(sa: String, sb: String): String =
     s"(list_sum(list_transform(range(1, 65), i -> CASE WHEN ($sa)[i] = ($sb)[i] THEN 1 ELSE 0 END)) / 64.0)"
@@ -148,10 +159,10 @@ object Portable {
     s"list_transform(range(0, 4), b -> b*32768 + (($fp // (CAST(1 AS BIGINT) << (15*b))) % 32768))"
 
   private def duckHyper(t: String, j: String, d: String): String =
-    s"(((1103515245 * CAST(($t*4+$j)*64+$d AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+    s"(((1103515245 * CAST(($t*8+$j)*64+$d AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
 
   def duckHyperplaneKeys(v: String): String =
-    s"list_transform(range(0, 4), t -> t*16 + list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 4), j -> " +
+    s"list_transform(range(0, 4), t -> t*64 + list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 6), j -> " +
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), d -> ($v)[d+1] * ${duckHyper("t", "j", "d")})), (a, x) -> a + x) >= 0 " +
       s"THEN 1 ELSE 0 END)), (acc, b) -> acc*2 + b))"
 }

@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Portable._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors). Three tiers:
+  *
+  *  - ann_bruteforce: exact top-k for a probe set. The probe side is
+  *    tiny and broadcast; cost is |probes| x n codegen'd fold cosines,
+  *    embarrassingly parallel over the base-table partitions. This is
+  *    the CORRECTNESS baseline, not the scale path.
+  *  - ann_lsh: random-hyperplane buckets bound the candidate set; at
+  *    100 TB the bucket join replaces the full scan per probe.
+  *  - ann_ivf: IVF-style coarse quantization — vectors are assigned to
+  *    their nearest of k centroids once (a partial-aggregatable argmax,
+  *    no window), probes search only their own cell.
+  *
+  * All cosines are strict left folds (Portable.cosine) so the DuckDB
+  * oracles reproduce them bit-for-bit and ranking ties cannot diverge.
+  */
+object Ann {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .select(col("vec_id"), expr(toDouble("embedding")).as("v"), col("label"))
+
+  private val K = 10
+  /** deterministic probe set: vec_id < 5. */
+  private val ProbeFilter = "vec_id < 5"
+
+  /** exact top-k cosine neighbors per probe (brute force baseline). */
+  val annBruteforce: Q = Q(
+    "ann_bruteforce",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val probes = broadcast(e.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("v").as("pv")))
+      val scored = e.join(probes, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("n_id"),
+          expr(cosine("pv", "v")).as("cos"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= K)
+        .select(col("probe_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), p AS (
+            |  SELECT vec_id AS probe_id, v AS pv FROM e WHERE $ProbeFilter
+            |), scored AS (
+            |  SELECT probe_id, e.vec_id AS n_id, ${duckCosine("pv", "e.v")} AS cos
+            |  FROM e JOIN p ON e.vec_id <> p.probe_id
+            |), ranked AS (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM scored
+            |)
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM ranked WHERE rank <= $K""".stripMargin))
+
+  /** hyperplane-LSH ANN: candidates = vectors sharing any of the
+    * probe's 4 bucket keys; exact rerank inside the candidate set. */
+  val annLsh: Q = Q(
+    "ann_lsh",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val keys = e.select(col("vec_id"), explode(expr(hyperplaneKeys("v"))).as("bk"))
+      val probeKeys = broadcast(keys.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("bk")))
+      val cand = keys.join(probeKeys, "bk")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("n_id"))
+        .distinct()
+      val scored = cand
+        .join(e.select(col("vec_id"), col("v").as("pv")), col("probe_id") === col("vec_id"))
+        .drop("vec_id")
+        .join(e.select(col("vec_id"), col("v").as("nv")), col("n_id") === col("vec_id"))
+        .select(col("probe_id"), col("n_id"), expr(cosine("pv", "nv")).as("cos"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= K)
+        .select(col("probe_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), keys AS (
+            |  SELECT vec_id, unnest(${duckHyperplaneKeys("v")}) AS bk FROM e
+            |), pk AS (
+            |  SELECT vec_id AS probe_id, bk FROM keys WHERE $ProbeFilter
+            |), cand AS (
+            |  SELECT DISTINCT pk.probe_id, k.vec_id AS n_id
+            |  FROM keys k JOIN pk ON k.bk = pk.bk AND k.vec_id <> pk.probe_id
+            |), scored AS (
+            |  SELECT c.probe_id, c.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM cand c
+            |  JOIN e ep ON c.probe_id = ep.vec_id
+            |  JOIN e en ON c.n_id = en.vec_id
+            |), ranked AS (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM scored
+            |)
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM ranked WHERE rank <= $K""".stripMargin))
+
+  /** IVF: the 16 vectors with vec_id < 16 act as coarse centroids;
+    * every vector is assigned to its nearest centroid via a
+    * partial-aggregatable argmax (max_by over a comparable struct —
+    * no window, one shuffle on vec_id); probes then search only their
+    * own cell. */
+  val annIvf: Q = Q(
+    "ann_ivf",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+      val assigned = e.crossJoin(cents)
+        .select(col("vec_id"), col("c_id"), expr(cosine("v", "cv")).as("c_cos"))
+        .groupBy("vec_id")
+        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+      val probes = assigned.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("cell"))
+      val cand = assigned.join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("n_id"))
+      val scored = cand
+        .join(e.select(col("vec_id"), col("v").as("pv")), col("probe_id") === col("vec_id"))
+        .drop("vec_id")
+        .join(e.select(col("vec_id"), col("v").as("nv")), col("n_id") === col("vec_id"))
+        .select(col("probe_id"), col("n_id"), expr(cosine("pv", "nv")).as("cos"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), c AS (
+            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+            |), assigned AS (
+            |  SELECT vec_id, c_id AS cell FROM (
+            |    SELECT e.vec_id, c_id,
+            |      row_number() OVER (PARTITION BY e.vec_id
+            |        ORDER BY ${duckCosine("e.v", "cv")} DESC, c_id) AS rn
+            |    FROM e CROSS JOIN c
+            |  ) WHERE rn = 1
+            |), p AS (
+            |  SELECT vec_id AS probe_id, cell FROM assigned WHERE $ProbeFilter
+            |), cand AS (
+            |  SELECT p.probe_id, a.vec_id AS n_id
+            |  FROM assigned a JOIN p ON a.cell = p.cell AND a.vec_id <> p.probe_id
+            |), scored AS (
+            |  SELECT cand.probe_id, cand.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM cand
+            |  JOIN e ep ON cand.probe_id = ep.vec_id
+            |  JOIN e en ON cand.n_id = en.vec_id
+            |), ranked AS (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM scored
+            |)
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM ranked WHERE rank <= 5""".stripMargin))
+
+  /** embedding norm/stats audit per label: a plain partial-agg pass. */
+  val vecNorms: Q = Q(
+    "vec_norms",
+    (s, dir) => emb(s, dir)
+      .withColumn("norm", expr(s"sqrt(${dot("v", "v")})"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg("norm"), 6).as("avg_norm"),
+        round(min("norm"), 6).as("min_norm"),
+        round(max("norm"), 6).as("max_norm")),
+    Some(s"""WITH e AS (
+            |  SELECT label, sqrt(${duckDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS norm
+            |  FROM embeddings
+            |)
+            |SELECT label, count(*) AS n,
+            |  round(avg(norm), 6) AS avg_norm,
+            |  round(min(norm), 6) AS min_norm,
+            |  round(max(norm), 6) AS max_norm
+            |FROM e GROUP BY label""".stripMargin))
+
+  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms)
+}

@@ -103,13 +103,15 @@ object Dedup {
     (s, dir) => docs(s, dir)
       .withColumn("words", expr(words("text")))
       .filter(expr("size(words) >= 3"))
-      .select(col("doc_id"),
-        expr(minhashSig(shingleHashes(shingles3("words")))).as("sig")),
+      .withColumn("hashes", expr(shingleHashes("words")))
+      .select(col("doc_id"), expr(minhashSig("hashes")).as("sig")),
     Some(s"""WITH w AS (
             |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), hs AS (
+            |  SELECT doc_id, ${duckShingleHashes(duckShingles3("words"))} AS hashes
+            |  FROM w WHERE len(words) >= 3
             |)
-            |SELECT doc_id, ${duckMinhashSig(duckShingleHashes(duckShingles3("words")))} AS sig
-            |FROM w WHERE len(words) >= 3""".stripMargin))
+            |SELECT doc_id, ${duckMinhashSig("hashes")} AS sig FROM hs""".stripMargin))
 
   /** MinHash LSH: 16 bands x 4 rows -> candidate pairs sharing any
     * band bucket, with the signature-estimated Jaccard. The only
@@ -118,24 +120,36 @@ object Dedup {
   val dedupMinhashLsh: Q = Q(
     "dedup_minhash_lsh",
     (s, dir) => {
+      // the band self-join moves only (doc_id, bk) — 16 bytes/row, not
+      // the 64-lane signature; signatures are re-attached only for the
+      // (distinct, few) candidate pairs.
+      // `hashes` is materialized as a column BEFORE the signature fold:
+      // inlining it into the per-permutation lambda would re-evaluate
+      // the shingle hashing once per permutation (64x).
       val sig = docs(s, dir)
         .withColumn("words", expr(words("text")))
         .filter(expr("size(words) >= 3"))
-        .select(col("doc_id"),
-          expr(minhashSig(shingleHashes(shingles3("words")))).as("sig"))
-      val bands = sig.select(col("doc_id"), col("sig"),
+        .withColumn("hashes", expr(shingleHashes("words")))
+        .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
+      val bands = sig.select(col("doc_id"),
         explode(expr(minhashBands("sig"))).as("bk"))
-      bands.as("a")
+      val cand = bands.as("a")
         .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          round(expr(minhashEstJaccard("a.sig", "b.sig")), 6).as("est_jaccard"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
+      cand
+        .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da"), col("db"),
+          round(expr(minhashEstJaccard("sa.sig", "sb.sig")), 6).as("est_jaccard"))
     },
     Some(s"""WITH w AS (
             |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
-            |), sig AS (
-            |  SELECT doc_id, ${duckMinhashSig(duckShingleHashes(duckShingles3("words")))} AS sig
+            |), hs AS (
+            |  SELECT doc_id, ${duckShingleHashes(duckShingles3("words"))} AS hashes
             |  FROM w WHERE len(words) >= 3
+            |), sig AS (
+            |  SELECT doc_id, ${duckMinhashSig("hashes")} AS sig FROM hs
             |), bands AS (
             |  SELECT doc_id, sig, unnest(${duckMinhashBands("sig")}) AS bk FROM sig
             |)
@@ -146,14 +160,20 @@ object Dedup {
   /** 60-bit SimHash fingerprints + hamming<=8 near-dup pairs from
     * 15-bit hamming band buckets (a pair within hamming 3 of the 60
     * bits must agree exactly on at least one of the 4 bands; we block
-    * on that and verify the exact hamming distance inside blocks). */
+    * on that and verify the exact hamming distance inside blocks).
+    * Votes are cast by 3-gram shingle hashes, not single words: on a
+    * corpus with a shared vocabulary, word-level fingerprints collapse
+    * onto a few values and every band bucket goes hot; shingle-level
+    * features keep non-dup fingerprints uniform so bucket sizes stay
+    * ~n/2^15 per band. */
   val dedupSimhash: Q = Q(
     "dedup_simhash",
     (s, dir) => {
       val fp = docs(s, dir)
         .withColumn("words", expr(words("text")))
-        .select(col("doc_id"),
-          expr(simhash60(s"transform(${words("text")}, w -> ${fp60("w")})")).as("fp"))
+        .filter(expr("size(words) >= 3"))
+        .withColumn("hashes", expr(shingleHashes60("words")))
+        .select(col("doc_id"), expr(simhash60("hashes")).as("fp"))
       val bands = fp.select(col("doc_id"), col("fp"),
         explode(expr(simhashBands("fp"))).as("bk"))
       bands.as("a")
@@ -165,8 +185,11 @@ object Dedup {
     },
     Some(s"""WITH w AS (
             |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), hs AS (
+            |  SELECT doc_id, ${duckShingleHashes60(duckShingles3("words"))} AS hashes
+            |  FROM w WHERE len(words) >= 3
             |), fp AS (
-            |  SELECT doc_id, ${duckSimhash60(s"list_transform(words, w -> ${duckFp60("w")})")} AS fp FROM w
+            |  SELECT doc_id, ${duckSimhash60("hashes")} AS fp FROM hs
             |), bands AS (
             |  SELECT doc_id, fp, unnest(${duckSimhashBands("fp")}) AS bk FROM fp
             |)
@@ -183,15 +206,20 @@ object Dedup {
   val dedupEmbedding: Q = Q(
     "dedup_embedding",
     (s, dir) => {
+      // bucket join on (vec_id, bk) only; dedup candidate pairs BEFORE
+      // computing any cosine, then re-attach the two vectors per pair.
       val e = Tables(s, dir).embeddings
         .select(col("vec_id"), expr(toDouble("embedding")).as("v"))
-      val keys = e.select(col("vec_id"), col("v"),
+      val keys = e.select(col("vec_id"),
         explode(expr(hyperplaneKeys("v"))).as("bk"))
-      keys.as("a")
+      val cand = keys.as("a")
         .join(keys.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          expr(cosine("a.v", "b.v")).as("cos"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
         .distinct()
+      cand
+        .join(e.as("ea"), col("va") === col("ea.vec_id"))
+        .join(e.as("eb"), col("vb") === col("eb.vec_id"))
+        .withColumn("cos", expr(cosine("ea.v", "eb.v")))
         .filter(col("cos") >= 0.4)
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
     },

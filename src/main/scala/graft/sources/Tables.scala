@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
   * operators.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  graft.functions.Native.install(spark)
+
   private def load(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
