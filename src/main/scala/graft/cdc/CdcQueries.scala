@@ -20,8 +20,12 @@ object CdcQueries {
     "CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END"
 
   /** Build the OLR-style JSON feed column (Spark side). */
-  def feed(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir).events
+  def feed(s: SparkSession, dir: String): DataFrame =
+    feedFrom(Tables(s, dir).events)
+
+  /** Same, over an arbitrary events DataFrame — batch or streaming. */
+  def feedFrom(events: DataFrame): DataFrame = {
+    val e = events
       .withColumn("op", expr(opSql))
       .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
       .withColumn("payload_name",
@@ -38,7 +42,7 @@ object CdcQueries {
   }
 
   /** Same feed in DuckDB SQL (must concatenate identically). */
-  private val feedSql =
+  private[graft] val feedSql =
     s"""SELECT event_id,
        |  '{"scn":' || event_id ||
        |  ',"tm":' || epoch_us(CAST(ts AS TIMESTAMP)) ||
@@ -52,7 +56,7 @@ object CdcQueries {
        |FROM events""".stripMargin
 
   /** DuckDB equivalent of the typed parse (json_extract). */
-  private val parsedSql =
+  private[graft] val parsedSql =
     s"""SELECT
        |  CAST(json_extract(json, '$$.scn') AS BIGINT) AS scn,
        |  CAST(json_extract(json, '$$.tm') AS BIGINT) AS tm,
@@ -74,7 +78,7 @@ object CdcQueries {
     * schemas line up). Absent-payload numerics are coalesced to -1 so
     * the oracle hash compare never has to equate numeric NULL/NaN
     * representations. */
-  private def flatten(p: DataFrame): DataFrame =
+  private[graft] def flatten(p: DataFrame): DataFrame =
     p.select(col("scn"), col("tm"), col("xid"), col("op"), col("key"),
       coalesce(col("after.id"), lit(-1L)).as("after_id"),
       coalesce(col("after.cents"), lit(-1L)).as("after_cents"),

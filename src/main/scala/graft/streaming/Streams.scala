@@ -1,0 +1,303 @@
+package graft.streaming
+
+import graft.Q
+import graft.cdc.{Cdc, CdcQueries}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A parsed change event as carried through keyed streaming state. */
+final case class ChangeRow(
+    key: Long, scn: Long, xid: String, op: String,
+    id: Option[Long], cents: Option[Long], typ: Option[String])
+
+/** Current materialized state for one key. */
+final case class KeyState(
+    scn: Long, xid: String, id: Long, cents: Long, typ: String,
+    deleted: Boolean)
+
+/** One output row of the incremental materialization. */
+final case class SnapshotRow(
+    key: Long, id: Long, cents: Long, `type`: String, last_scn: Long)
+
+/** Structured Streaming re-expression of the reference pipeline's
+  * streaming half (OpenLogReplicator -> Kafka -> ksqlDB / JDBC sink).
+  *
+  * Every query here executes a REAL streaming query — file source ->
+  * transforms -> sink — run to completion on the bounded test feed, so
+  * the driver's DuckDB oracle can verify the final result exactly; the
+  * incremental multi-batch behavior (state transitions, late updates,
+  * upserts over batches) is pinned by StreamingSpec with MemoryStream.
+  *
+  * Scale design: watermarks bound all state; the materialization state
+  * is per-key O(1) (one KeyState, not the event history) managed by
+  * flatMapGroupsWithState — on a cluster this backs onto the RocksDB
+  * state store and the only shuffle is the groupByKey hash exchange.
+  */
+object Streams {
+
+  private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Runs a bounded streaming DataFrame to completion into an
+    * in-memory sink and returns the sink contents. */
+  def runBounded(sdf: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${ctr.incrementAndGet()}"
+    val q = sdf.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    sdf.sparkSession.table(name)
+  }
+
+  /** File-source stream over the events table (the bounded feed is one
+    * parquet file -> one micro-batch; in production this is a directory
+    * of arriving files or a Kafka source — the transform chain is
+    * identical). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the file source wants a directory of arriving files; expose the
+    // (read-only) test file through a temp dir via symlink
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Incremental changelog materialization: per-key keyed state holds
+    * only the latest (scn, xid)-winning event; each batch emits the
+    * keys it changed (update semantics, like the reference's upsert
+    * sink). Deletes clear the key. */
+  def materializeStream(parsed: Dataset[ChangeRow]): Dataset[SnapshotRow] = {
+    import parsed.sparkSession.implicits._
+    parsed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KeyState, SnapshotRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, events: Iterator[ChangeRow], state: GroupState[KeyState]) =>
+          var cur = state.getOption.orNull
+          events.foreach { e =>
+            val newer = cur == null || e.scn > cur.scn ||
+              (e.scn == cur.scn && e.xid > cur.xid)
+            if (newer) {
+              cur =
+                if (e.op == "d") KeyState(e.scn, e.xid, -1, -1, "", deleted = true)
+                else KeyState(e.scn, e.xid, e.id.getOrElse(-1L),
+                  e.cents.getOrElse(-1L), e.typ.getOrElse(""), deleted = false)
+            }
+          }
+          if (cur == null) Iterator.empty
+          else {
+            state.update(cur)
+            if (cur.deleted) Iterator.empty
+            else Iterator.single(SnapshotRow(key, cur.id, cur.cents, cur.typ, cur.scn))
+          }
+      }
+  }
+
+  /** Typed parse of the streaming OLR feed. */
+  def parsedStream(s: SparkSession, dir: String): Dataset[ChangeRow] = {
+    import s.implicits._
+    Cdc.parse(CdcQueries.feedFrom(eventsStream(s, dir)), col("json"))
+      .select(col("key"), col("scn"), col("xid"), col("op"),
+        when(col("op") === "d", col("before.id")).otherwise(col("after.id")).as("id"),
+        when(col("op") === "d", col("before.cents")).otherwise(col("after.cents")).as("cents"),
+        when(col("op") === "d", col("before.type")).otherwise(col("after.type")).as("typ"))
+      .as[ChangeRow]
+  }
+
+  /** stream ingest: file-source feed -> from_json parse, append sink.
+    * Verified against the same oracle as the batch cdc_parse. */
+  val cdcStreamIngest: Q = Q(
+    "cdc_stream_ingest",
+    (s, dir) => {
+      val parsed = CdcQueries.flatten(
+        Cdc.parse(CdcQueries.feedFrom(eventsStream(s, dir)), col("json")))
+      runBounded(parsed, "append").orderBy("scn")
+    },
+    Some(s"""WITH feed AS (${CdcQueries.feedSql})
+            |${CdcQueries.parsedSql}
+            |ORDER BY scn""".stripMargin))
+
+  /** incremental materialization via keyed state (see
+    * materializeStream); final snapshot equals the batch
+    * cdc_materialize result. */
+  val cdcStreamMaterialize: Q = Q(
+    "cdc_stream_materialize",
+    (s, dir) => {
+      val out = materializeStream(parsedStream(s, dir)).toDF()
+      runBounded(out, "update").orderBy("key")
+    },
+    Some(s"""WITH feed AS (${CdcQueries.feedSql}), p AS (${CdcQueries.parsedSql}),
+            |ranked AS (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY key ORDER BY scn DESC, xid DESC) AS rn
+            |  FROM p)
+            |SELECT key, after_id AS id, after_cents AS cents,
+            |  after_type AS type, scn AS last_scn
+            |FROM ranked WHERE rn = 1 AND op <> 'd'
+            |ORDER BY key""".stripMargin))
+
+  /** JDBC-sink upsert/delete semantics onto a parquet-backed table via
+    * foreachBatch: each batch merges into the target (union + latest-
+    * per-key + drop deletes) — the idempotent merge the reference sink
+    * does with insert.mode=upsert / delete.enabled=true. */
+  val cdcUpsertSink: Q = Q(
+    "cdc_upsert_sink",
+    (s, dir) => {
+      val target = java.nio.file.Files
+        .createTempDirectory("graft_upsert").toString + "/tbl"
+      val events = parsedStream(s, dir).toDF()
+      val q = events.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          import org.apache.spark.sql.types._
+          val existing =
+            try sp.read.parquet(target)
+            catch { case _: Throwable => sp.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema) }
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("key").orderBy(col("scn").desc, col("xid").desc)
+          val merged = existing.unionByName(batch)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            // keep tombstones in the target so later batches cannot
+            // resurrect a deleted key with an older scn
+          val materialized = merged.localCheckpoint(true)
+          materialized.write.mode("overwrite").parquet(target)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(target)
+        .filter(col("op") =!= "d")
+        .select(col("key"), col("id"), col("cents"), col("typ").as("type"),
+          col("scn").as("last_scn"))
+        .orderBy("key")
+    },
+    Some(s"""WITH feed AS (${CdcQueries.feedSql}), p AS (${CdcQueries.parsedSql}),
+            |ranked AS (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY key ORDER BY scn DESC, xid DESC) AS rn
+            |  FROM p)
+            |SELECT key, after_id AS id, after_cents AS cents,
+            |  after_type AS type, scn AS last_scn
+            |FROM ranked WHERE rn = 1 AND op <> 'd'
+            |ORDER BY key""".stripMargin))
+
+  /** auto.evolve sink semantics: a second wave of data arrives with a
+    * new column; the target table grows the column, old rows read as
+    * NULL (mergeSchema + unionByName-compatible layout). */
+  val cdcSchemaEvolve: Q = Q(
+    "cdc_schema_evolve",
+    (s, dir) => {
+      val target = java.nio.file.Files
+        .createTempDirectory("graft_evolve").toString + "/tbl"
+      val e = graft.sources.Tables(s, dir).events
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      e.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").parquet(target)
+      e.filter(col("event_id") % 2 === 1)
+        .select("event_id", "user_id", "event_type", "cents")
+        .write.mode("append").parquet(target)
+      s.read.option("mergeSchema", "true").parquet(target)
+        // pre-evolution rows surface the new column as NULL; coalesce
+        // for the oracle's sake (hash compare shouldn't see NULLs)
+        .withColumn("cents", coalesce(col("cents"), lit(-1L)))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, -1 AS cents
+           |FROM events WHERE event_id % 2 = 0
+           |UNION ALL
+           |SELECT event_id, user_id, event_type,
+           |  CAST(round(value * 100) AS BIGINT) AS cents
+           |FROM events WHERE event_id % 2 = 1
+           |ORDER BY event_id""".stripMargin))
+
+  /** tumbling-window aggregation, incremental with watermark. */
+  val qStreamTumbling: Q = Q(
+    "q_stream_tumbling",
+    (s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+      runBounded(agg, "complete").orderBy("window_start_us", "event_type")
+    },
+    Some("""SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) * 3600000000 AS window_start_us,
+           |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin))
+
+  /** streaming session windows (30-minute gap) per user. */
+  val qStreamSession: Q = Q(
+    "q_stream_session",
+    (s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("session_value"))
+      runBounded(agg, "complete").orderBy("user_id", "start_us")
+    },
+    // session_window ends are exclusive: a gap of EXACTLY 30 min starts
+    // a new session, hence >= (not >) in the oracle's gap predicate.
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events),
+           |g AS (
+           |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+           |      THEN 1 ELSE 0 END AS new_sess
+           |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+           |    ORDER BY us ASC, event_id ASC) AS prev_us FROM e)),
+           |sess AS (
+           |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+           |    ORDER BY us ASC, event_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM g)
+           |SELECT user_id, min(us) AS start_us,
+           |  max(us) + 1800000000 AS end_us,
+           |  count(*) AS n_events, round(sum(value), 2) AS session_value
+           |FROM sess GROUP BY user_id, session_id
+           |ORDER BY user_id, start_us""".stripMargin))
+
+  /** stream-stream interval join: purchases within 30 minutes after a
+    * click by the same user; watermarks bound both join states. */
+  val qStreamJoin: Q = Q(
+    "q_stream_join",
+    (s, dir) => {
+      val ev = eventsStream(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "1 hour")
+      val buys = eventsStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("b_ts", "1 hour")
+      val joined = clicks.join(buys,
+        expr("c_user = b_user AND b_ts >= c_ts AND b_ts <= c_ts + interval 30 minutes"))
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("b_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      runBounded(joined, "append").orderBy("user_id", "click_id", "purchase_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events)
+           |SELECT c.user_id AS user_id, c.event_id AS click_id,
+           |  b.event_id AS purchase_id, b.us - c.us AS lag_us
+           |FROM e c JOIN e b
+           |  ON c.user_id = b.user_id AND c.event_type = 'click'
+           |  AND b.event_type = 'purchase'
+           |  AND b.us >= c.us AND b.us <= c.us + 1800000000
+           |ORDER BY user_id, click_id, purchase_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(cdcStreamIngest, cdcStreamMaterialize, cdcUpsertSink,
+    cdcSchemaEvolve, qStreamTumbling, qStreamSession, qStreamJoin)
+}

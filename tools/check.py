@@ -26,7 +26,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, (list, tuple)):
             return tuple(norm(x) for x in v)
         return v
-    rows = sorted(tuple(norm(v) for v in r) for r in df.itertuples(index=False, name=None))
+    rows = sorted((tuple(norm(v) for v in r) for r in df.itertuples(index=False, name=None)), key=repr)
     return rows
 
 fails = 0
