@@ -272,4 +272,11 @@ object Native {
       }
     }
   }
+
+  /** Build-time injection for GraftExtensions
+    * (spark.sql.extensions=graft.GraftExtensions). */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
 }

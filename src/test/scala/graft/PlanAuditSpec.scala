@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Ann, Relational}
+import graft.cdc.CdcQueries
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the physical properties the 100 TB design
+  * depends on: dims broadcast, facts shuffle once, filters/projections
+  * pushed to the scan, hot paths inside whole-stage codegen, and no
+  * accidental cartesian products anywhere in the registry. */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("no query plan contains a cartesian product") {
+    // batch queries only: streaming queries execute on .run, and their
+    // join topology is covered by their own oracles/specs
+    val streaming = graft.streaming.Streams.all.map(_.name).toSet
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(streaming.contains)
+      .filter(n => plan(n).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("q5 star join broadcasts every dimension, shuffles only the fact join") {
+    val p = plan(Relational.q5MultiJoin.name)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // fact-side shuffles: lineitem><orders (2 exchanges) + final agg (1)
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q3 top-k is a TakeOrdered, not a global sort, with broadcast dims") {
+    val p = plan(Relational.q3TopkJoin.name)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q6 pushes its filters to the parquet scan and stays codegen'd") {
+    val df = SparkEntry.queries(Relational.q6FilterAgg.name)(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(!p.contains("hashpartitioning("),
+      "global agg needs no hash shuffle\n" + p)
+    df.collect()
+    // "*(n)" is the WholeStageCodegen marker in executed-plan strings
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*("), executed)
+  }
+
+  test("q1 aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan(Relational.q1Agg.name)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+  }
+
+  test("cdc snapshot join broadcasts the dimension") {
+    val p = plan(CdcQueries.cdcSnapshotJoin.name)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ann brute force broadcasts the probe side") {
+    val p = plan(Ann.annBruteforce.name)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup text scans prune to the columns they use") {
+    val p = plan("dedup_exact_norm")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      "unused columns must not be read\n" + readSchema)
+  }
+}
