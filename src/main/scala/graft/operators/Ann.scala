@@ -25,9 +25,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
+  /** vectors with the squared norm precomputed once: every pairwise
+    * cosine then costs ONE dot product instead of three
+    * (dot(a,b)/sqrt(n2a*n2b) — bit-identical to the all-dots form,
+    * since it is the same three doubles combined the same way). */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
       .select(col("vec_id"), expr(toDouble("embedding")).as("v"), col("label"))
+      .withColumn("n2", expr(dot("v", "v")))
+
+  private def cosWith(a: String, an2: String, b: String, bn2: String) =
+    expr(s"${dot(a, b)} / sqrt($an2 * $bn2)")
 
   private val K = 10
   /** deterministic probe set: vec_id < 5. */
@@ -39,10 +47,10 @@ object Ann {
     (s, dir) => {
       val e = emb(s, dir)
       val probes = broadcast(e.filter(expr(ProbeFilter))
-        .select(col("vec_id").as("probe_id"), col("v").as("pv")))
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n2").as("pn2")))
       val scored = e.join(probes, col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("n_id"),
-          expr(cosine("pv", "v")).as("cos"))
+          cosWith("pv", "pn2", "v", "n2").as("cos"))
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
@@ -79,10 +87,13 @@ object Ann {
         .select(col("probe_id"), col("vec_id").as("n_id"))
         .distinct()
       val scored = cand
-        .join(e.select(col("vec_id"), col("v").as("pv")), col("probe_id") === col("vec_id"))
+        .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
+          col("probe_id") === col("vec_id"))
         .drop("vec_id")
-        .join(e.select(col("vec_id"), col("v").as("nv")), col("n_id") === col("vec_id"))
-        .select(col("probe_id"), col("n_id"), expr(cosine("pv", "nv")).as("cos"))
+        .join(e.select(col("vec_id"), col("v").as("nv"), col("n2").as("nn2")),
+          col("n_id") === col("vec_id"))
+        .select(col("probe_id"), col("n_id"),
+          cosWith("pv", "pn2", "nv", "nn2").as("cos"))
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
@@ -122,9 +133,10 @@ object Ann {
     (s, dir) => {
       val e = emb(s, dir)
       val cents = broadcast(e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2")))
       val assigned = e.crossJoin(cents)
-        .select(col("vec_id"), col("c_id"), expr(cosine("v", "cv")).as("c_cos"))
+        .select(col("vec_id"), col("c_id"),
+          cosWith("v", "n2", "cv", "cn2").as("c_cos"))
         .groupBy("vec_id")
         .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
       val probes = assigned.filter(expr(ProbeFilter))
@@ -133,10 +145,13 @@ object Ann {
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("n_id"))
       val scored = cand
-        .join(e.select(col("vec_id"), col("v").as("pv")), col("probe_id") === col("vec_id"))
+        .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
+          col("probe_id") === col("vec_id"))
         .drop("vec_id")
-        .join(e.select(col("vec_id"), col("v").as("nv")), col("n_id") === col("vec_id"))
-        .select(col("probe_id"), col("n_id"), expr(cosine("pv", "nv")).as("cos"))
+        .join(e.select(col("vec_id"), col("v").as("nv"), col("n2").as("nn2")),
+          col("n_id") === col("vec_id"))
+        .select(col("probe_id"), col("n_id"),
+          cosWith("pv", "pn2", "nv", "nn2").as("cos"))
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))

@@ -210,6 +210,7 @@ object Dedup {
       // computing any cosine, then re-attach the two vectors per pair.
       val e = Tables(s, dir).embeddings
         .select(col("vec_id"), expr(toDouble("embedding")).as("v"))
+        .withColumn("n2", expr(dot("v", "v")))
       val keys = e.select(col("vec_id"),
         explode(expr(hyperplaneKeys("v"))).as("bk"))
       val cand = keys.as("a")
@@ -219,7 +220,7 @@ object Dedup {
       cand
         .join(e.as("ea"), col("va") === col("ea.vec_id"))
         .join(e.as("eb"), col("vb") === col("eb.vec_id"))
-        .withColumn("cos", expr(cosine("ea.v", "eb.v")))
+        .withColumn("cos", expr(s"${dot("ea.v", "eb.v")} / sqrt(ea.n2 * eb.n2)"))
         .filter(col("cos") >= 0.4)
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
     },
