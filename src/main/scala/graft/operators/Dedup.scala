@@ -26,6 +26,10 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
 
+  /** max LSH bucket size before the bucket is considered degenerate
+    * and dropped from pair enumeration (see dedup_minhash_lsh). */
+  private val MaxBucket = 1000
+
   /** exact dedup: one representative (min doc_id) per distinct text.
     * The groupBy key at scale should be fp60(text), not the raw text —
     * demonstrated in dedup_exact_norm; here we keep the semantic
@@ -56,14 +60,17 @@ object Dedup {
   /** word-3-gram Jaccard >= 0.8 duplicate pairs. Candidates are
     * blocked by shared shingle (the self-join key), so cost is
     * sum(block^2) over shingle blocks — bounded because natural-text
-    * shingles are rare; never an O(n^2) cross join. */
+    * shingles are rare; never an O(n^2) cross join. The join key is
+    * the 60-bit shingle hash, not the shingle string: an 8-byte
+    * shuffle key instead of ~25 bytes of text, and the oracle blocks
+    * on the same hash so any collision affects both sides equally. */
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
     (s, dir) => {
       val sh = docs(s, dir)
         .withColumn("words", expr(words("text")))
         .filter(expr("size(words) >= 3"))
-        .select(col("doc_id"), explode(expr(shingles3("words"))).as("sh"))
+        .select(col("doc_id"), explode(expr(shingleHashes60("words"))).as("sh"))
         .distinct()
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
@@ -80,7 +87,7 @@ object Dedup {
     Some(s"""WITH w AS (
             |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
             |), sh AS (
-            |  SELECT DISTINCT doc_id, unnest(${duckShingles3("words")}) AS sh
+            |  SELECT DISTINCT doc_id, unnest(${duckShingleHashes60(duckShingles3("words"))}) AS sh
             |  FROM w WHERE len(words) >= 3
             |), cnt AS (
             |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
@@ -133,8 +140,17 @@ object Dedup {
         .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
       val bands = sig.select(col("doc_id"),
         explode(expr(minhashBands("sig"))).as("bk"))
-      val cand = bands.as("a")
-        .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      // hot-bucket guard: a band bucket of size m yields m^2/2 pairs, so
+      // one pathological bucket (boilerplate, empty docs) can dominate
+      // the whole join; buckets over the cap are dropped — their
+      // contents are so common that pair enumeration inside them is
+      // noise, not dedup signal. The oracle applies the same cap.
+      val okBuckets = bands.groupBy("bk")
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
+        .select("bk")
+      val bounded = bands.join(okBuckets, "bk")
+      val cand = bounded.as("a")
+        .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
       cand
@@ -152,10 +168,14 @@ object Dedup {
             |  SELECT doc_id, ${duckMinhashSig("hashes")} AS sig FROM hs
             |), bands AS (
             |  SELECT doc_id, sig, unnest(${duckMinhashBands("sig")}) AS bk FROM sig
+            |), ok AS (
+            |  SELECT bk FROM bands GROUP BY bk HAVING count(*) <= $MaxBucket
+            |), bounded AS (
+            |  SELECT bands.* FROM bands JOIN ok USING (bk)
             |)
             |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
             |  round(${duckMinhashEstJaccard("a.sig", "b.sig")}, 6) AS est_jaccard
-            |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin))
+            |FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin))
 
   /** 60-bit SimHash fingerprints + hamming<=8 near-dup pairs from
     * 15-bit hamming band buckets (a pair within hamming 3 of the 60

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Ann, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the ANN tiers and the multimodal plumbing
+  * (the DuckDB hash compare proves value-identity with the SQL spec;
+  * these pin the relationships BETWEEN operators). */
+class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  test("ann tiers agree: brute force is the ceiling for lsh/ivf") {
+    def top1(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+      rows.filter(_.getInt(2) == 1)
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val brute = top1(Ann.annBruteforce.run(spark, sfDir).collect())
+    val lsh = top1(Ann.annLsh.run(spark, sfDir).collect())
+    assert(brute.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // an approximate tier can miss the true top-1 but can never beat it
+    lsh.foreach { case (probe, cos) => assert(cos <= brute(probe) + 1e-12) }
+    val ivf = Ann.annIvf.run(spark, sfDir).collect()
+    ivf.foreach(r => assert(r.getDouble(3) <= brute(r.getLong(0)) + 1e-12))
+  }
+
+  test("ann ranks are dense and within k per probe") {
+    val rows = Ann.annBruteforce.run(spark, sfDir).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 10)
+      // ranked by descending similarity
+      val sorted = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("mm metadata agrees with the documents table") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ASCII corpus: byte length == char length
+    Multimodal.mmBinaryMeta.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getInt(1) == docs(r.getLong(0)))
+      assert(r.getString(2).length == 64) // sha-256 hex
+    }
+    // frame count = floor((len-32)/16)+1 for docs long enough
+    val frames = Multimodal.mmFrameSample.run(spark, sfDir)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    frames.foreach { case (id, n) =>
+      assert(n == (docs(id) - 32) / 16 + 1)
+    }
+  }
+
+  test("mm feature extraction matches a driver-side recompute on a sample") {
+    val feats = Multimodal.mmFeatureExtract.run(spark, sfDir)
+      .filter("doc_id < 5").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats.nonEmpty)
+    val texts = graft.sources.Tables(spark, sfDir).documents
+      .filter("doc_id < 5").select("doc_id", "text").collect()
+    texts.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      var h = 0L
+      bytes.foreach(b => h = (h * 31 + (b & 0xff)) % graft.functions.Portable.P1)
+      val row = feats(r.getLong(0))
+      assert(row.getLong(1) == bytes.length)
+      assert(row.getLong(2) == h)
+    }
+  }
+}
