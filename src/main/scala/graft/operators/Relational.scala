@@ -470,9 +470,79 @@ object Relational {
            |  count(*) AS n, round(avg(value), 4) AS avg_value
            |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin))
 
+  /** as-of join — each event picks the latest order of the same
+    * customer with o_orderdate <= ts. Spark has no ASOF JOIN operator;
+    * the scalable composition is the union-window trick: tag both
+    * relations, union, ONE shuffle on the key, and carry the most
+    * recent right-side row forward with last(_, ignoreNulls) over the
+    * (time, tag) ordering. This moves each row exactly once — the
+    * equivalent range-condition join would be a near-cartesian blowup
+    * per key. Orders are first deduped to one per (custkey, date) so
+    * the as-of winner is unique; the DuckDB oracle uses its native
+    * ASOF LEFT JOIN over the same deduped input. */
+  val qAsofJoin: Q = Q(
+    "q_asof_join",
+    (s, dir) => {
+      val tb = t(s, dir)
+      val ord = tb.orders
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("order_key"))
+        .select(col("o_custkey").as("k"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("tu"),
+          col("order_key"), lit(1).as("is_r"))
+        .withColumn("event_id", lit(null).cast("long"))
+      val ev = tb.events
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("tu"),
+          lit(null).cast("long").as("order_key"), lit(0).as("is_r"),
+          col("event_id"))
+      val w = Window.partitionBy("k").orderBy(col("tu").asc, col("is_r").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord.unionByName(ev)
+        .withColumn("as_of_key", last("order_key", ignoreNulls = true).over(w))
+        .withColumn("as_of_us",
+          last(when(col("is_r") === 1, col("tu")), ignoreNulls = true).over(w))
+        .filter(col("is_r") === 0)
+        .select(col("event_id"), col("k").as("user_id"),
+          coalesce(col("as_of_key"), lit(-1L)).as("as_of_key"),
+          coalesce(col("as_of_us"), lit(-1L)).as("as_of_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ord AS (
+           |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS order_key
+           |  FROM orders GROUP BY 1, 2
+           |), e AS (
+           |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events
+           |)
+           |SELECT e.event_id, e.user_id,
+           |  coalesce(o.order_key, -1) AS as_of_key,
+           |  coalesce(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)), -1) AS as_of_us
+           |FROM e ASOF LEFT JOIN ord o
+           |  ON e.user_id = o.o_custkey
+           |  AND e.us >= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+           |ORDER BY event_id""".stripMargin))
+
+  /** approximate per-group quantiles (t-digest-style sketch): the
+    * mergeable-sketch counterpart of q_percentiles — rows-only check
+    * (approximation is engine-specific), bounds pinned by spec. */
+  val qApproxPercentile: Q = Q(
+    "q_approx_percentile",
+    (s, dir) => t(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("approx_p50_p95"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(expr("approx_p50_p95[0]"), 2).as("p50"),
+        round(expr("approx_p50_p95[1]"), 2).as("p95"),
+        col("n")),
+    None)
+
   val all: Seq[Q] = Seq(
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
     qHaving, qConditionalAgg, qDateRollup, qPercentiles, qArgmax, qPivot,
-    qGroupingSets, qUnionDedup, qSessionize, qTumblingWindow, qEventsJson)
+    qGroupingSets, qUnionDedup, qSessionize, qTumblingWindow, qEventsJson,
+    qAsofJoin, qApproxPercentile)
 }

@@ -42,10 +42,19 @@ object Streams {
     * in-memory sink and returns the sink contents. */
   def runBounded(sdf: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${ctr.incrementAndGet()}"
-    val q = sdf.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
-    sdf.sparkSession.table(name)
+    val spark = sdf.sparkSession
+    // stateful operators pay a per-partition-per-batch state-store
+    // cost; for the bounded test feeds a handful of state partitions
+    // beats the batch-tuned setting (on a real cluster this is sized
+    // to executor count, and is a fixed property of the checkpoint)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sdf.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** File-source stream over the events table (the bounded feed is one
