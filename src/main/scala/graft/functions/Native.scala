@@ -77,13 +77,35 @@ object Native {
   }
 
   /** polynomial code-point hash mod p — bit-identical to
-    * Portable.charHash (split('') + ascii + left fold). */
+    * Portable.charHash (split('') + ascii + left fold). Codegen'd so
+    * fingerprint/normalized-dedup scans stay inside whole-stage
+    * codegen. */
   case class CharPolyHash(child: Expression, mult: Long, p: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_char_hash"
     override def nullSafeEval(s: Any): Any =
       polyHash(s.asInstanceOf[UTF8String], mult, p)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => {
+        val str = ctx.freshName("str")
+        val h = ctx.freshName("h")
+        val i = ctx.freshName("i")
+        val cp = ctx.freshName("cp")
+        s"""
+           |java.lang.String $str = $in.toString();
+           |long $h = 0L;
+           |int $i = 0;
+           |while ($i < $str.length()) {
+           |  int $cp = $str.codePointAt($i);
+           |  $h = ($h * ${mult}L + $cp) % ${p}L;
+           |  $i += java.lang.Character.charCount($cp);
+           |}
+           |${ev.value} = $h;
+         """.stripMargin
+      })
+
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
