@@ -9,10 +9,10 @@ import org.apache.spark.sql.types._
   *
   *  - OpenLogReplicator emits JSON change events with scn / xid /
   *    timestamp, op c|u|d and before/after payloads
-  *    (reference: scripts/OpenLogReplicator.json "format" block).
+  *    (reference: scripts/OpenLogReplicator.json:14 "format" block).
   *  - The Kafka->Postgres sink applies them with upsert + delete +
   *    ExtractNewRecordState("unwrap") + delete.handling.mode=rewrite
-  *    (reference: README.md "Connector Configuration").
+  *    (reference: README.md:792-795 transforms=unwrap config).
   *
   * Everything here is declarative DataFrame code: parsing is a
   * codegen'd `from_json`, ordering/latest-per-key is ONE hash shuffle

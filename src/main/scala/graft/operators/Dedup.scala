@@ -144,11 +144,15 @@ object Dedup {
       // one pathological bucket (boilerplate, empty docs) can dominate
       // the whole join; buckets over the cap are dropped — their
       // contents are so common that pair enumeration inside them is
-      // noise, not dedup signal. The oracle applies the same cap.
-      val okBuckets = bands.groupBy("bk")
-        .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
-        .select("bk")
-      val bounded = bands.join(okBuckets, "bk")
+      // noise, not dedup signal. The oracle applies the same cap. A
+      // window (not agg+join) computes the size: it hash-partitions on
+      // bk, and the self-join below reuses that exact partitioning, so
+      // the guard costs zero extra shuffles.
+      val bounded = bands
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bk")))
+        .filter(col("bn") <= MaxBucket)
+        .drop("bn")
       val cand = bounded.as("a")
         .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))

@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-identity of the native expressions against the pure-SQL
+  * higher-order-function formulations they replaced. The DuckDB oracle
+  * gate proves value-identity on the (ASCII) corpus; this spec pins it
+  * on adversarial inputs — unicode, empty strings, short word lists —
+  * so a future native-loop edit can't silently fork the semantics. */
+class NativeVsSqlSpec extends AnyFunSuite with SparkSpec {
+
+  import Portable.{P1, P2, TWO30}
+
+  private val samples = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b",
+    "",
+    "naïve café über straße",            // multi-byte code points
+    "汉字 漢字 かな mixed ascii too",      // CJK
+    "x " * 200 + "y"                      // long, repetitive
+  )
+
+  private def df = {
+    graft.functions.Native.install(spark)
+    import spark.implicits._
+    samples.toDF("s").withColumn("words", expr(Portable.words("s")))
+  }
+
+  test("graft_char_hash == SQL fold (split + ascii + aggregate)") {
+    for ((mult, p) <- Seq((31, P1), (37, P2))) {
+      val sqlFold =
+        s"aggregate(filter(split(s, ''), c -> c <> ''), CAST(0 AS BIGINT), (acc, c) -> (acc * $mult + ascii(c)) % $p)"
+      val rows = df.select(
+        expr(s"graft_char_hash(s, $mult, $p)"), expr(sqlFold)).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mult=$mult"))
+    }
+  }
+
+  test("graft_shingle_hashes(60) == charHash over materialized shingle strings") {
+    val sh = Portable.shingles3("words")
+    val narrow =
+      s"transform($sh, g -> aggregate(filter(split(g, ''), c -> c <> ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % $P1))"
+    val wide =
+      s"transform($sh, g -> aggregate(filter(split(g, ''), c -> c <> ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % $P1) * $TWO30 + " +
+        s"aggregate(filter(split(g, ''), c -> c <> ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 37 + ascii(c)) % $P2))"
+    val rows = df.select(
+      expr("graft_shingle_hashes(words)"), expr(narrow),
+      expr("graft_shingle_hashes60(words)"), expr(wide)).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
+  test("graft_minhash_sig == SQL per-permutation array_min") {
+    val sqlSig =
+      s"transform(sequence(0, 63), i -> array_min(transform(hs, h -> ((2*i+5)*h + (i*i+13)) % $P2)))"
+    val rows = df.filter(expr("size(words) >= 3"))
+      .withColumn("hs", expr("graft_shingle_hashes(words)"))
+      .select(expr("graft_minhash_sig(hs)"), expr(sqlSig)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("graft_simhash60 == SQL bit-vote fold") {
+    val sqlFp =
+      "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) -> acc + IF(" +
+        "aggregate(hs, 0, (a, h) -> a + IF((h div shiftleft(CAST(1 AS BIGINT), j)) % 2 = 1, 1, -1)) > 0, " +
+        "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+    val rows = df.filter(expr("size(words) >= 3"))
+      .withColumn("hs", expr("graft_shingle_hashes60(words)"))
+      .select(expr("graft_simhash60(hs)"), expr(sqlFp)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_dot and graft_hyperplane_keys == SQL folds on real vectors") {
+    val e = graft.sources.Tables(spark, sfDir).embeddings.limit(20)
+      .withColumn("v", expr(Portable.toDouble("embedding")))
+    val sqlDot =
+      "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, w) -> acc + w)"
+    val sqlKeys =
+      "transform(sequence(0, 3), t -> t*64 + aggregate(sequence(0, 5), CAST(0 AS BIGINT), (acc, j) -> acc*2 + " +
+        "IF(aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (a, d) -> a + element_at(v, d+1) * " +
+        "(((1103515245 * CAST((t*8+j)*64+d AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5)) >= 0, 1, 0)))"
+    val rows = e.select(expr("graft_dot(v, v)"), expr(sqlDot),
+      expr("graft_hyperplane_keys(v)"), expr(sqlKeys)).collect()
+    rows.foreach { r =>
+      // exact double equality IS the contract (same fold order)
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+}
