@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // deliberately a default-config session (no AQE, no Kryo, default
+    // broadcast threshold): A/B at sf0.1 shows the cluster-oriented
+    // GraftSession configs cost ~10% here — AQE's stage-wise
+    // materialization and eager broadcasts only pay off at real data
+    // sizes on a real cluster.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
