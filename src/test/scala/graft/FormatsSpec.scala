@@ -64,23 +64,28 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("bucketed tables join without a shuffle") {
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // isolated session: suites share one SparkSession and run in
+    // parallel, so disabling broadcast on the shared conf would race
+    // with the plan-audit suite's broadcast assertions
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      Formats.writeBucketed(li.select("l_orderkey", "l_quantity"), "li_b", 8, "l_orderkey")
       Formats.writeBucketed(
-        Tables(spark, sfDir).orders.select("o_orderkey", "o_custkey"),
+        Tables(s, sfDir).lineitem.select("l_orderkey", "l_quantity"),
+        "li_b", 8, "l_orderkey")
+      Formats.writeBucketed(
+        Tables(s, sfDir).orders.select("o_orderkey", "o_custkey"),
         "ord_b", 8, "o_orderkey")
-      val joined = spark.table("li_b")
-        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
-      val plan = explain(joined)
+      val joined = s.table("li_b")
+        .join(s.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
       assert(!plan.contains("hashpartitioning("),
         s"bucketed join must not shuffle; plan was:\n$plan")
       assert(joined.count() > 0)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-        (64L * 1024 * 1024).toString)
-      spark.sql("DROP TABLE IF EXISTS li_b")
-      spark.sql("DROP TABLE IF EXISTS ord_b")
+      s.sql("DROP TABLE IF EXISTS li_b")
+      s.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
 }
