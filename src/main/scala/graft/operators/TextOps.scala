@@ -59,7 +59,6 @@ object TextOps {
           df.withColumn(s"s_$lang",
             expr(s"size(filter(words, x -> array_contains(${lexArr(lex)}, x)))"))
       }
-      val best = Lexicons.map(_._1).map(l => col(s"s_$l"))
       scored.select(
         col("doc_id"),
         col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
