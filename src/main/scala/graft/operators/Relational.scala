@@ -522,6 +522,53 @@ object Relational {
            |  AND e.us >= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
            |ORDER BY event_id""".stripMargin))
 
+  /** banded range join: facts land in value bands via a range
+    * condition against a tiny band dimension. The band table is
+    * BROADCAST, so the range condition is evaluated map-side
+    * (BroadcastNestedLoopJoin) with zero shuffle of the fact — the
+    * right plan whenever one side of a range join is small. (Big-big
+    * range joins instead bucketize the range into equi-join keys.) */
+  val qRangeJoin: Q = Q(
+    "q_range_join",
+    (s, dir) => {
+      val bands = s.createDataFrame(Seq(
+        (0.0, 10.0, "small"), (10.0, 25.0, "mid"), (25.0, 100.0, "big")))
+        .toDF("lo", "hi", "band")
+      t(s, dir).lineitem
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("band")
+    },
+    Some("""SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+           |FROM lineitem
+           |JOIN (VALUES (0.0, 10.0, 'small'), (10.0, 25.0, 'mid'),
+           |             (25.0, 100.0, 'big')) AS b(lo, hi, band)
+           |  ON l_quantity >= lo AND l_quantity < hi
+           |GROUP BY band ORDER BY band""".stripMargin))
+
+  /** CUBE: all 2^k grouping combinations in ONE pass over the fact
+    * (the expand operator emits one row per grouping set before the
+    * single shuffle — vs k separate scans). */
+  val qCube: Q = Q(
+    "q_cube",
+    (s, dir) =>
+      t(s, dir).lineitem
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy("returnflag", "linestatus"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           |  coalesce(l_linestatus, 'ALL') AS linestatus,
+           |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY returnflag, linestatus""".stripMargin))
+
   /** approximate per-group quantiles (t-digest-style sketch): the
     * mergeable-sketch counterpart of q_percentiles — rows-only check
     * (approximation is engine-specific), bounds pinned by spec. */
@@ -544,5 +591,5 @@ object Relational {
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
     qHaving, qConditionalAgg, qDateRollup, qPercentiles, qArgmax, qPivot,
     qGroupingSets, qUnionDedup, qSessionize, qTumblingWindow, qEventsJson,
-    qAsofJoin, qApproxPercentile)
+    qAsofJoin, qApproxPercentile, qRangeJoin, qCube)
 }
