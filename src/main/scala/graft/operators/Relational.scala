@@ -586,10 +586,36 @@ object Relational {
         col("n")),
     None)
 
+  /** data-profiling audit: per-column null/distinct/min/max in ONE
+    * pass (every aggregate is partial-aggregatable, so the scan is
+    * read once and the shuffle moves a single row per partition). */
+  val qProfile: Q = Q(
+    "q_profile",
+    (s, dir) => t(s, dir).lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("null_returnflag"),
+      countDistinct("l_returnflag").as("d_returnflag"),
+      countDistinct("l_orderkey").as("d_orderkey"),
+      round(min("l_quantity"), 2).as("min_qty"),
+      round(max("l_quantity"), 2).as("max_qty"),
+      round(avg("l_extendedprice"), 2).as("avg_price"),
+      unix_micros(min(col("l_shipdate")).cast("timestamp")).as("min_ship_us"),
+      unix_micros(max(col("l_shipdate")).cast("timestamp")).as("max_ship_us")),
+    Some("""SELECT count(*) AS n_rows,
+           |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_returnflag,
+           |  count(DISTINCT l_returnflag) AS d_returnflag,
+           |  count(DISTINCT l_orderkey) AS d_orderkey,
+           |  round(min(l_quantity), 2) AS min_qty,
+           |  round(max(l_quantity), 2) AS max_qty,
+           |  round(avg(l_extendedprice), 2) AS avg_price,
+           |  epoch_us(CAST(min(l_shipdate) AS TIMESTAMP)) AS min_ship_us,
+           |  epoch_us(CAST(max(l_shipdate) AS TIMESTAMP)) AS max_ship_us
+           |FROM lineitem""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
     qHaving, qConditionalAgg, qDateRollup, qPercentiles, qArgmax, qPivot,
     qGroupingSets, qUnionDedup, qSessionize, qTumblingWindow, qEventsJson,
-    qAsofJoin, qApproxPercentile, qRangeJoin, qCube)
+    qAsofJoin, qApproxPercentile, qRangeJoin, qCube, qProfile)
 }

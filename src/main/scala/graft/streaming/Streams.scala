@@ -307,6 +307,30 @@ object Streams {
            |  AND b.us >= c.us AND b.us <= c.us + 1800000000
            |ORDER BY user_id, click_id, purchase_id""".stripMargin))
 
+  /** stream-static enrichment: the change stream joined to a broadcast
+    * dimension (the streaming face of cdc_snapshot_join). Stream-static
+    * joins are stateless — each micro-batch probes the broadcast table,
+    * no watermark, no state store. */
+  val cdcStreamEnrich: Q = Q(
+    "cdc_stream_enrich",
+    (s, dir) => {
+      val cust = broadcast(graft.sources.Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+      val enriched = parsedStream(s, dir).toDF()
+        .filter(col("op") =!= "d")
+        .join(cust, col("key") === col("c_custkey"))
+        .select(col("scn"), col("key"), col("cents"), col("typ").as("type"),
+          col("c_name"), col("c_nationkey"))
+      runBounded(enriched, "append").orderBy("scn")
+    },
+    Some(s"""WITH feed AS (${CdcQueries.feedSql}), p AS (${CdcQueries.parsedSql})
+            |SELECT scn, key, after_cents AS cents, after_type AS type,
+            |  c_name, c_nationkey
+            |FROM p JOIN customer ON key = c_custkey
+            |WHERE op <> 'd'
+            |ORDER BY scn""".stripMargin))
+
   val all: Seq[Q] = Seq(cdcStreamIngest, cdcStreamMaterialize, cdcUpsertSink,
-    cdcSchemaEvolve, qStreamTumbling, qStreamSession, qStreamJoin)
+    cdcSchemaEvolve, qStreamTumbling, qStreamSession, qStreamJoin,
+    cdcStreamEnrich)
 }
