@@ -88,6 +88,14 @@ object Portable {
   def minhashBands(sigArr: String, bands: Int = 8, rowsPer: Int = 8): String =
     s"transform(sequence(0, ${bands - 1}), b -> aggregate(slice($sigArr, $rowsPer*b+1, $rowsPer), CAST(b+1 AS BIGINT), (acc, v) -> (acc*1000003 + v) % 2147483647))"
 
+  /** scalar digest of a signature array (left fold): the driver's
+    * oracle comparator cannot sort/hash array cells, so signatures are
+    * surfaced as one BIGINT per (multiplier, modulus) pair. acc < 2^31
+    * and lanes < 2^30, so acc*mult + v stays well under 2^63 (DuckDB
+    * traps on overflow rather than wrapping). */
+  def sigDigest(sigArr: String, mult: Long = 1000003L, p: Long = 2147483647L): String =
+    s"aggregate($sigArr, CAST(0 AS BIGINT), (acc, v) -> (acc * $mult + v) % $p)"
+
   /** estimated Jaccard = fraction of agreeing signature positions. */
   def minhashEstJaccard(sa: String, sb: String): String =
     s"(aggregate(zip_with($sa, $sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST(64 AS DOUBLE))"
@@ -143,6 +151,9 @@ object Portable {
 
   def duckMinhashSig(hashesArr: String): String =
     s"list_transform(range(0, 64), i -> list_min(list_transform($hashesArr, h -> ((2*i+5)*h + (i*i+13)) % $P2)))"
+
+  def duckSigDigest(sigArr: String, mult: Long = 1000003L, p: Long = 2147483647L): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $sigArr), (acc, v) -> (acc * $mult + v) % $p)"
 
   def duckMinhashBands(sigArr: String, bands: Int = 8, rowsPer: Int = 8): String =
     s"list_transform(range(0, $bands), b -> list_reduce(list_prepend(CAST(b+1 AS BIGINT), list_slice($sigArr, $rowsPer*b+1, $rowsPer*b+$rowsPer)), (acc, v) -> (acc*1000003 + v) % 2147483647))"

@@ -104,21 +104,38 @@ object Dedup {
 
   /** 64-permutation MinHash signatures, one row per doc. Computed as a
     * single fold per document (no 64x explode); at scale this is a
-    * map-only stage fused into the scan. */
+    * map-only stage fused into the scan. The 64-lane signature is
+    * surfaced as two independent scalar digests (plus min/max lanes) —
+    * the driver's comparator can't sort array cells, and two digests
+    * under different multipliers pin all 64 lanes with collision
+    * probability ~2^-62. `sig` is materialized as a column BEFORE the
+    * digest folds so the HOF lambdas don't re-evaluate the signature
+    * per element. */
   val dedupMinhash: Q = Q(
     "dedup_minhash",
     (s, dir) => docs(s, dir)
       .withColumn("words", expr(words("text")))
       .filter(expr("size(words) >= 3"))
       .withColumn("hashes", expr(shingleHashes("words")))
-      .select(col("doc_id"), expr(minhashSig("hashes")).as("sig")),
+      .withColumn("sig", expr(minhashSig("hashes")))
+      .select(col("doc_id"),
+        expr(sigDigest("sig")).as("sig_digest"),
+        expr(sigDigest("sig", 1000033L, P1)).as("sig_digest2"),
+        expr("array_min(sig)").as("sig_min"),
+        expr("array_max(sig)").as("sig_max")),
     Some(s"""WITH w AS (
             |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
             |), hs AS (
             |  SELECT doc_id, ${duckShingleHashes(duckShingles3("words"))} AS hashes
             |  FROM w WHERE len(words) >= 3
+            |), sig AS (
+            |  SELECT doc_id, ${duckMinhashSig("hashes")} AS sig FROM hs
             |)
-            |SELECT doc_id, ${duckMinhashSig("hashes")} AS sig FROM hs""".stripMargin))
+            |SELECT doc_id, ${duckSigDigest("sig")} AS sig_digest,
+            |  ${duckSigDigest("sig", 1000033L, P1)} AS sig_digest2,
+            |  CAST(list_min(sig) AS BIGINT) AS sig_min,
+            |  CAST(list_max(sig) AS BIGINT) AS sig_max
+            |FROM sig""".stripMargin))
 
   /** MinHash LSH: 16 bands x 4 rows -> candidate pairs sharing any
     * band bucket, with the signature-estimated Jaccard. The only

@@ -252,16 +252,34 @@ object Relational {
            |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
   /** HLL approximate distinct — the scale path for count(distinct) at
-    * 100 TB (constant memory per partition, one tiny combine). Exact
-    * value differs from the oracle by design -> rows-only check. */
+    * 100 TB (constant memory per partition, one tiny combine). The
+    * approximation is engine-specific, so the query ALSO computes the
+    * exact distinct and emits a deterministic `within_bounds` verdict
+    * (relative error <= 5% at rsd 0.01) — the oracle hash-matches
+    * (group, exact, within_bounds=true) exactly. */
   val qApproxDistinct: Q = Q(
     "q_approx_distinct",
-    (s, dir) =>
-      t(s, dir).lineitem
-        .groupBy("l_returnflag")
+    (s, dir) => {
+      val li = t(s, dir).lineitem
+      // approx and exact are SEPARATE aggregations joined on the (tiny)
+      // group key: putting countDistinct in the same agg() as the HLL
+      // sketch triggers the distinct-rewrite Expand and costs ~40x.
+      // The exact side is the scale-safe 2-phase distinct (both
+      // aggregations partial-agg'd, no Expand).
+      val approx = li.groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
-        .orderBy("l_returnflag"),
-    None)
+      val exact = li.select("l_returnflag", "l_orderkey").distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_orders"))
+      exact.join(broadcast(approx), "l_returnflag")
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders"))
+            / col("exact_orders").cast("double") <= 0.05).as("within_bounds"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  count(DISTINCT l_orderkey) AS exact_orders,
+           |  true AS within_bounds
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** HAVING — aggregate filter evaluated post-agg. */
   val qHaving: Q = Q(
@@ -278,22 +296,28 @@ object Relational {
            |FROM part GROUP BY p_brand HAVING count(*) > 50
            |ORDER BY p_brand""".stripMargin))
 
-  /** CASE-based conditional aggregation (manual pivot). */
+  /** CASE-based conditional aggregation (manual pivot). Monetary sum is
+    * aggregated as integer cents so the result is partition-order-proof
+    * (no float summation), and the oracle's integer sums are cast to
+    * BIGINT because DuckDB widens integer sum() to HUGEINT, which lands
+    * in pandas as float64 and fails the driver's dtype-strict hash. */
   val qConditionalAgg: Q = Q(
     "q_conditional_agg",
     (s, dir) =>
       t(s, dir).customer
         .groupBy("c_nationkey")
         .agg(
-          sum(when(col("c_acctbal") > 0, 1).otherwise(0)).as("n_positive"),
-          sum(when(col("c_acctbal") <= 0, 1).otherwise(0)).as("n_nonpositive"),
-          round(sum(when(col("c_acctbal") > 0, col("c_acctbal")).otherwise(0.0)), 2)
-            .as("sum_positive"))
+          sum(when(col("c_acctbal") > 0, 1L).otherwise(0L)).as("n_positive"),
+          sum(when(col("c_acctbal") <= 0, 1L).otherwise(0L)).as("n_nonpositive"),
+          sum(when(col("c_acctbal") > 0,
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)")).otherwise(0L))
+            .as("sum_positive_cents"))
         .orderBy("c_nationkey"),
     Some("""SELECT c_nationkey,
-           |  sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS n_positive,
-           |  sum(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS n_nonpositive,
-           |  round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END), 2) AS sum_positive
+           |  CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           |  CAST(sum(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive,
+           |  CAST(sum(CASE WHEN c_acctbal > 0
+           |    THEN CAST(round(c_acctbal * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_positive_cents
            |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
 
   /** Calendar rollup: month bucketing. DATE output (not timestamp) so
@@ -404,26 +428,31 @@ object Relational {
   /** Sessionization: 30-min-gap sessions per user then per-session
     * aggregates. Classic lag+cumsum — both windows share ONE shuffle on
     * user_id (same partition key). Timestamps handled as epoch micros
-    * end-to-end to dodge ns/us representation differences. */
+    * end-to-end to dodge ns/us representation differences; the session
+    * value is summed as integer cents (partition-order-proof) and the
+    * oracle's integer window/group sums are cast to BIGINT (DuckDB
+    * widens them to HUGEINT -> pandas float64 otherwise). */
   val qSessionize: Q = Q(
     "q_sessionize",
     (s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
       t(s, dir).events
         .withColumn("us", unix_micros(col("ts")))
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
         .withColumn("prev_us", lag("us", 1).over(byUser))
         .withColumn("new_sess",
-          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
-            .otherwise(0))
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
         .withColumn("session_id", sum("new_sess").over(byUser))
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("session_value"),
+          sum("cents").as("session_cents"),
           min("us").as("start_us"), max("us").as("end_us"))
         .orderBy("user_id", "session_id")
     },
     Some("""WITH e AS (
-           |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
            |  FROM events),
            |g AS (
            |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
@@ -431,12 +460,12 @@ object Relational {
            |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
            |    ORDER BY us ASC, event_id ASC) AS prev_us FROM e)),
            |sess AS (
-           |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+           |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
            |    ORDER BY us ASC, event_id ASC
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            |  FROM g)
            |SELECT user_id, session_id, count(*) AS n_events,
-           |  round(sum(value), 2) AS session_value,
+           |  CAST(sum(cents) AS BIGINT) AS session_cents,
            |  min(us) AS start_us, max(us) AS end_us
            |FROM sess GROUP BY user_id, session_id
            |ORDER BY user_id, session_id""".stripMargin))
@@ -569,48 +598,73 @@ object Relational {
            |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
            |ORDER BY returnflag, linestatus""".stripMargin))
 
-  /** approximate per-group quantiles (t-digest-style sketch): the
-    * mergeable-sketch counterpart of q_percentiles — rows-only check
-    * (approximation is engine-specific), bounds pinned by spec. */
+  /** approximate per-group quantiles (mergeable sketch): the scale
+    * counterpart of q_percentiles. The sketch value is engine-specific,
+    * so the query ALSO computes the exact interpolated quantiles and
+    * emits a deterministic `within_bounds` verdict (relative value
+    * error <= 2% at accuracy 10000) — the oracle hash-matches
+    * (group, exact quantiles, n, within_bounds=true) exactly. */
   val qApproxPercentile: Q = Q(
     "q_approx_percentile",
-    (s, dir) => t(s, dir).lineitem
-      .groupBy("l_returnflag")
-      .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-          .as("approx_p50_p95"),
-        count(lit(1)).as("n"))
-      .select(col("l_returnflag"),
-        round(expr("approx_p50_p95[0]"), 2).as("p50"),
-        round(expr("approx_p50_p95[1]"), 2).as("p95"),
-        col("n")),
-    None)
+    (s, dir) => {
+      val li = t(s, dir).lineitem
+      // two TypedImperativeAggregates in one agg() force the sort-based
+      // fallback; keeping the sketch and the exact percentile in
+      // separate aggregations keeps each in ObjectHashAggregate and the
+      // join is on the tiny group key.
+      val approx = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+          .as("ap"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ep"),
+          count(lit(1)).as("n"))
+      exact.join(broadcast(approx), "l_returnflag")
+        .select(col("l_returnflag"),
+          round(expr("ep[0]"), 2).as("exact_p50"),
+          round(expr("ep[1]"), 2).as("exact_p95"),
+          col("n"),
+          expr("abs(ap[0] - ep[0]) / ep[0] <= 0.02 AND abs(ap[1] - ep[1]) / ep[1] <= 0.02")
+            .as("within_bounds"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           |  round(quantile_cont(l_extendedprice, 0.95), 2) AS exact_p95,
+           |  count(*) AS n,
+           |  true AS within_bounds
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** data-profiling audit: per-column null/distinct/min/max in ONE
     * pass (every aggregate is partial-aggregatable, so the scan is
     * read once and the shuffle moves a single row per partition). */
   val qProfile: Q = Q(
     "q_profile",
+    // the mean is computed as integer-cents sum then integer division:
+    // every aggregate is partition-order-proof, and the oracle's integer
+    // sums are cast back to BIGINT (DuckDB widens to HUGEINT -> pandas
+    // float64, which the driver's dtype-strict hash rejects).
     (s, dir) => t(s, dir).lineitem.agg(
       count(lit(1)).as("n_rows"),
-      sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("null_returnflag"),
+      sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_returnflag"),
       countDistinct("l_returnflag").as("d_returnflag"),
       countDistinct("l_orderkey").as("d_orderkey"),
       round(min("l_quantity"), 2).as("min_qty"),
       round(max("l_quantity"), 2).as("max_qty"),
-      round(avg("l_extendedprice"), 2).as("avg_price"),
+      sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sum_price_cents"),
       unix_micros(min(col("l_shipdate")).cast("timestamp")).as("min_ship_us"),
-      unix_micros(max(col("l_shipdate")).cast("timestamp")).as("max_ship_us")),
-    Some("""SELECT count(*) AS n_rows,
-           |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_returnflag,
+      unix_micros(max(col("l_shipdate")).cast("timestamp")).as("max_ship_us"))
+      .withColumn("avg_price_cents", expr("sum_price_cents div n_rows")),
+    Some("""SELECT *, CAST(sum_price_cents // n_rows AS BIGINT) AS avg_price_cents FROM (
+           |SELECT count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_returnflag,
            |  count(DISTINCT l_returnflag) AS d_returnflag,
            |  count(DISTINCT l_orderkey) AS d_orderkey,
            |  round(min(l_quantity), 2) AS min_qty,
            |  round(max(l_quantity), 2) AS max_qty,
-           |  round(avg(l_extendedprice), 2) AS avg_price,
+           |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
            |  epoch_us(CAST(min(l_shipdate) AS TIMESTAMP)) AS min_ship_us,
            |  epoch_us(CAST(max(l_shipdate) AS TIMESTAMP)) AS max_ship_us
-           |FROM lineitem""".stripMargin))
+           |FROM lineitem)""".stripMargin))
 
   val all: Seq[Q] = Seq(
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,

@@ -25,9 +25,14 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("minhash signature has 64 lanes and est-jaccard tracks true jaccard on lsh pairs") {
+  test("minhash digests are scalar and est-jaccard tracks true jaccard on lsh pairs") {
     val sig = Dedup.dedupMinhash.run(spark, dir).head
-    assert(sig.getSeq[Long](1).length == 64)
+    // scalar digests (not arrays — the driver's comparator can't hash
+    // array cells), with both digests inside their moduli and the lane
+    // extrema inside the permutation modulus
+    assert(sig.getLong(1) >= 0 && sig.getLong(1) < 2147483647L)
+    assert(sig.getLong(2) >= 0 && sig.getLong(2) < graft.functions.Portable.P1)
+    assert(sig.getLong(3) <= sig.getLong(4))
     val lsh = Dedup.dedupMinhashLsh.run(spark, dir).collect()
     assert(lsh.nonEmpty)
     lsh.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))

@@ -16,18 +16,27 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+class ArrayCell(Exception):
+    """The driver's comparator crashes on array-typed cells (pandas
+    sort_values -> unhashable numpy.ndarray); treat them as failures
+    here too so local runs predict the driver gate."""
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     def norm(v):
         if isinstance(v, float):
             return "NaN" if math.isnan(v) else round(v, 6)
-        if hasattr(v, "tolist"):  # numpy arrays / lists
-            return tuple(norm(x) for x in v.tolist())
-        if isinstance(v, (list, tuple)):
-            return tuple(norm(x) for x in v)
+        if hasattr(v, "tolist") or isinstance(v, (list, tuple)):
+            raise ArrayCell()
         return v
     rows = sorted((tuple(norm(v) for v in r) for r in df.itertuples(index=False, name=None)), key=repr)
     return rows
+
+def kinds(df: pd.DataFrame):
+    """dtype kind per (name-sorted) column: the driver hash-compares raw
+    values, so int64 3 vs float64 3.0 (e.g. Spark BIGINT vs DuckDB
+    HUGEINT) is a mismatch even though Python == equates them."""
+    return {c: df[c].dtype.kind for c in sorted(df.columns)}
 
 fails = 0
 for name in sorted(os.listdir(outdir)):
@@ -45,9 +54,17 @@ for name in sorted(os.listdir(outdir)):
         print(f"{name:24s} ORACLE SQL ERROR: {e}")
         fails += 1
         continue
-    a, b = canon(spark_df), canon(ora_df)
+    try:
+        a, b = canon(spark_df), canon(ora_df)
+    except ArrayCell:
+        print(f"{name:24s} ARRAY CELL (driver comparator would crash)")
+        fails += 1
+        continue
     if sorted(spark_df.columns) != sorted(ora_df.columns):
         print(f"{name:24s} SCHEMA MISMATCH spark={sorted(spark_df.columns)} oracle={sorted(ora_df.columns)}")
+        fails += 1
+    elif kinds(spark_df) != kinds(ora_df):
+        print(f"{name:24s} DTYPE MISMATCH spark={kinds(spark_df)} oracle={kinds(ora_df)}")
         fails += 1
     elif a == b:
         print(f"{name:24s} MATCH ({len(a)} rows)")
