@@ -78,14 +78,14 @@ object CdcQueries {
     * schemas line up). Absent-payload numerics are coalesced to -1 so
     * the oracle hash compare never has to equate numeric NULL/NaN
     * representations. */
-  private[graft] def flatten(p: DataFrame): DataFrame =
-    p.select(col("scn"), col("tm"), col("xid"), col("op"), col("key"),
+  private[graft] def flatten(p: DataFrame, extra: org.apache.spark.sql.Column*): DataFrame =
+    p.select(Seq(col("scn"), col("tm"), col("xid"), col("op"), col("key"),
       coalesce(col("after.id"), lit(-1L)).as("after_id"),
       coalesce(col("after.cents"), lit(-1L)).as("after_cents"),
       coalesce(col("after.type"), lit("")).as("after_type"),
       coalesce(col("before.id"), lit(-1L)).as("before_id"),
       coalesce(col("before.cents"), lit(-1L)).as("before_cents"),
-      coalesce(col("before.type"), lit("")).as("before_type"))
+      coalesce(col("before.type"), lit("")).as("before_type")) ++ extra: _*)
 
   val cdcParse: Q = Q(
     "cdc_parse",
@@ -175,6 +175,27 @@ object CdcQueries {
             |FROM snap JOIN customer ON key = c_custkey
             |ORDER BY key""".stripMargin))
 
+  /** Kafka transport round-trip: feed -> Kafka wire records (key/value
+    * bytes + topic/partition/offset, exactly the Spark Kafka source's
+    * schema) -> parse chain, with lineage columns surfaced. The same
+    * `KafkaWire.parse` runs unchanged on a real
+    * `spark.readStream.format("kafka")` source (reference transport:
+    * OpenLogReplicator.json writer.type=kafka). */
+  val cdcKafkaWire: Q = Q(
+    "cdc_kafka_wire",
+    (s, dir) => {
+      val wire = graft.sources.KafkaWire.toWire(feed(s, dir), "olr.cdc")
+      flatten(graft.sources.KafkaWire.parse(wire),
+        col("topic"), col("partition"), col("offset"))
+        .orderBy("scn")
+    },
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql)
+            |SELECT scn, tm, xid, op, key,
+            |  after_id, after_cents, after_type,
+            |  before_id, before_cents, before_type,
+            |  'olr.cdc' AS topic, CAST(key % 3 AS INT) AS partition, scn AS offset
+            |FROM p ORDER BY scn""".stripMargin))
+
   val all: Seq[Q] = Seq(cdcParse, cdcUnwrap, cdcDeleteRewrite,
-    cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin)
+    cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin, cdcKafkaWire)
 }

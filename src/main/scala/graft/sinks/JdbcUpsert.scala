@@ -1,0 +1,109 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import java.sql.{Connection, DriverManager}
+
+/** JDBC upsert/delete sink — the Spark re-expression of the reference
+  * pipeline's terminal stage: a JDBC sink connector configured with
+  * insert.mode=upsert, pk.mode=record_key, delete.enabled=true
+  * (reference README.md:776-798). Tested in-container against embedded
+  * Derby (`jdbc:derby:memory:...`); any JDBC target works the same way.
+  *
+  * Scale design: each micro-batch is first reduced to its latest event
+  * per key with a partial-aggregated max_by (map-side combine, one
+  * shuffle of |keys-touched| rows — NOT a sort), then applied from the
+  * executors with `foreachPartition` + JDBC batch statements, so write
+  * parallelism = shuffle partitions and the driver never sees the data.
+  * Conflict resolution is monotonic-scn: an UPDATE only wins when the
+  * incoming scn >= the stored last_scn, which makes redelivered batches
+  * idempotent (exactly the at-least-once -> effectively-once contract
+  * the reference sink provides via Kafka per-key ordering).
+  */
+object JdbcUpsert {
+
+  /** DDL for the materialized target ("key" is reserved in Derby, the
+    * column is k). */
+  def ensureTable(url: String, table: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE $table (
+           |  k BIGINT PRIMARY KEY, id BIGINT, cents BIGINT,
+           |  typ VARCHAR(64), last_scn BIGINT)""".stripMargin)
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () } // exists
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** Apply one micro-batch of parsed change rows (columns key, scn,
+    * xid, op, id, cents, typ) to the JDBC target. */
+  def applyBatch(batch: DataFrame, url: String, table: String): Unit = {
+    // reduce the batch to the winning event per key BEFORE touching the
+    // DB: max_by is a declarative aggregate with partial aggregation,
+    // so a skewed key costs one combine, not a sorted window.
+    val latest = batch
+      .groupBy("key")
+      .agg(max_by(
+        struct(col("scn"), col("xid"), col("op"), col("id"), col("cents"), col("typ")),
+        struct(col("scn"), col("xid"))).as("w"))
+      .select(col("key"), col("w.scn"), col("w.op"), col("w.id"),
+        col("w.cents"), col("w.typ"))
+    latest.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url)
+        try applyRows(conn, table, rows)
+        finally conn.close()
+      }
+    }
+  }
+
+  private def applyRows(conn: Connection, table: String, rows: Iterator[Row]): Unit = {
+    conn.setAutoCommit(false)
+    // Derby MERGE (SQL:2003): matched rows update only when the incoming
+    // scn wins; unmatched rows insert. Tombstones delete, guarded by the
+    // same monotonic-scn condition.
+    val merge = conn.prepareStatement(
+      s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 s ON t.k = ?
+         |WHEN MATCHED AND t.last_scn <= ? THEN UPDATE SET
+         |  id = ?, cents = ?, typ = ?, last_scn = ?
+         |WHEN NOT MATCHED THEN INSERT (k, id, cents, typ, last_scn)
+         |  VALUES (?, ?, ?, ?, ?)""".stripMargin)
+    val delete = conn.prepareStatement(
+      s"DELETE FROM $table WHERE k = ? AND last_scn <= ?")
+    try {
+      rows.foreach { r =>
+        val (key, scn, op) = (r.getLong(0), r.getLong(1), r.getString(2))
+        if (op == "d") {
+          delete.setLong(1, key); delete.setLong(2, scn)
+          delete.addBatch()
+        } else {
+          merge.setLong(1, key); merge.setLong(2, scn)
+          merge.setLong(3, if (r.isNullAt(3)) -1L else r.getLong(3))
+          merge.setLong(4, if (r.isNullAt(4)) -1L else r.getLong(4))
+          merge.setString(5, if (r.isNullAt(5)) "" else r.getString(5))
+          merge.setLong(6, scn)
+          merge.setLong(7, key)
+          merge.setLong(8, if (r.isNullAt(3)) -1L else r.getLong(3))
+          merge.setLong(9, if (r.isNullAt(4)) -1L else r.getLong(4))
+          merge.setString(10, if (r.isNullAt(5)) "" else r.getString(5))
+          merge.setLong(11, scn)
+          merge.addBatch()
+        }
+      }
+      merge.executeBatch()
+      delete.executeBatch()
+      conn.commit()
+    } finally { merge.close(); delete.close() }
+  }
+
+  /** Read the materialized table back as a DataFrame (via the standard
+    * Spark JDBC reader) with the snapshot column names. */
+  def readBack(spark: org.apache.spark.sql.SparkSession, url: String,
+               table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+      .select(col("K").as("key"), col("ID").as("id"), col("CENTS").as("cents"),
+        col("TYP").as("type"), col("LAST_SCN").as("last_scn"))
+}

@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.cdc.Cdc
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka-shaped ingest for the OLR change feed.
+  *
+  * The reference's transport is OpenLogReplicator writing straight to a
+  * Kafka topic (reference scripts/OpenLogReplicator.json:42-54
+  * `writer.type=kafka`, README.md:623-696 broker setup); consumers read
+  * (key, value) byte records. Spark's Kafka source
+  * (`spark.readStream.format("kafka")`) surfaces exactly the columns in
+  * [[wireSchema]] — this module is the transform chain from that wire
+  * shape into the typed change model, so swapping the in-container test
+  * feed for a real broker is ONLY a source swap:
+  *
+  * {{{
+  *   spark.readStream.format("kafka")
+  *     .option("kafka.bootstrap.servers", ...)
+  *     .option("subscribe", "olr.cdc")
+  *     .load()                      // <- wireSchema columns
+  *     .transform(KafkaWire.parse)  // <- everything below is identical
+  * }}}
+  *
+  * Scale notes: the parse is a codegen'd cast + from_json fused into
+  * the scan of each micro-batch — stateless, map-only, no shuffle. At
+  * 100 TB/day the parallelism is topic partitions -> input partitions;
+  * lineage columns (topic, partition, offset) ride along so downstream
+  * exactly-once dedup can key on (partition, offset).
+  */
+object KafkaWire {
+
+  /** The Spark Kafka source's fixed output schema. */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Wrap an OLR JSON feed (columns event_id, json — see
+    * CdcQueries.feedFrom) into Kafka wire records, the way the
+    * reference's Kafka writer produces them: key = the row key (OLR
+    * keys messages for per-key ordering), value = the JSON payload.
+    * Partitioning mirrors Kafka's keyed partitioner deterministically
+    * (key mod numPartitions) and the offset carries the scn — both
+    * reproducible in any engine, so the oracle can rebuild the exact
+    * wire stream. */
+  def toWire(feed: DataFrame, topic: String, numPartitions: Int = 3): DataFrame =
+    feed.select(
+      expr("CAST(CAST(get_json_object(json, '$.key') AS STRING) AS BINARY)").as("key"),
+      col("json").cast("binary").as("value"),
+      lit(topic).as("topic"),
+      expr(s"CAST(pmod(CAST(get_json_object(json, '$$.key') AS BIGINT), $numPartitions) AS INT)")
+        .as("partition"),
+      expr("CAST(get_json_object(json, '$.scn') AS BIGINT)").as("offset"),
+      timestamp_micros(expr("CAST(get_json_object(json, '$.tm') AS BIGINT)"))
+        .as("timestamp"),
+      lit(0).as("timestampType"))
+
+  /** Kafka wire records -> typed change rows + lineage. Works
+    * identically on a batch DataFrame and a streaming one. */
+  def parse(wire: DataFrame): DataFrame =
+    wire
+      .withColumn("e", from_json(col("value").cast("string"), Cdc.changeSchema))
+      .select(
+        col("topic"), col("partition"), col("offset"),
+        col("e.scn").as("scn"), col("e.tm").as("tm"), col("e.xid").as("xid"),
+        col("e.op").as("op"), col("e.key").as("key"),
+        col("e.after").as("after"), col("e.before").as("before"))
+}
