@@ -600,39 +600,62 @@ object Relational {
 
   /** approximate per-group quantiles (mergeable sketch): the scale
     * counterpart of q_percentiles. The sketch value is engine-specific,
-    * so the query ALSO computes the exact interpolated quantiles and
-    * emits a deterministic `within_bounds` verdict (relative value
-    * error <= 2% at accuracy 10000) — the oracle hash-matches
-    * (group, exact quantiles, n, within_bounds=true) exactly. */
+    * so the query ALSO computes exact DISCRETE quantiles (the integer-
+    * cents value at rank ceil(p*n), picked with pure integer rank
+    * arithmetic — interpolated quantiles differ between engines by an
+    * ulp and flip rounding boundaries) and emits a deterministic
+    * `within_bounds` verdict (sketch within 2% of exact at accuracy
+    * 10000) — the oracle hash-matches (group, exact quantile cents, n,
+    * within_bounds=true) exactly. */
   val qApproxPercentile: Q = Q(
     "q_approx_percentile",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val li = t(s, dir).lineitem
-      // two TypedImperativeAggregates in one agg() force the sort-based
-      // fallback; keeping the sketch and the exact percentile in
-      // separate aggregations keeps each in ObjectHashAggregate and the
-      // join is on the tiny group key.
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      // the sketch runs as its own ObjectHashAggregate (combining it
+      // with other aggs forces the sort-based fallback, ~40x slower)
       val approx = li.groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
-          .as("ap"))
-      val exact = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ep"),
-          count(lit(1)).as("n"))
+        .agg(expr("approx_percentile(cents, array(0.5, 0.95), 10000)").as("ap"))
+      // discrete exact quantiles: rank within the group, then pick the
+      // ceil(p*n)-th value. The window and the groupBy share the same
+      // hash partitioning on l_returnflag, so this is ONE shuffle.
+      val ranked = li
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("cents")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val exact = ranked.groupBy("l_returnflag")
+        .agg(max(when(col("rk") === expr("(n + 1) div 2"), col("cents")))
+            .as("exact_p50_cents"),
+          max(when(col("rk") === expr("(95 * n + 99) div 100"), col("cents")))
+            .as("exact_p95_cents"),
+          max("n").as("n"))
       exact.join(broadcast(approx), "l_returnflag")
         .select(col("l_returnflag"),
-          round(expr("ep[0]"), 2).as("exact_p50"),
-          round(expr("ep[1]"), 2).as("exact_p95"),
-          col("n"),
-          expr("abs(ap[0] - ep[0]) / ep[0] <= 0.02 AND abs(ap[1] - ep[1]) / ep[1] <= 0.02")
-            .as("within_bounds"))
+          col("exact_p50_cents"), col("exact_p95_cents"), col("n"),
+          expr("""abs(ap[0] - exact_p50_cents) / exact_p50_cents <= 0.02
+                 |AND abs(ap[1] - exact_p95_cents) / exact_p95_cents <= 0.02"""
+            .stripMargin).as("within_bounds"))
         .orderBy("l_returnflag")
     },
-    Some("""SELECT l_returnflag,
-           |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
-           |  round(quantile_cont(l_extendedprice, 0.95), 2) AS exact_p95,
-           |  count(*) AS n,
+    Some("""WITH c AS (
+           |  SELECT l_returnflag,
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT *,
+           |    row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rk,
+           |    count(*) OVER (PARTITION BY l_returnflag) AS n
+           |  FROM c)
+           |SELECT l_returnflag,
+           |  CAST(max(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS BIGINT)
+           |    AS exact_p50_cents,
+           |  CAST(max(CASE WHEN rk = (95 * n + 99) // 100 THEN cents END) AS BIGINT)
+           |    AS exact_p95_cents,
+           |  CAST(max(n) AS BIGINT) AS n,
            |  true AS within_bounds
-           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+           |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** data-profiling audit: per-column null/distinct/min/max in ONE
     * pass (every aggregate is partial-aggregatable, so the scan is

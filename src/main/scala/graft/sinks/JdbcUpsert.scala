@@ -7,8 +7,11 @@ import java.sql.{Connection, DriverManager}
 /** JDBC upsert/delete sink — the Spark re-expression of the reference
   * pipeline's terminal stage: a JDBC sink connector configured with
   * insert.mode=upsert, pk.mode=record_key, delete.enabled=true
-  * (reference README.md:776-798). Tested in-container against embedded
-  * Derby (`jdbc:derby:memory:...`); any JDBC target works the same way.
+  * (reference README.md:776-798). Verified by JdbcUpsertSpec (insert/
+  * update/delete, redelivery idempotency, out-of-order events) against
+  * embedded Derby (`jdbc:derby:memory:`), and end-to-end by the
+  * `cdc_jdbc_upsert` registry row whose oracle is the cdc_materialize
+  * snapshot SQL; any JDBC target works the same way.
   *
   * Scale design: each micro-batch is first reduced to its latest event
   * per key with a partial-aggregated max_by (map-side combine, one
@@ -21,6 +24,18 @@ import java.sql.{Connection, DriverManager}
   * the reference sink provides via Kafka per-key ordering).
   */
 object JdbcUpsert {
+
+  private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fresh embedded in-memory Derby database URL, unique per call (the
+    * in-container stand-in for the reference's Postgres target; the
+    * sink code is identical for any MERGE-capable JDBC database). */
+  def memUrl(): String = {
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home",
+        java.nio.file.Files.createTempDirectory("graft_derby").toString)
+    s"jdbc:derby:memory:graft${ctr.incrementAndGet()};create=true"
+  }
 
   /** DDL for the materialized target ("key" is reserved in Derby, the
     * column is k). */

@@ -148,10 +148,15 @@ object Streams {
             |FROM ranked WHERE rn = 1 AND op <> 'd'
             |ORDER BY key""".stripMargin))
 
-  /** JDBC-sink upsert/delete semantics onto a parquet-backed table via
-    * foreachBatch: each batch merges into the target (union + latest-
-    * per-key + drop deletes) — the idempotent merge the reference sink
-    * does with insert.mode=upsert / delete.enabled=true. */
+  /** Upsert/delete semantics onto a bucketed parquet table via
+    * foreachBatch -> [[graft.sinks.ParquetUpsert]]: each batch merges
+    * the latest event per key into ONLY the hash buckets it touches
+    * (partition-pruned read, dynamic-partition-overwrite write), so
+    * per-batch cost is O(batch + touched buckets), not O(table) — the
+    * idempotent merge the reference sink does with insert.mode=upsert /
+    * delete.enabled=true, made lake-scale. Tombstones stay in the
+    * target so later batches cannot resurrect a deleted key with an
+    * older scn. */
   val cdcUpsertSink: Q = Q(
     "cdc_upsert_sink",
     (s, dir) => {
@@ -161,21 +166,7 @@ object Streams {
       val q = events.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val sp = batch.sparkSession
-          import org.apache.spark.sql.types._
-          val existing =
-            try sp.read.parquet(target)
-            catch { case _: Throwable => sp.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema) }
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy("key").orderBy(col("scn").desc, col("xid").desc)
-          val merged = existing.unionByName(batch)
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).drop("rn")
-            // keep tombstones in the target so later batches cannot
-            // resurrect a deleted key with an older scn
-          val materialized = merged.localCheckpoint(true)
-          materialized.write.mode("overwrite").parquet(target)
+          graft.sinks.ParquetUpsert.applyBatch(batch, target)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -184,6 +175,38 @@ object Streams {
         .select(col("key"), col("id"), col("cents"), col("typ").as("type"),
           col("scn").as("last_scn"))
         .orderBy("key")
+    },
+    Some(s"""WITH feed AS (${CdcQueries.feedSql}), p AS (${CdcQueries.parsedSql}),
+            |ranked AS (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY key ORDER BY scn DESC, xid DESC) AS rn
+            |  FROM p)
+            |SELECT key, after_id AS id, after_cents AS cents,
+            |  after_type AS type, scn AS last_scn
+            |FROM ranked WHERE rn = 1 AND op <> 'd'
+            |ORDER BY key""".stripMargin))
+
+  /** The reference's ACTUAL terminal stage, end to end: change stream
+    * -> foreachBatch -> JDBC MERGE upserts/deletes into a relational
+    * target (insert.mode=upsert, pk.mode=record_key,
+    * delete.enabled=true — reference README.md:787-795), read back via
+    * the Spark JDBC source. Embedded Derby stands in for Postgres; the
+    * sink code is target-agnostic. Final table must equal the batch
+    * cdc_materialize snapshot. */
+  val cdcJdbcUpsert: Q = Q(
+    "cdc_jdbc_upsert",
+    (s, dir) => {
+      import graft.sinks.JdbcUpsert
+      val url = JdbcUpsert.memUrl()
+      JdbcUpsert.ensureTable(url, "snapshot")
+      val q = parsedStream(s, dir).toDF().writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          JdbcUpsert.applyBatch(batch, url, "snapshot")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      JdbcUpsert.readBack(s, url, "snapshot").orderBy("key")
     },
     Some(s"""WITH feed AS (${CdcQueries.feedSql}), p AS (${CdcQueries.parsedSql}),
             |ranked AS (
@@ -331,6 +354,6 @@ object Streams {
             |ORDER BY scn""".stripMargin))
 
   val all: Seq[Q] = Seq(cdcStreamIngest, cdcStreamMaterialize, cdcUpsertSink,
-    cdcSchemaEvolve, qStreamTumbling, qStreamSession, qStreamJoin,
-    cdcStreamEnrich)
+    cdcJdbcUpsert, cdcSchemaEvolve, qStreamTumbling, qStreamSession,
+    qStreamJoin, cdcStreamEnrich)
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.sinks.ParquetUpsert
+import graft.streaming.ChangeRow
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The bucketed parquet upsert sink: merge correctness across batches
+  * AND the physical contract that a micro-batch leaves buckets it does
+  * not touch byte-for-byte alone (the 100 TB property — per-batch cost
+  * is O(touched buckets), not O(table)). */
+class ParquetUpsertSpec extends SparkSpec {
+
+  private def ins(key: Long, scn: Long, cents: Long): ChangeRow =
+    ChangeRow(key, scn, s"x.$scn", "c", Some(key), Some(cents), Some("t"))
+  private def upd(key: Long, scn: Long, cents: Long): ChangeRow =
+    ChangeRow(key, scn, s"x.$scn", "u", Some(key), Some(cents), Some("t"))
+  private def del(key: Long, scn: Long): ChangeRow =
+    ChangeRow(key, scn, s"x.$scn", "d", None, None, None)
+
+  private def toBatch(rows: Seq[ChangeRow]): DataFrame = {
+    import spark.implicits._
+    rows.toDF()
+  }
+
+  private def newTarget(): String =
+    Files.createTempDirectory("graft_pq_upsert").toString + "/tbl"
+
+  /** (file name -> last-modified) for every data file, keyed by bucket dir. */
+  private def fileState(target: String): Map[String, Map[String, Long]] = {
+    val root = Paths.get(target)
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("bucket="))
+      .map { dir =>
+        dir.getFileName.toString ->
+          Files.list(dir).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f).toMillis)
+            .toMap
+      }.toMap
+  }
+
+  private def bucketOf(key: Long, numBuckets: Int = 16): Int =
+    spark.sql(s"SELECT pmod(hash(CAST($key AS BIGINT)), $numBuckets)")
+      .collect()(0).getInt(0)
+
+  private def snapshot(target: String): Seq[(Long, Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(target).filter(col("op") =!= "d")
+      .select("key", "cents", "scn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+  }
+
+  test("upsert/delete/tombstone semantics across micro-batches") {
+    val target = newTarget()
+    ParquetUpsert.applyBatch(toBatch(Seq(ins(1, 10, 100), ins(2, 11, 200))), target)
+    assert(snapshot(target) == Seq((1L, 100L, 10L), (2L, 200L, 11L)))
+
+    ParquetUpsert.applyBatch(toBatch(Seq(upd(1, 20, 150), del(2, 12))), target)
+    assert(snapshot(target) == Seq((1L, 150L, 20L)))
+
+    // a LATE older insert for the deleted key must NOT resurrect it —
+    // the tombstone (scn 12) outranks it inside the bucket merge
+    ParquetUpsert.applyBatch(toBatch(Seq(ins(2, 5, 999))), target)
+    assert(snapshot(target) == Seq((1L, 150L, 20L)))
+
+    // but a genuinely newer insert does resurrect it
+    ParquetUpsert.applyBatch(toBatch(Seq(ins(2, 30, 222))), target)
+    assert(snapshot(target) == Seq((1L, 150L, 20L), (2L, 222L, 30L)))
+  }
+
+  test("a batch rewrites only the buckets its keys hash into") {
+    val target = newTarget()
+    // seed: keys 1..40 spread across the 16 buckets
+    ParquetUpsert.applyBatch(
+      toBatch((1L to 40L).map(k => ins(k, k, k * 10))), target)
+    val before = fileState(target)
+    assert(before.size > 1, "seed batch should populate multiple buckets")
+
+    // second batch touches exactly one key -> exactly one bucket
+    ParquetUpsert.applyBatch(toBatch(Seq(upd(1, 100, 111))), target)
+    val after = fileState(target)
+    val hot = s"bucket=${bucketOf(1L)}"
+
+    assert(after(hot) != before(hot), "touched bucket must be rewritten")
+    before.keys.filter(_ != hot).foreach { b =>
+      assert(after(b) == before(b),
+        s"untouched bucket $b was rewritten (files/mtimes changed)")
+    }
+    // and the merge result is still right
+    assert(snapshot(target).contains((1L, 111L, 100L)))
+  }
+}
