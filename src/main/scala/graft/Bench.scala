@@ -24,21 +24,29 @@ object Bench {
     }
     // SPARK_GRAFT_ONLY=q1_agg,q6_filter_agg restricts the run (local iteration).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // min-of-N per query: a single-shot timing cannot distinguish a
+    // real regression from transient JVM/GC interference (round 2 saw a
+    // 7x one-off on an untouched query). The min is the least-noisy
+    // estimator of the plan's true cost.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() forces every output column to be evaluated;
-      // df.count() would let Catalyst prune the computed columns and
-      // under-report map-heavy queries.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        // toRdd.count() forces every output column to be evaluated;
+        // df.count() would let Catalyst prune the computed columns and
+        // under-report map-heavy queries.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

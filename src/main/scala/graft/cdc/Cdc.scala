@@ -75,17 +75,24 @@ object Cdc {
   /** Changelog -> current-state snapshot: the JDBC-sink upsert/delete
     * semantics as a batch operator. Latest event per key wins (scn
     * order, xid tiebreak); keys whose latest op is a delete vanish.
-    * Exactly one shuffle, on the key. */
-  def materialize(parsed: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("key").orderBy(col("scn").desc, col("xid").desc)
+    *
+    * Expressed as a max_by AGGREGATION, not a ranking window: the
+    * declarative aggregate partial-aggregates map-side, so a hot key
+    * costs one combine per input partition plus a reduce of
+    * #partitions pre-aggregated rows — skew-immune by construction,
+    * where a per-key row_number window funnels the hot key's entire
+    * history through one reducer. Still exactly one shuffle, on the
+    * key, and it now moves one row per (key, map partition). */
+  def materialize(parsed: DataFrame): DataFrame =
     parsed
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "d")
+      .groupBy("key")
+      .agg(max_by(
+        struct(col("op"), col("after"), col("scn")),
+        struct(col("scn"), col("xid"))).as("w"))
+      .filter(col("w.op") =!= "d")
       .select(col("key"),
-        col("after.id").as("id"),
-        col("after.cents").as("cents"),
-        col("after.type").as("type"),
-        col("scn").as("last_scn"))
-  }
+        col("w.after.id").as("id"),
+        col("w.after.cents").as("cents"),
+        col("w.after.type").as("type"),
+        col("w.scn").as("last_scn"))
 }

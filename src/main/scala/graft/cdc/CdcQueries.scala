@@ -196,6 +196,21 @@ object CdcQueries {
             |  'olr.cdc' AS topic, CAST(key % 3 AS INT) AS partition, scn AS offset
             |FROM p ORDER BY scn""".stripMargin))
 
+  /** Avro transport round-trip: typed events -> Avro binary (explicit
+    * schema, the reference's AvroConverter + Schema Registry contract)
+    * -> decode -> flatten. Byte-level wire compatibility with the plain
+    * Avro runtime is pinned by AvroWireSpec; here the decoded feed must
+    * hash-match the same oracle as cdc_parse (the round-trip is
+    * lossless). */
+  val cdcAvroRoundtrip: Q = Q(
+    "cdc_avro_roundtrip",
+    (s, dir) => flatten(graft.sources.AvroWire.decode(
+      graft.sources.AvroWire.encode(parsed(s, dir)))).orderBy("scn"),
+    Some(s"""WITH feed AS ($feedSql)
+            |$parsedSql
+            |ORDER BY scn""".stripMargin))
+
   val all: Seq[Q] = Seq(cdcParse, cdcUnwrap, cdcDeleteRewrite,
-    cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin, cdcKafkaWire)
+    cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin, cdcKafkaWire,
+    cdcAvroRoundtrip)
 }

@@ -432,43 +432,50 @@ object Relational {
     * value is summed as integer cents (partition-order-proof) and the
     * oracle's integer window/group sums are cast to BIGINT (DuckDB
     * widens them to HUGEINT -> pandas float64 otherwise). */
+  /** Input shape shared by both sessionize variants. */
+  private def sessionizeInput(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .select("user_id", "event_id", "us", "cents")
+
+  /** One oracle serves both sessionize variants — they must produce
+    * identical output. */
+  private val sessionizeOracle =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+      |    ORDER BY us ASC, event_id ASC) AS prev_us FROM e)),
+      |sess AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY us ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS session_cents,
+      |  min(us) AS start_us, max(us) AS end_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val qSessionize: Q = Q(
     "q_sessionize",
-    (s, dir) => {
-      val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
-      t(s, dir).events
-        .withColumn("us", unix_micros(col("ts")))
-        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
-        .withColumn("prev_us", lag("us", 1).over(byUser))
-        .withColumn("new_sess",
-          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
-            .otherwise(0L))
-        .withColumn("session_id", sum("new_sess").over(byUser))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          sum("cents").as("session_cents"),
-          min("us").as("start_us"), max("us").as("end_us"))
-        .orderBy("user_id", "session_id")
-    },
-    Some("""WITH e AS (
-           |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
-           |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
-           |  FROM events),
-           |g AS (
-           |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-           |      THEN 1 ELSE 0 END AS new_sess
-           |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
-           |    ORDER BY us ASC, event_id ASC) AS prev_us FROM e)),
-           |sess AS (
-           |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
-           |    ORDER BY us ASC, event_id ASC
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-           |  FROM g)
-           |SELECT user_id, session_id, count(*) AS n_events,
-           |  CAST(sum(cents) AS BIGINT) AS session_cents,
-           |  min(us) AS start_us, max(us) AS end_us
-           |FROM sess GROUP BY user_id, session_id
-           |ORDER BY user_id, session_id""".stripMargin))
+    (s, dir) => Skew.sessionize1Phase(sessionizeInput(s, dir))
+      .orderBy("user_id", "session_id"),
+    Some(sessionizeOracle))
+
+  /** The hot-key-safe sessionize (see [[Skew.sessionize2Phase]]):
+    * same output, same oracle, but no reducer ever sees more than one
+    * (user, hour-bucket) of raw events. */
+  val qSessionize2Phase: Q = Q(
+    "q_sessionize_2phase",
+    (s, dir) => Skew.sessionize2Phase(sessionizeInput(s, dir))
+      .orderBy("user_id", "session_id"),
+    Some(sessionizeOracle))
 
   /** Tumbling hourly window aggregate over the event stream (batch
     * form; streaming twin lives in streaming/StreamOps.scala). Bucket
@@ -693,6 +700,7 @@ object Relational {
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
     qHaving, qConditionalAgg, qDateRollup, qPercentiles, qArgmax, qPivot,
-    qGroupingSets, qUnionDedup, qSessionize, qTumblingWindow, qEventsJson,
-    qAsofJoin, qApproxPercentile, qRangeJoin, qCube, qProfile)
+    qGroupingSets, qUnionDedup, qSessionize, qSessionize2Phase,
+    qTumblingWindow, qEventsJson, qAsofJoin, qApproxPercentile, qRangeJoin,
+    qCube, qProfile)
 }

@@ -51,16 +51,17 @@ object KafkaWire {
     * reproducible in any engine, so the oracle can rebuild the exact
     * wire stream. */
   def toWire(feed: DataFrame, topic: String, numPartitions: Int = 3): DataFrame =
-    feed.select(
-      expr("CAST(CAST(get_json_object(json, '$.key') AS STRING) AS BINARY)").as("key"),
-      col("json").cast("binary").as("value"),
-      lit(topic).as("topic"),
-      expr(s"CAST(pmod(CAST(get_json_object(json, '$$.key') AS BIGINT), $numPartitions) AS INT)")
-        .as("partition"),
-      expr("CAST(get_json_object(json, '$.scn') AS BIGINT)").as("offset"),
-      timestamp_micros(expr("CAST(get_json_object(json, '$.tm') AS BIGINT)"))
-        .as("timestamp"),
-      lit(0).as("timestampType"))
+    // ONE from_json parse feeding every derived column (repeated
+    // get_json_object calls re-parse the string per column)
+    feed.withColumn("e", from_json(col("json"), Cdc.changeSchema))
+      .select(
+        col("e.key").cast("string").cast("binary").as("key"),
+        col("json").cast("binary").as("value"),
+        lit(topic).as("topic"),
+        pmod(col("e.key"), lit(numPartitions.toLong)).cast("int").as("partition"),
+        col("e.scn").as("offset"),
+        timestamp_micros(col("e.tm")).as("timestamp"),
+        lit(0).as("timestampType"))
 
   /** Kafka wire records -> typed change rows + lineage. Works
     * identically on a batch DataFrame and a streaming one. */

@@ -39,23 +39,32 @@ object Streams {
   private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Runs a bounded streaming DataFrame to completion into an
-    * in-memory sink and returns the sink contents. */
+    * in-memory sink and returns the sink contents. Synchronized on the
+    * session: the shuffle-partition override below mutates shared
+    * session conf, so concurrent callers must not interleave. */
   def runBounded(sdf: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     val spark = sdf.sparkSession
-    // stateful operators pay a per-partition-per-batch state-store
-    // cost; for the bounded test feeds a handful of state partitions
-    // beats the batch-tuned setting (on a real cluster this is sized
-    // to executor count, and is a fixed property of the checkpoint)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = sdf.writeStream.format("memory").queryName(name)
-        .outputMode(mode).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.synchronized {
+      // stateful operators pay a per-partition-per-batch state-store
+      // cost; for the bounded test feeds a handful of state partitions
+      // beats the batch-tuned setting (on a real cluster this is sized
+      // to executor count, and is a fixed property of the checkpoint)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = sdf.writeStream.format("memory").queryName(name)
+          .outputMode(mode).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(name)
   }
+
+  /** One staged stream directory per (session, source dir), reused
+    * across calls and cleaned up on JVM exit. */
+  private val streamDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   /** File-source stream over the events table (the bounded feed is one
     * parquet file -> one micro-batch; in production this is a directory
@@ -65,12 +74,17 @@ object Streams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the file source wants a directory of arriving files; expose the
-    // (read-only) test file through a temp dir via symlink
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    s.readStream.schema(schema).parquet(streamDir.toString)
+    // (read-only) test file through a temp dir via symlink — one per
+    // (session, dir), not per call
+    val streamDir = streamDirs.computeIfAbsent((s, dir), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      val link = d.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      d.toFile.deleteOnExit(); link.toFile.deleteOnExit()
+      d.toString
+    })
+    s.readStream.schema(schema).parquet(streamDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
