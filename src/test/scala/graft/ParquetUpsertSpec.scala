@@ -91,4 +91,23 @@ class ParquetUpsertSpec extends SparkSpec {
     // and the merge result is still right
     assert(snapshot(target).contains((1L, 111L, 100L)))
   }
+
+  test("the existing-state read is partition-pruned to the touched buckets") {
+    import org.apache.spark.sql.execution.ExplainMode
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val target = newTarget()
+    ParquetUpsert.applyBatch(
+      toBatch((1L to 40L).map(k => ins(k, k, k * 10))), target)
+    // the read ParquetUpsert builds for a batch touching bucket 3 only
+    val read = spark.read.parquet(target)
+      .filter(col("bucket").isin(Int.box(3)))
+    val p = read.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket"), "bucket filter must prune partitions\n" + p)
+    // physically: only bucket=3's files are scanned
+    val scanned = read.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("bucket=3")),
+      s"scan leaked outside bucket=3: ${scanned.mkString(", ")}")
+  }
 }

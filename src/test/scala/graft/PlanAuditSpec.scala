@@ -73,4 +73,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
       "unused columns must not be read\n" + readSchema)
   }
+
+  test("cdc_materialize is a partial aggregation, not a ranking window") {
+    // the skew-immunity property: latest-per-key must run as an
+    // aggregate with map-side combine (two agg nodes around one
+    // exchange), never as a per-key row_number window
+    val p = plan(CdcQueries.cdcMaterialize.name)
+    assert(!p.contains("Window"), "materialize must not use a window\n" + p)
+    assert("Aggregate".r.findAllIn(p).size >= 2, p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+  }
+
+  test("two-phase sessionize shuffles raw events on (user, bucket), never on user alone") {
+    val p = plan(Relational.qSessionize2Phase.name)
+    // exactly two hash exchanges: phase A on (user_id, bucket) — the
+    // groupBy reuses the window partitioning — and phase B on user_id
+    // over partial sessions only (plus the final presentation sort)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 2, p)
+    val phaseA = p.linesIterator
+      .filter(_.contains("hashpartitioning(user_id")).toSeq.head
+    assert(phaseA.contains("bucket"),
+      "first exchange must salt by the time bucket\n" + p)
+  }
 }

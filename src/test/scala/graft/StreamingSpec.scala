@@ -107,6 +107,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(all == Seq((1L, 100L, 10L), (2L, 250L, 20L)))
   }
 
+  test("keyed state runs on the RocksDB state store (the cluster-scale provider)") {
+    // the scale story says keyed state is RocksDB-backed on a real
+    // cluster; prove the pipeline actually runs on that provider
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[ChangeRow]
+      val q = Streams.materializeStream(in.toDS()).writeStream
+        .format("memory").queryName("mat_rocks").outputMode("update").start()
+      try {
+        in.addData(ins(1, 10, 100))
+        q.processAllAvailable()
+        in.addData(upd(1, 20, 150), ins(2, 21, 200))
+        q.processAllAvailable()
+        val rows = spark.table("mat_rocks").collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+        // state for key 1 survived into batch 2 under RocksDB
+        assert(rows.count(r => r._1 == 1L && r._2 == 150L && r._3 == 20L) == 1)
+        assert(rows.count(r => r._1 == 2L && r._2 == 200L) == 1)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("bounded streaming queries agree with their batch equivalents") {
     // tumbling-window streaming agg == batch tumbling agg at sf0.001
     val streamed = Streams.qStreamTumbling.run(spark, sfDir)
