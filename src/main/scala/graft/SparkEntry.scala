@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Ann, Dedup, Multimodal, Relational, TextOps}
+import graft.operators.{Ann, Curation, Dedup, Multimodal, Relational, TextOps}
 import graft.cdc.CdcQueries
 import graft.streaming.Streams
 
@@ -11,7 +11,7 @@ object SparkEntry {
   /** All implemented capabilities, one Q per SURVEY.md §2 row. */
   def registry: Seq[Q] =
     Relational.all ++ CdcQueries.all ++ Dedup.all ++ TextOps.all ++
-      Ann.all ++ Multimodal.all ++ Streams.all
+      Curation.all ++ Ann.all ++ Multimodal.all ++ Streams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

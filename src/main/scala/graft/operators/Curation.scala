@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Portable._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over the `documents` table — the
+  * selection/decontamination stages that sit between dedup and
+  * training in an LLM data pipeline.
+  *
+  * Scale design: the benchmark set in the contamination check is tiny
+  * by construction, so its shingles broadcast and the probe is a
+  * map-side hash join against the corpus scan (the only shuffle is the
+  * per-(doc, benchmark) overlap count). Sampling/splitting is pure
+  * per-row hash arithmetic fused into the scan — deterministic, so
+  * re-running the pipeline reproduces the exact same train/val/test
+  * membership without storing any assignment table.
+  */
+object Curation {
+
+  /** Benchmark-contamination check: which corpus documents share >= 5
+    * word-3-gram shingles with a "benchmark" document (stand-in set:
+    * every 20th doc). Blocking key is the 60-bit shingle hash; the
+    * benchmark side is broadcast. A real pipeline points `bench` at its
+    * eval-suite corpus and drops/flags the hits before training. */
+  val textContamination: Q = Q(
+    "text_contamination",
+    (s, dir) => {
+      val sh = Dedup.shingleRows(s, dir)
+      val bench = sh.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("bench_id"), col("sh"))
+      val corpus = sh.filter(col("doc_id") % 20 =!= 0)
+      corpus.join(broadcast(bench), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy("doc_id", "bench_id")
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), sh AS (
+            |  SELECT DISTINCT doc_id, unnest(${duckShingleHashes60(duckShingles3("words"))}) AS sh
+            |  FROM w WHERE len(words) >= 3
+            |), bench AS (
+            |  SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 20 = 0
+            |), corpus AS (
+            |  SELECT * FROM sh WHERE doc_id % 20 <> 0
+            |)
+            |SELECT c.doc_id AS doc_id, bench_id, count(*) AS n_shared
+            |FROM corpus c JOIN bench b ON c.sh = b.sh
+            |GROUP BY 1, 2 HAVING count(*) >= 5
+            |ORDER BY doc_id, bench_id""".stripMargin))
+
+  /** Deterministic stratified sampling + train/val/test split: keep
+    * 10% of English docs and 50% of every other language (re-balancing
+    * an en-heavy corpus), then split 80/10/10 — both decisions are
+    * portable hashes of the doc_id, so membership is a pure function
+    * of the row, reproducible on any engine, and needs no stored
+    * assignment. */
+  val sampleStratified: Q = Q(
+    "sample_stratified",
+    (s, dir) => Tables(s, dir).documents
+      .withColumn("keep_h",
+        expr(charHash("concat('s', CAST(doc_id AS STRING))")) % 100)
+      .withColumn("rate", when(col("lang") === "en", 10).otherwise(50))
+      .filter(col("keep_h") < col("rate"))
+      .withColumn("split_h",
+        expr(charHash("concat('p', CAST(doc_id AS STRING))")) % 100)
+      .withColumn("split",
+        when(col("split_h") < 80, "train")
+          .when(col("split_h") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "split")
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang,
+            |  CASE WHEN ${duckCharHash("concat('p', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+            |       WHEN ${duckCharHash("concat('p', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'val'
+            |       ELSE 'test' END AS split
+            |FROM documents
+            |WHERE ${duckCharHash("concat('s', CAST(doc_id AS VARCHAR))")} % 100
+            |  < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+            |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(textContamination, sampleStratified)
+}

@@ -64,26 +64,34 @@ object Dedup {
     * the 60-bit shingle hash, not the shingle string: an 8-byte
     * shuffle key instead of ~25 bytes of text, and the oracle blocks
     * on the same hash so any collision affects both sides equally. */
+  /** (doc_id, shingle-hash) rows, distinct — the blocking base for the
+    * Jaccard pair generator and the contamination check. */
+  private[operators] def shingleRows(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("words", expr(words("text")))
+      .filter(expr("size(words) >= 3"))
+      .select(col("doc_id"), explode(expr(shingleHashes60("words"))).as("sh"))
+      .distinct()
+
+  /** word-3-gram Jaccard >= 0.8 duplicate pairs (da < db, jac). */
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+      .withColumn("jac", col("inter") / (col("ca.n") + col("cb.n") - col("inter")))
+      .filter(col("jac") >= 0.8)
+  }
+
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
-    (s, dir) => {
-      val sh = docs(s, dir)
-        .withColumn("words", expr(words("text")))
-        .filter(expr("size(words) >= 3"))
-        .select(col("doc_id"), explode(expr(shingleHashes60("words"))).as("sh"))
-        .distinct()
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
-        .withColumn("jac", col("inter") / (col("ca.n") + col("cb.n") - col("inter")))
-        .filter(col("jac") >= 0.8)
-        .select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
-    },
+    (s, dir) => ngramPairs(s, dir)
+      .select(col("da"), col("db"), round(col("jac"), 6).as("jaccard")),
     Some(s"""WITH w AS (
             |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
             |), sh AS (
@@ -276,6 +284,76 @@ object Dedup {
             |)
             |SELECT va, vb, round(cos, 6) AS cos_sim FROM cand WHERE cos >= 0.4""".stripMargin))
 
+  /** Iterative min-label-propagation connected components over an edge
+    * list (columns a, b). Labels start as the vertex id; each round
+    * every vertex takes the min of its own and its neighbors' labels;
+    * convergence in O(cluster diameter) rounds (near-dup clusters are
+    * shallow — at 100 TB with adversarial chains, alternate large-star/
+    * small-star for O(log n)). All data-sized work is joins/aggregates;
+    * the only driver-side value per round is the scalar changed-count
+    * (the standard Pregel convergence check), and localCheckpoint
+    * truncates the iterative lineage. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val msgs = sym.join(labels, sym("a") === labels("id"))
+        .select(sym("b").as("id"), labels("label"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      done = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Duplicate CLUSTERS, not just pairs: connected components over the
+    * exact-Jaccard duplicate-pair graph, labeling every involved doc
+    * with the min doc_id of its transitive cluster — what a training
+    * pipeline actually keeps/drops (one representative per cluster).
+    * The oracle replays the same closure with a recursive CTE. */
+  val dedupClusters: Q = Q(
+    "dedup_clusters",
+    (s, dir) => connectedComponents(
+      ngramPairs(s, dir).select(col("da").as("a"), col("db").as("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), sh AS (
+            |  SELECT DISTINCT doc_id, unnest(${duckShingleHashes60(duckShingles3("words"))}) AS sh
+            |  FROM w WHERE len(words) >= 3
+            |), cnt AS (
+            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            |), pairs AS (
+            |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2
+            |), dup AS (
+            |  SELECT da, db FROM pairs
+            |  JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+            |  WHERE inter*1.0 / (ca.n + cb.n - inter) >= 0.8
+            |), edges AS (
+            |  SELECT da AS a, db AS b FROM dup UNION SELECT db AS a, da AS b FROM dup
+            |), reach(a, b) AS (
+            |  SELECT a, b FROM (SELECT a, b FROM edges UNION SELECT a, a AS b FROM edges)
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            |)
+            |SELECT a AS doc_id, min(b) AS cluster_id
+            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupNgramJaccard,
-    dedupMinhash, dedupMinhashLsh, dedupSimhash, dedupEmbedding)
+    dedupMinhash, dedupMinhashLsh, dedupSimhash, dedupEmbedding,
+    dedupClusters)
 }

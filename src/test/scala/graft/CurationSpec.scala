@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Curation operators: connected-component clustering semantics,
+  * contamination detection, and deterministic sampling invariants. */
+class CurationSpec extends SparkSpec {
+
+  test("connectedComponents: chains merge transitively, min label wins") {
+    import spark.implicits._
+    // components: {1,2,3,4} via a chain, {10,11}, and 20-21-22 star
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (21L, 20L), (21L, 22L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedup_clusters labels every endpoint of every duplicate pair consistently") {
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // every cluster label is the min member of its cluster
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
+
+  test("contamination flags the planted near-duplicates of benchmark docs") {
+    val hits = SparkEntry.queries("text_contamination")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.nonEmpty)
+    // flagged docs are non-benchmark, matched against benchmark ids,
+    // with a real overlap
+    hits.foreach { case (doc, bench, n) =>
+      assert(doc % 20 != 0 && bench % 20 == 0 && n >= 5)
+    }
+  }
+
+  test("stratified sample is deterministic and respects per-language rates") {
+    val once = SparkEntry.queries("sample_stratified")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val twice = SparkEntry.queries("sample_stratified")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(once.toSeq == twice.toSeq, "sampling must be a pure function of the row")
+
+    val total = graft.sources.Tables(spark, sfDir).documents
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = SparkEntry.queries("sample_stratified")(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en targets 10%, others 50% — allow generous sampling noise at
+    // sf0.001 corpus sizes
+    val enRate = sampled("en").toDouble / total("en")
+    assert(enRate > 0.02 && enRate < 0.25, s"en rate $enRate")
+    (sampled.keySet - "en").foreach { l =>
+      val r = sampled(l).toDouble / total(l)
+      assert(r > 0.3 && r < 0.7, s"$l rate $r")
+    }
+    // all three splits appear, and nothing else
+    val splits = SparkEntry.queries("sample_stratified")(spark, sfDir)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+  }
+}
