@@ -82,5 +82,97 @@ object Curation {
             |  < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
             |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(textContamination, sampleStratified)
+  /** The whole curation pipeline as ONE declarative plan — what a user
+    * of this library actually runs before training: quality gate →
+    * content dedup (keep min doc_id per normalized fingerprint) →
+    * benchmark decontamination → stratified sample + train/val/test
+    * split. Every stage is the same logic as its standalone registry
+    * row; Catalyst fuses the per-row stages into the scan, pushes the
+    * benchmark/corpus filters below the shingle distinct, broadcasts
+    * the benchmark and contaminated sets, and reuses the fingerprint
+    * exchange between the keep-min aggregate and its probe — every
+    * shuffle that remains is on a real reduction key. Quality gates are
+    * pure INTEGER cross-multiplications (punct*10 <= len*3 etc.) so no
+    * float boundary can diverge between engines. */
+  val pipelineCurate: Q = Q(
+    "pipeline_curate",
+    (s, dir) => {
+      val gated = Tables(s, dir).documents
+        .withColumn("words", expr(words("text")))
+        .withColumn("n_words", expr("size(words)"))
+        .filter(col("n_words") >= 5)
+        .filter(expr("regexp_count(text, '[^A-Za-z0-9 ]') * 10 <= length(text) * 3"))
+        .filter(expr("size(array_distinct(words)) * 10 >= n_words * 3"))
+        .withColumn("fp", expr(fp60(normText("text"))))
+      // content dedup: keep the min doc_id of each fingerprint group
+      // (skew-immune aggregation, no per-key window); joining back on
+      // fp alone lets the join reuse the aggregation's partitioning
+      // instead of re-exchanging both sides on (fp, doc_id)
+      val keep = gated.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val deduped = gated.join(keep, "fp")
+        .filter(col("doc_id") === col("keep_id"))
+      // benchmark decontamination: drop eval docs AND anything sharing
+      // >= 5 shingles with one (same semantics as text_contamination)
+      val sh = Dedup.shingleRows(s, dir)
+      val bench = sh.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("bench_id"), col("sh"))
+      val contaminated = sh.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .select("doc_id").distinct()
+      deduped
+        .filter(col("doc_id") % 20 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        // stratified sample + deterministic split (see sampleStratified)
+        .withColumn("keep_h",
+          expr(charHash("concat('s', CAST(doc_id AS STRING))")) % 100)
+        .filter(col("keep_h") < when(col("lang") === "en", 10).otherwise(50))
+        .withColumn("split_h",
+          expr(charHash("concat('p', CAST(doc_id AS STRING))")) % 100)
+        .withColumn("split",
+          when(col("split_h") < 80, "train")
+            .when(col("split_h") < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, lang, text, ${duckWords("text")} AS words FROM documents
+            |), gated AS (
+            |  SELECT * FROM w
+            |  WHERE len(words) >= 5
+            |    AND len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 10 <= length(text) * 3
+            |    AND len(list_distinct(words)) * 10 >= len(words) * 3
+            |), fp AS (
+            |  SELECT doc_id, lang, ${duckFp60(duckNormText("text"))} AS fp FROM gated
+            |), keep AS (
+            |  SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp
+            |), deduped AS (
+            |  SELECT f.doc_id, f.lang FROM fp f
+            |  JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id
+            |), sh AS (
+            |  SELECT DISTINCT doc_id, unnest(${duckShingleHashes60(duckShingles3("words"))}) AS sh
+            |  FROM w WHERE len(words) >= 3
+            |), overlap AS (
+            |  SELECT c.doc_id, b.bench_id, count(*) AS n
+            |  FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) c
+            |  JOIN (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 20 = 0) b
+            |    ON c.sh = b.sh
+            |  GROUP BY 1, 2
+            |), contaminated AS (
+            |  SELECT DISTINCT doc_id FROM overlap WHERE n >= 5
+            |)
+            |SELECT doc_id, lang,
+            |  CASE WHEN ${duckCharHash("concat('p', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+            |       WHEN ${duckCharHash("concat('p', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'val'
+            |       ELSE 'test' END AS split
+            |FROM deduped
+            |WHERE doc_id % 20 <> 0
+            |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+            |  AND ${duckCharHash("concat('s', CAST(doc_id AS VARCHAR))")} % 100
+            |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+            |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(textContamination, sampleStratified, pipelineCurate)
 }

@@ -46,6 +46,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_curate composes its stages consistently") {
+    val curated = SparkEntry.queries("pipeline_curate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(curated.nonEmpty)
+    val curatedIds = curated.map(_._1).toSet
+
+    // subset of the standalone stratified sample (same sampling hash)
+    val sampled = SparkEntry.queries("sample_stratified")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(curated.toSet.subsetOf(sampled.toSet))
+
+    // no benchmark docs and no contaminated docs survive
+    val contaminated = SparkEntry.queries("text_contamination")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curatedIds.forall(_ % 20 != 0))
+    assert(curatedIds.intersect(contaminated).isEmpty)
+
+    // content dedup happened: curated docs have distinct normalized
+    // fingerprints
+    val fps = graft.sources.Tables(spark, sfDir).documents
+      .filter(col("doc_id").isin(curatedIds.toSeq.map(Long.box): _*))
+      .select(expr(graft.functions.Portable.fp60(
+        graft.functions.Portable.normText("text"))).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps.length == fps.distinct.length)
+  }
+
   test("stratified sample is deterministic and respects per-language rates") {
     val once = SparkEntry.queries("sample_stratified")(spark, sfDir)
       .collect().map(_.toSeq)

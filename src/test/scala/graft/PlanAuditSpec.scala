@@ -84,6 +84,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
   }
 
+  test("pipeline_curate broadcasts the small sets and keeps shuffles bounded") {
+    val p = plan("pipeline_curate")
+    // benchmark shingles + contaminated ids broadcast; the big
+    // relations exchange only on real reduction keys
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 6, p)
+    // dedup keep-min must reuse the fingerprint exchange, not add a
+    // second one
+    assert("hashpartitioning\\(fp".r.findAllIn(p).size == 1, p)
+  }
+
   test("two-phase sessionize shuffles raw events on (user, bucket), never on user alone") {
     val p = plan(Relational.qSessionize2Phase.name)
     // exactly two hash exchanges: phase A on (user_id, bucket) — the
