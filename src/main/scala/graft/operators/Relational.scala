@@ -477,6 +477,24 @@ object Relational {
       .orderBy("user_id", "session_id"),
     Some(sessionizeOracle))
 
+  /** Decile assignment per market segment (ntile): the analytic a
+    * pipeline uses to band customers/documents by a score. Rank-based
+    * integer output — no float boundary; ordering fully determined by
+    * the (acctbal, custkey) tiebreak. One shuffle on the segment. */
+  val qNtile: Q = Q(
+    "q_ntile",
+    (s, dir) => t(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(10).over(
+          Window.partitionBy("c_mktsegment")
+            .orderBy(col("c_acctbal").asc, col("c_custkey").asc))
+          .cast("long").as("decile"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_mktsegment,
+           |  ntile(10) OVER (PARTITION BY c_mktsegment
+           |    ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
   /** Tumbling hourly window aggregate over the event stream (batch
     * form; streaming twin lives in streaming/StreamOps.scala). Bucket
     * is integer hour-since-epoch — shuffle on the bucket only. */
@@ -700,7 +718,7 @@ object Relational {
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
     qHaving, qConditionalAgg, qDateRollup, qPercentiles, qArgmax, qPivot,
-    qGroupingSets, qUnionDedup, qSessionize, qSessionize2Phase,
+    qGroupingSets, qUnionDedup, qSessionize, qSessionize2Phase, qNtile,
     qTumblingWindow, qEventsJson, qAsofJoin, qApproxPercentile, qRangeJoin,
     qCube, qProfile)
 }

@@ -232,6 +232,40 @@ object Streams {
             |FROM ranked WHERE rn = 1 AND op <> 'd'
             |ORDER BY key""".stripMargin))
 
+  /** Streaming at-least-once -> exactly-once: the WHOLE feed is
+    * redelivered in a later micro-batch (two staged copies,
+    * maxFilesPerTrigger=1 forces them into separate batches) and
+    * stateful dropDuplicates on (key, scn) must drop every replay using
+    * only its state store — the reference consumers' dedup-by-(key,scn)
+    * guarantee, incremental. State here is unbounded to pin exact
+    * semantics on the bounded feed; a production deployment bounds it
+    * with withWatermark + dropDuplicatesWithinWatermark, trading
+    * arbitrarily-late replays for O(watermark-window) state. */
+  val cdcStreamDedup: Q = Q(
+    "cdc_stream_dedup",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val staged = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+      Seq("events_a.parquet", "events_b.parquet").foreach { name =>
+        val link = staged.resolve(name)
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        link.toFile.deleteOnExit()
+      }
+      staged.toFile.deleteOnExit()
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = CdcQueries.flatten(
+        Cdc.parse(CdcQueries.feedFrom(stream), col("json")))
+        .dropDuplicates("key", "scn")
+      runBounded(deduped, "append").orderBy("scn")
+    },
+    Some(s"""WITH feed AS (${CdcQueries.feedSql})
+            |${CdcQueries.parsedSql}
+            |ORDER BY scn""".stripMargin))
+
   /** auto.evolve sink semantics: a second wave of data arrives with a
     * new column; the target table grows the column, old rows read as
     * NULL (mergeSchema + unionByName-compatible layout). */
@@ -368,6 +402,6 @@ object Streams {
             |ORDER BY scn""".stripMargin))
 
   val all: Seq[Q] = Seq(cdcStreamIngest, cdcStreamMaterialize, cdcUpsertSink,
-    cdcJdbcUpsert, cdcSchemaEvolve, qStreamTumbling, qStreamSession,
-    qStreamJoin, cdcStreamEnrich)
+    cdcJdbcUpsert, cdcStreamDedup, cdcSchemaEvolve, qStreamTumbling,
+    qStreamSession, qStreamJoin, cdcStreamEnrich)
 }

@@ -107,6 +107,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(all == Seq((1L, 100L, 10L), (2L, 250L, 20L)))
   }
 
+  test("stateful dropDuplicates drops a whole-batch replay delivered later") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[ChangeRow]
+    val q = in.toDS().toDF().dropDuplicates("key", "scn").writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      val batch = Seq(ins(1, 10, 100), ins(2, 11, 200))
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      // the transport redelivers the entire first batch plus one new event
+      in.addData(batch :+ ins(3, 12, 300): _*)
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(rows.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)),
+        "replayed events must be dropped by state, the new event kept")
+    } finally q.stop()
+  }
+
   test("keyed state runs on the RocksDB state store (the cluster-scale provider)") {
     // the scale story says keyed state is RocksDB-backed on a real
     // cluster; prove the pipeline actually runs on that provider
