@@ -51,7 +51,7 @@ object Streams {
       // beats the batch-tuned setting (on a real cluster this is sized
       // to executor count, and is a fixed property of the checkpoint)
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = sdf.writeStream.format("memory").queryName(name)
           .outputMode(mode).start()

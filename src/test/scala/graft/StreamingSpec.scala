@@ -127,6 +127,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark-bounded dedup drops replays inside the delay window (bounded state)") {
+    // the production-scale variant of cdc_stream_dedup: state is
+    // bounded by the watermark delay instead of growing forever
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = in.toDF().toDF("key", "scn", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("key", "scn")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000000000L)
+      in.addData((1L, 10L, t0), (2L, 11L, t0))
+      q.processAllAvailable()
+      // replay arrives a batch later, still within the 1h delay
+      in.addData((1L, 10L, t0), (3L, 12L, t0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_dedup").select("key", "scn").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(rows.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+    } finally q.stop()
+  }
+
   test("keyed state runs on the RocksDB state store (the cluster-scale provider)") {
     // the scale story says keyed state is RocksDB-backed on a real
     // cluster; prove the pipeline actually runs on that provider
