@@ -210,7 +210,76 @@ object CdcQueries {
             |$parsedSql
             |ORDER BY scn""".stripMargin))
 
+  /** Snapshot bootstrap + catchup: the reference's operational start
+    * sequence — an initial consistent load of the source table, then
+    * the change stream applied on top (reference README.md "initial
+    * snapshot" flow). Seed rows enter the same materialization as
+    * change events, at a pre-stream scn, so the latest-per-key merge
+    * needs no special bootstrap mode: changed keys take their latest
+    * event, untouched keys keep the seed, deleted keys vanish. */
+  val cdcBootstrap: Q = Q(
+    "cdc_bootstrap",
+    (s, dir) => {
+      val seed = Tables(s, dir).customer.select(
+        lit(-1L).as("scn"), lit(0L).as("tm"), lit("0.0").as("xid"),
+        lit("c").as("op"), col("c_custkey").as("key"),
+        expr("""named_struct(
+               |  'id', c_custkey,
+               |  'cents', CAST(round(c_acctbal * 100) AS BIGINT),
+               |  'type', 'seed')""".stripMargin).as("after"),
+        expr("CAST(NULL AS STRUCT<id: BIGINT, cents: BIGINT, type: STRING>)")
+          .as("before"))
+      Cdc.materialize(parsed(s, dir).unionByName(seed)).orderBy("key")
+    },
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql),
+            |seed AS (
+            |  SELECT CAST(-1 AS BIGINT) AS scn, '0.0' AS xid, 'c' AS op,
+            |    c_custkey AS key, c_custkey AS after_id,
+            |    CAST(round(c_acctbal * 100) AS BIGINT) AS after_cents,
+            |    'seed' AS after_type
+            |  FROM customer),
+            |allev AS (
+            |  SELECT scn, xid, op, key, after_id, after_cents, after_type FROM p
+            |  UNION ALL SELECT * FROM seed),
+            |ranked AS (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY key ORDER BY scn DESC, xid DESC) AS rn
+            |  FROM allev)
+            |SELECT key, after_id AS id, after_cents AS cents,
+            |  after_type AS type, scn AS last_scn
+            |FROM ranked WHERE rn = 1 AND op <> 'd'
+            |ORDER BY key""".stripMargin))
+
+  /** Transaction assembly: group the interleaved event stream back
+    * into source transactions and emit per-transaction summaries in
+    * commit order — what a transactional consumer (the reference sink
+    * applies per-transaction via Kafka ordering; OLR buffers large
+    * transactions) needs. The feed carries one op per event, so
+    * transactions are modeled as fixed scn batches (txn = scn div 20);
+    * the operator itself — partial-aggregated per-txn rollup, one
+    * shuffle on the txn id — is the real thing. */
+  val cdcTxnAssemble: Q = Q(
+    "cdc_txn_assemble",
+    (s, dir) => flatten(parsed(s, dir))
+      .withColumn("txn_id", expr("scn div 20"))
+      .groupBy("txn_id")
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when(col("op") === "c", 1L).otherwise(0L)).as("n_inserts"),
+        sum(when(col("op") === "u", 1L).otherwise(0L)).as("n_updates"),
+        sum(when(col("op") === "d", 1L).otherwise(0L)).as("n_deletes"),
+        countDistinct("key").as("n_keys"),
+        min("scn").as("first_scn"), max("scn").as("commit_scn"))
+      .orderBy("txn_id"),
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql)
+            |SELECT scn // 20 AS txn_id, count(*) AS n_ops,
+            |  CAST(sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+            |  CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+            |  CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+            |  count(DISTINCT key) AS n_keys,
+            |  min(scn) AS first_scn, max(scn) AS commit_scn
+            |FROM p GROUP BY 1 ORDER BY txn_id""".stripMargin))
+
   val all: Seq[Q] = Seq(cdcParse, cdcUnwrap, cdcDeleteRewrite,
     cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin, cdcKafkaWire,
-    cdcAvroRoundtrip)
+    cdcAvroRoundtrip, cdcBootstrap, cdcTxnAssemble)
 }

@@ -43,6 +43,21 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.dedup(doubled).count() == parsed.count())
   }
 
+  test("bootstrap: changed keys take events, untouched keys keep seeds, deletes win") {
+    val snap = SparkEntry.queries("cdc_bootstrap")(spark, sfDir)
+    val seeds = snap.filter(col("type") === "seed")
+    val changed = snap.filter(col("type") =!= "seed")
+    assert(seeds.count() > 0 && changed.count() > 0)
+    // seed rows carry the pre-stream scn; changed rows a real one
+    assert(seeds.filter(col("last_scn") =!= -1L).count() == 0)
+    assert(changed.filter(col("last_scn") < 0L).count() == 0)
+    // a key whose latest event is a delete is absent even if seeded
+    val deletedLast = Cdc.materialize(parsed)  // keys surviving the feed
+    val feedKeys = parsed.select("key").distinct()
+    val deleted = feedKeys.except(deletedLast.select("key"))
+    assert(snap.join(deleted, "key").count() == 0)
+  }
+
   test("materialize plan has exactly one shuffle (on the key)") {
     val plan = Cdc.materialize(parsed).queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
