@@ -64,19 +64,29 @@ object Dedup {
     * the 60-bit shingle hash, not the shingle string: an 8-byte
     * shuffle key instead of ~25 bytes of text, and the oracle blocks
     * on the same hash so any collision affects both sides equally. */
-  /** (doc_id, shingle-hash) rows, distinct — the blocking base for the
-    * Jaccard pair generator and the contamination check. */
-  private[operators] def shingleRows(s: SparkSession, dir: String): DataFrame =
+  /** Per-document DISTINCT shingle-hash arrays: deduplication happens
+    * row-locally with array_distinct (no shuffle), so downstream
+    * consumers get unique (doc_id, sh) pairs from a plain explode and
+    * the per-doc shingle count is just size(hs) — the
+    * distinct-as-aggregation formulation costs an extra exchange of
+    * every (doc, shingle) row. */
+  private[operators] def shingleArrays(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("words", expr(words("text")))
       .filter(expr("size(words) >= 3"))
-      .select(col("doc_id"), explode(expr(shingleHashes60("words"))).as("sh"))
-      .distinct()
+      .withColumn("hs", expr(s"array_distinct(${shingleHashes60("words")})"))
+
+  /** (doc_id, shingle-hash) rows, unique — the blocking base for the
+    * Jaccard pair generator and the contamination check. */
+  private[operators] def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleArrays(s, dir).select(col("doc_id"), explode(col("hs")).as("sh"))
 
   /** word-3-gram Jaccard >= 0.8 duplicate pairs (da < db, jac). */
   private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(s, dir)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val base = shingleArrays(s, dir)
+    val sh = base.select(col("doc_id"), explode(col("hs")).as("sh"))
+    // row-local count — no aggregation, no exchange
+    val cnt = base.select(col("doc_id"), expr("size(hs)").as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
