@@ -279,7 +279,43 @@ object CdcQueries {
             |  min(scn) AS first_scn, max(scn) AS commit_scn
             |FROM p GROUP BY 1 ORDER BY txn_id""".stripMargin))
 
+  /** SCD2 history: the changelog as a versioned audit table — every
+    * non-delete event is a version valid from its scn until the next
+    * event on the key (any op, including the delete that closes it);
+    * open versions carry valid_to = -1 and is_current = true. The other
+    * face of cdc_materialize: same one shuffle on the key, but keeping
+    * every version instead of the latest. Per-key ordered history is
+    * inherently sequential; histories are bounded per key (the
+    * two-phase bucket trick from Skew applies if a key's history ever
+    * isn't). */
+  val cdcScd2History: Q = Q(
+    "cdc_scd2_history",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("key").orderBy(col("scn").asc, col("xid").asc)
+      flatten(parsed(s, dir))
+        .withColumn("next_scn", lead("scn", 1).over(w))
+        .filter(col("op") =!= "d")
+        .select(col("key"), col("scn").as("valid_from"),
+          coalesce(col("next_scn"), lit(-1L)).as("valid_to"),
+          col("after_id").as("id"), col("after_cents").as("cents"),
+          col("after_type").as("type"),
+          col("next_scn").isNull.as("is_current"))
+        .orderBy("key", "valid_from")
+    },
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql),
+            |v AS (
+            |  SELECT *, lead(scn) OVER
+            |    (PARTITION BY key ORDER BY scn ASC, xid ASC) AS next_scn
+            |  FROM p)
+            |SELECT key, scn AS valid_from,
+            |  coalesce(next_scn, -1) AS valid_to,
+            |  after_id AS id, after_cents AS cents, after_type AS type,
+            |  next_scn IS NULL AS is_current
+            |FROM v WHERE op <> 'd'
+            |ORDER BY key, valid_from""".stripMargin))
+
   val all: Seq[Q] = Seq(cdcParse, cdcUnwrap, cdcDeleteRewrite,
     cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin, cdcKafkaWire,
-    cdcAvroRoundtrip, cdcBootstrap, cdcTxnAssemble)
+    cdcAvroRoundtrip, cdcBootstrap, cdcTxnAssemble, cdcScd2History)
 }

@@ -58,6 +58,19 @@ class CdcSpec extends SparkSpec {
     assert(snap.join(deleted, "key").count() == 0)
   }
 
+  test("scd2 history: current versions equal the materialized snapshot; intervals are sane") {
+    val scd2 = SparkEntry.queries("cdc_scd2_history")(spark, sfDir)
+    val current = scd2.filter(col("is_current"))
+      .select(col("key"), col("id"), col("cents"), col("type"),
+        col("valid_from").as("last_scn"))
+      .collect().map(_.toSeq).toSet
+    val snap = Cdc.materialize(parsed).collect().map(_.toSeq).toSet
+    assert(current == snap)
+    // every closed interval ends strictly after it starts
+    assert(scd2.filter(col("valid_to") =!= -1L)
+      .filter(col("valid_to") <= col("valid_from")).count() == 0)
+  }
+
   test("materialize plan has exactly one shuffle (on the key)") {
     val plan = Cdc.materialize(parsed).queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
