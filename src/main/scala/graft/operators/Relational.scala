@@ -495,6 +495,31 @@ object Relational {
            |    ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
            |FROM customer ORDER BY c_custkey""".stripMargin))
 
+  /** Hopping (sliding) window aggregate: 1-hour windows every 30
+    * minutes, so each event contributes to exactly two windows — the
+    * ksqlDB HOPPING window. Spark's window() expands the event to its
+    * windows before the shuffle (map-side), so the only exchange is
+    * the per-(window, type) aggregation; the oracle replays the same
+    * expansion with integer window arithmetic. */
+  val qHoppingWindow: Q = Q(
+    "q_hopping_window",
+    (s, dir) => t(s, dir).events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start_us", "event_type"),
+    Some("""WITH e AS (
+           |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events),
+           |x AS (
+           |  SELECT event_type, value,
+           |    ((us // 1800000000) - k) * 1800000000 AS window_start_us
+           |  FROM e, unnest([0, 1]) AS t(k))
+           |SELECT window_start_us, event_type, count(*) AS n,
+           |  round(sum(value), 2) AS sum_value
+           |FROM x GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin))
+
   /** Tumbling hourly window aggregate over the event stream (batch
     * form; streaming twin lives in streaming/StreamOps.scala). Bucket
     * is integer hour-since-epoch — shuffle on the bucket only. */
@@ -719,6 +744,6 @@ object Relational {
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
     qHaving, qConditionalAgg, qDateRollup, qPercentiles, qArgmax, qPivot,
     qGroupingSets, qUnionDedup, qSessionize, qSessionize2Phase, qNtile,
-    qTumblingWindow, qEventsJson, qAsofJoin, qApproxPercentile, qRangeJoin,
-    qCube, qProfile)
+    qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
+    qApproxPercentile, qRangeJoin, qCube, qProfile)
 }

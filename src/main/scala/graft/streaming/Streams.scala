@@ -312,6 +312,30 @@ object Streams {
            |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin))
 
+  /** hopping (sliding) window aggregation, incremental with watermark —
+    * the ksqlDB HOPPING window; each event updates two window states. */
+  val qStreamHopping: Q = Q(
+    "q_stream_hopping",
+    (s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+      runBounded(agg, "complete").orderBy("window_start_us", "event_type")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events),
+           |x AS (
+           |  SELECT event_type, value,
+           |    ((us // 1800000000) - k) * 1800000000 AS window_start_us
+           |  FROM e, unnest([0, 1]) AS t(k))
+           |SELECT window_start_us, event_type, count(*) AS n,
+           |  round(sum(value), 2) AS sum_value
+           |FROM x GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin))
+
   /** streaming session windows (30-minute gap) per user. */
   val qStreamSession: Q = Q(
     "q_stream_session",
@@ -403,5 +427,5 @@ object Streams {
 
   val all: Seq[Q] = Seq(cdcStreamIngest, cdcStreamMaterialize, cdcUpsertSink,
     cdcJdbcUpsert, cdcStreamDedup, cdcSchemaEvolve, qStreamTumbling,
-    qStreamSession, qStreamJoin, cdcStreamEnrich)
+    qStreamHopping, qStreamSession, qStreamJoin, cdcStreamEnrich)
 }
