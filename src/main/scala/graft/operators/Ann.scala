@@ -208,5 +208,62 @@ object Ann {
             |  round(max(norm), 6) AS max_norm
             |FROM e GROUP BY label""".stripMargin))
 
-  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms)
+  /** Recall@K evaluation of the LSH index against exact ground truth —
+    * the quality harness any ANN deployment runs before trusting the
+    * approximate path. Per probe: how many of the exact top-K the LSH
+    * result recovered, as an integer percentage (no float boundary).
+    * Both inputs are the deterministic ann_bruteforce / ann_lsh
+    * results, so the oracle recomputes the same join of their CTEs. */
+  val annRecall: Q = Q(
+    "ann_recall",
+    (s, dir) => {
+      val exact = annBruteforce.run(s, dir).select(col("probe_id"), col("n_id"))
+      val approx = annLsh.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+        .withColumn("recall_pct", expr("hits * 100 div k"))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), p AS (
+            |  SELECT vec_id AS probe_id, v AS pv FROM e WHERE $ProbeFilter
+            |), bf_scored AS (
+            |  SELECT probe_id, e.vec_id AS n_id, ${duckCosine("pv", "e.v")} AS cos
+            |  FROM e JOIN p ON e.vec_id <> p.probe_id
+            |), bf_ranked AS (
+            |  SELECT probe_id, n_id,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM bf_scored
+            |), exact AS (
+            |  SELECT probe_id, n_id FROM bf_ranked WHERE rank <= $K
+            |), keys AS (
+            |  SELECT vec_id, unnest(${duckHyperplaneKeys("v")}) AS bk FROM e
+            |), pk AS (
+            |  SELECT vec_id AS probe_id, bk FROM keys WHERE $ProbeFilter
+            |), cand AS (
+            |  SELECT DISTINCT pk.probe_id, k.vec_id AS n_id
+            |  FROM keys k JOIN pk ON k.bk = pk.bk AND k.vec_id <> pk.probe_id
+            |), lsh_scored AS (
+            |  SELECT c.probe_id, c.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM cand c
+            |  JOIN e ep ON c.probe_id = ep.vec_id
+            |  JOIN e en ON c.n_id = en.vec_id
+            |), lsh_ranked AS (
+            |  SELECT probe_id, n_id,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM lsh_scored
+            |), approx AS (
+            |  SELECT probe_id, n_id FROM lsh_ranked WHERE rank <= $K
+            |)
+            |SELECT x.probe_id, count(*) AS k, count(a.n_id) AS hits,
+            |  count(a.n_id) * 100 // count(*) AS recall_pct
+            |FROM exact x LEFT JOIN approx a
+            |  ON x.probe_id = a.probe_id AND x.n_id = a.n_id
+            |GROUP BY 1 ORDER BY x.probe_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall)
 }
