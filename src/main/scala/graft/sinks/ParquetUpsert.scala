@@ -54,6 +54,39 @@ object ParquetUpsert {
     // materialize before the overwrite — the plan reads the same files
     // the write is about to replace
     val out = merged.localCheckpoint(true)
+    writeDynamic(out, target)
+  }
+
+  /** Tombstone compaction: once every replica/consumer has passed
+    * `upToScn`, delete tombstones at or below it can no longer be
+    * needed to fence late events — rewrite ONLY the buckets that hold
+    * such tombstones, dropping them. Buckets left completely empty have
+    * their directories removed (dynamic overwrite cannot replace a
+    * partition with nothing). Like the merge itself, cost is
+    * O(affected buckets), never O(table). */
+  def compact(sp: org.apache.spark.sql.SparkSession, target: String,
+              upToScn: Long): Unit = {
+    val full = sp.read.parquet(target)
+    val oldTomb = col("op") === "d" && col("scn") <= upToScn
+    val affected = full.filter(oldTomb)
+      .select("bucket").distinct().collect().map(_.getInt(0))
+    if (affected.isEmpty) return
+    val kept = full
+      .filter(col("bucket").isin(affected.map(Int.box): _*))
+      .filter(!oldTomb)
+      .localCheckpoint(true)
+    val keptBuckets = kept.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (keptBuckets.nonEmpty) writeDynamic(kept, target)
+    val root = new org.apache.hadoop.fs.Path(target)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    affected.filterNot(keptBuckets).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true)
+    }
+  }
+
+  private def writeDynamic(out: DataFrame, target: String): Unit = {
+    val sp = out.sparkSession
     val prev = sp.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try out.write.mode("overwrite").partitionBy("bucket").parquet(target)

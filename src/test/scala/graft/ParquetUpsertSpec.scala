@@ -92,6 +92,34 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(snapshot(target).contains((1L, 111L, 100L)))
   }
 
+  test("compaction drops aged tombstones bucket-by-bucket, leaves live buckets alone") {
+    import org.apache.spark.sql.functions.col
+    val target = newTarget()
+    // keys 1..30 live; keys 31..33 inserted then deleted (tombstones)
+    ParquetUpsert.applyBatch(
+      toBatch((1L to 33L).map(k => ins(k, k, k * 10))), target)
+    ParquetUpsert.applyBatch(
+      toBatch(Seq(del(31, 100), del(32, 101), del(33, 102))), target)
+    val before = fileState(target)
+    assert(spark.read.parquet(target).filter(col("op") === "d").count() == 3)
+
+    ParquetUpsert.compact(spark, target, upToScn = 102)
+
+    // tombstones gone, live rows intact
+    assert(spark.read.parquet(target).filter(col("op") === "d").count() == 0)
+    assert(snapshot(target).map(_._1).toSet == (1L to 30L).toSet)
+    // buckets that held no aged tombstone are physically untouched
+    val tombBuckets = Seq(31L, 32L, 33L).map(k => s"bucket=${bucketOf(k)}").toSet
+    val after = fileState(target)
+    before.keys.filterNot(tombBuckets).foreach { b =>
+      assert(after(b) == before(b), s"bucket $b without tombstones was rewritten")
+    }
+    // a later redelivered stale insert for a compacted key re-inserts
+    // (the fence is gone by contract — upToScn means everyone is past it)
+    ParquetUpsert.applyBatch(toBatch(Seq(ins(31, 50, 999))), target)
+    assert(snapshot(target).contains((31L, 999L, 50L)))
+  }
+
   test("the existing-state read is partition-pruned to the touched buckets") {
     import org.apache.spark.sql.execution.ExplainMode
     import org.apache.spark.sql.functions.{col, input_file_name}
