@@ -315,7 +315,45 @@ object CdcQueries {
             |FROM v WHERE op <> 'd'
             |ORDER BY key, valid_from""".stripMargin))
 
+  /** Dead-letter routing: corrupt wire records (every 97th payload is
+    * truncated, simulating producer/transport mangling) must not kill
+    * the pipeline OR silently vanish — they are classified and carried
+    * with is_valid = false and sentinel fields, ready for a dead-letter
+    * sink, while valid records parse normally. PERMISSIVE from_json
+    * yields an all-null row on malformed input, so validity is judged
+    * by the always-present scn field; the oracle classifies with
+    * json_valid(). Map-only, fused into the scan. */
+  val cdcDeadLetter: Q = Q(
+    "cdc_dead_letter",
+    (s, dir) => {
+      val wire = feed(s, dir).withColumn("wire",
+        when(col("event_id") % 97 === 0,
+          expr("substr(json, 1, length(json) - 2)"))
+          .otherwise(col("json")))
+      wire.withColumn("e", from_json(col("wire"), Cdc.changeSchema))
+        .select(col("event_id"),
+          col("e.scn").isNotNull.as("is_valid"),
+          coalesce(col("e.scn"), lit(-1L)).as("scn"),
+          coalesce(col("e.key"), lit(-1L)).as("key"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH feed AS ($feedSql),
+            |wire AS (
+            |  SELECT event_id,
+            |    CASE WHEN event_id % 97 = 0
+            |      THEN substring(json, 1, length(json) - 2) ELSE json END AS wire
+            |  FROM feed)
+            |SELECT event_id, json_valid(wire) AS is_valid,
+            |  CASE WHEN json_valid(wire)
+            |    THEN coalesce(CAST(json_extract(wire, '$$.scn') AS BIGINT), -1)
+            |    ELSE -1 END AS scn,
+            |  CASE WHEN json_valid(wire)
+            |    THEN coalesce(CAST(json_extract(wire, '$$.key') AS BIGINT), -1)
+            |    ELSE -1 END AS key
+            |FROM wire ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(cdcParse, cdcUnwrap, cdcDeleteRewrite,
     cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin, cdcKafkaWire,
-    cdcAvroRoundtrip, cdcBootstrap, cdcTxnAssemble, cdcScd2History)
+    cdcAvroRoundtrip, cdcBootstrap, cdcTxnAssemble, cdcScd2History,
+    cdcDeadLetter)
 }
