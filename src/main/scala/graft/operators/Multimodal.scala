@@ -126,5 +126,21 @@ object Multimodal {
         if (bytes.length == 0) 0L else sum / bytes.length)
     }
 
-  val all: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmFeatureExtract)
+  /** content-addressed dedup of binary media: group by sha-256 of the
+    * payload (a 32-byte shuffle key regardless of media size — the only
+    * viable dedup key when items are megabytes), keep the min doc_id.
+    * The multimodal face of dedup_exact_norm. */
+  val mmDedup: Q = Q(
+    "mm_dedup",
+    (s, dir) => docs(s, dir)
+      .withColumn("sha", sha2(col("text").cast("binary"), 256))
+      .groupBy("sha")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id"),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM documents GROUP BY sha256(text)
+           |ORDER BY keep_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmFeatureExtract, mmDedup)
 }

@@ -92,6 +92,20 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(snapshot(target).contains((1L, 111L, 100L)))
   }
 
+  test("replayed micro-batch is idempotent (foreachBatch recovery re-delivers batches)") {
+    val target = newTarget()
+    val b1 = Seq(ins(1, 10, 100), ins(2, 11, 200), del(3, 12))
+    ParquetUpsert.applyBatch(toBatch(b1), target)
+    ParquetUpsert.applyBatch(toBatch(Seq(upd(1, 20, 150))), target)
+    val settled = snapshot(target)
+    // checkpoint recovery replays the last committed batch
+    ParquetUpsert.applyBatch(toBatch(Seq(upd(1, 20, 150))), target)
+    assert(snapshot(target) == settled)
+    // and even a replay of an OLDER batch cannot regress state
+    ParquetUpsert.applyBatch(toBatch(b1), target)
+    assert(snapshot(target) == settled)
+  }
+
   test("compaction drops aged tombstones bucket-by-bucket, leaves live buckets alone") {
     import org.apache.spark.sql.functions.col
     val target = newTarget()
