@@ -43,10 +43,26 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Full per-query detail goes to a file (committed per round); the
+    // stdout line keeps only the slowest 30 so the whole line stays well
+    // under the driver's 2000-char output tail — rounds 1-3 printed all
+    // queries at full precision and the driver never managed to parse it.
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$detail,"iters":$iters,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson + "\n")
+    catch { case _: Throwable => () }
+    val top = results.sortBy(-_._2).take(30).sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val sfName = new java.io.File(sfDir).getName
     spark.stop()
+    // printed LAST (after spark.stop) so no Spark WARN line can land
+    // between this and the end of the driver's captured tail
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top,"iters":$iters,"sf":"$sfName"}""")
   }
 }
