@@ -328,6 +328,127 @@ object Ann {
             |  ON x.probe_id = a.probe_id AND x.n_id = a.n_id
             |GROUP BY 1 ORDER BY x.probe_id""".stripMargin))
 
+  /** IVF with nprobe=2: probes search their TWO nearest cells instead
+    * of one — the standard recall lever (ann_recall_ivf quantifies how
+    * much single-cell search loses). Base vectors are still assigned to
+    * exactly one cell, so the candidate sets of the two probed cells
+    * are disjoint and need no dedup; candidate cost is ~2x ann_ivf,
+    * still cell-bounded, never O(n). */
+  val annIvfNprobe: Q = Q(
+    "ann_ivf_nprobe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2")))
+      val cellScores = e.crossJoin(cents)
+        .select(col("vec_id"), col("c_id"),
+          cosWith("v", "n2", "cv", "cn2").as("c_cos"))
+      val assigned = cellScores.groupBy("vec_id")
+        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+      // per-probe top-2 cells: a window over only |probes| x 16 rows
+      val probeCells = cellScores.filter(expr(ProbeFilter))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id").as("probe_id"), col("c_id").as("cell"))
+      val cand = assigned.join(broadcast(probeCells), "cell")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("n_id"))
+      val scored = cand
+        .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
+          col("probe_id") === col("vec_id"))
+        .drop("vec_id")
+        .join(e.select(col("vec_id"), col("v").as("nv"), col("n2").as("nn2")),
+          col("n_id") === col("vec_id"))
+        .select(col("probe_id"), col("n_id"),
+          cosWith("pv", "pn2", "nv", "nn2").as("cos"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), c AS (
+            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+            |), cs AS (
+            |  SELECT e.vec_id, c_id, ${duckCosine("e.v", "cv")} AS c_cos
+            |  FROM e CROSS JOIN c
+            |), assigned AS (
+            |  SELECT vec_id, c_id AS cell FROM (
+            |    SELECT vec_id, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS rn
+            |    FROM cs
+            |  ) WHERE rn = 1
+            |), pc AS (
+            |  SELECT vec_id AS probe_id, c_id AS cell FROM (
+            |    SELECT vec_id, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS crn
+            |    FROM cs WHERE $ProbeFilter
+            |  ) WHERE crn <= 2
+            |), cand AS (
+            |  SELECT pc.probe_id, a.vec_id AS n_id
+            |  FROM assigned a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+            |), scored AS (
+            |  SELECT cand.probe_id, cand.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM cand
+            |  JOIN e ep ON cand.probe_id = ep.vec_id
+            |  JOIN e en ON cand.n_id = en.vec_id
+            |), ranked AS (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM scored
+            |)
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM ranked WHERE rank <= 5""".stripMargin))
+
+  /** Per-vector symmetric int8 quantization — the compression step an
+    * embedding store applies before indexing (4x smaller than float32,
+    * dot products on integers). Codes are floor(x*127/maxabs + 0.5)
+    * (floor, not round: half-even vs half-up can't diverge between
+    * engines), surfaced as one scalar digest per vector because the
+    * driver's comparator can't hash array cells; max reconstruction
+    * error is the quality audit. Map-only over the scan: no shuffle at
+    * any scale. The fold accumulator seeds maxabs at 1e-12 so a zero
+    * vector can't divide by zero. */
+  val vecQuantize: Q = Q(
+    "vec_quantize",
+    (s, dir) => Tables(s, dir).embeddings
+      .select(col("vec_id"), expr(toDouble("embedding")).as("v"))
+      .withColumn("maxabs",
+        expr("aggregate(v, CAST(1e-12 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("codes",
+        expr("transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))"))
+      .select(col("vec_id"),
+        round(col("maxabs"), 6).as("max_abs"),
+        expr(sigDigest("transform(codes, c -> c + 127)")).as("code_digest"),
+        round(expr(
+          "aggregate(zip_with(v, codes, (x, c) -> abs(x - c * maxabs / 127.0)), CAST(0 AS DOUBLE), (a, y) -> greatest(a, y))"),
+          6).as("max_err"))
+      .orderBy("vec_id"),
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), m AS (
+            |  SELECT vec_id, v,
+            |    list_reduce(list_prepend(CAST(1e-12 AS DOUBLE),
+            |      list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
+            |  FROM e
+            |), q AS (
+            |  SELECT vec_id, v, maxabs,
+            |    list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)) AS codes
+            |  FROM m
+            |)
+            |SELECT vec_id, round(maxabs, 6) AS max_abs,
+            |  ${duckSigDigest("list_transform(codes, c -> c + 127)")} AS code_digest,
+            |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            |    list_transform(range(1, 65), i -> abs(v[i] - codes[i] * maxabs / 127.0))),
+            |    (a, y) -> greatest(a, y)), 6) AS max_err
+            |FROM q ORDER BY vec_id""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
-    annRecallIvf)
+    annRecallIvf, annIvfNprobe, vecQuantize)
 }

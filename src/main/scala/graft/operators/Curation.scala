@@ -174,5 +174,91 @@ object Curation {
             |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
             |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(textContamination, sampleStratified, pipelineCurate)
+  /** Sequence packing: the GPT-style pre-training step that concatenates
+    * documents in a deterministic order and cuts the stream every
+    * SeqTokens tokens. A document is assigned to the sequence its first
+    * token lands in (running token count over the shard, a window that
+    * partial-sorts per shard only). Shards are a portable hash of the
+    * doc_id: on a cluster each shard's window is independent, so
+    * parallelism = #shards and no global sort exists anywhere. Output
+    * is the per-sequence manifest a loader would read. */
+  private val SeqTokens = 512
+  private val NShards = 8
+
+  val pipelinePack: Q = Q(
+    "pipeline_pack",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          expr(s"size(${words("text")})").as("tokens"),
+          (expr(charHash("concat('k', CAST(doc_id AS STRING))")) % NShards).as("shard"))
+        .withColumn("cum", sum("tokens").over(w))
+        .withColumn("seq_id", expr(s"(cum - tokens) div $SeqTokens"))
+        .groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("seq_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard", "seq_id")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, len(${duckWords("text")}) AS tokens,
+            |    ${duckCharHash("concat('k', CAST(doc_id AS VARCHAR))")} % $NShards AS shard
+            |  FROM documents
+            |), c AS (
+            |  SELECT *, CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            |  FROM t
+            |)
+            |SELECT shard, (cum - tokens) // $SeqTokens AS seq_id,
+            |  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS seq_tokens,
+            |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin))
+
+  /** Domain mixing: rebalance the corpus so every (lang, source)
+    * stratum contributes equally — each stratum is sampled down to the
+    * smallest stratum's size (rate = c_min/c, as an integer percent, so
+    * no float boundary exists). The stratum census is tiny and
+    * broadcast; membership is again a pure hash of the doc_id, so the
+    * corpus side stays a single map-only scan at 100 TB. */
+  val sampleMix: Q = Q(
+    "sample_mix",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val counts = d.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_before"))
+      val cmin = counts.agg(min("n_before").as("c_min"))
+      val rates = counts.crossJoin(broadcast(cmin))
+        .withColumn("rate_pct", expr("c_min * 100 div n_before"))
+        .select("lang", "source", "n_before", "rate_pct")
+      val kept = d.join(broadcast(rates), Seq("lang", "source"))
+        .filter(expr(charHash("concat('x', CAST(doc_id AS STRING))")) % 100
+          < col("rate_pct"))
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_after"))
+      rates.join(kept, Seq("lang", "source"), "left")
+        .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+        .orderBy("lang", "source")
+    },
+    Some(s"""WITH c AS (
+            |  SELECT lang, source, count(*) AS n_before
+            |  FROM documents GROUP BY 1, 2
+            |), m AS (
+            |  SELECT min(n_before) AS c_min FROM c
+            |), r AS (
+            |  SELECT lang, source, n_before, c_min * 100 // n_before AS rate_pct
+            |  FROM c, m
+            |), k AS (
+            |  SELECT d.lang, d.source, count(*) AS n_after
+            |  FROM documents d JOIN r USING (lang, source)
+            |  WHERE ${duckCharHash("concat('x', CAST(doc_id AS VARCHAR))")} % 100 < rate_pct
+            |  GROUP BY 1, 2
+            |)
+            |SELECT r.lang, r.source, n_before, rate_pct,
+            |  coalesce(n_after, 0) AS n_after
+            |FROM r LEFT JOIN k USING (lang, source)
+            |ORDER BY lang, source""".stripMargin))
+
+  val all: Seq[Q] = Seq(textContamination, sampleStratified, pipelineCurate,
+    pipelinePack, sampleMix)
 }

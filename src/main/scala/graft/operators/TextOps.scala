@@ -153,6 +153,87 @@ object TextOps {
             |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
             |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin))
 
+  /** PII detection + redaction — the scrub pass a training corpus runs
+    * before anything else ships. The synthetic corpus carries no PII,
+    * so the query plants a deterministic email + phone per document
+    * (pure doc_id arithmetic, identical in the oracle) and then runs
+    * the real operator: pattern counts + regexp_replace redaction.
+    * Patterns avoid backslash escapes entirely ([.] instead of \.) so
+    * the Java and RE2 regex dialects cannot diverge. Map-only — at
+    * 100 TB this fuses into the scan with zero shuffles. */
+  private val EmailRe = "[A-Za-z0-9_%+-]+@[A-Za-z0-9-]+[.][A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-555-[0-9]{4}"
+
+  val textPiiRedact: Q = Q(
+    "text_pii_redact",
+    (s, dir) => docs(s, dir)
+      .withColumn("aug", expr(
+        "concat(text, ' contact user', doc_id, '@mail', doc_id % 7, " +
+          "'.com or call ', 100 + doc_id % 900, '-555-', " +
+          "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"))
+      .select(
+        col("doc_id"),
+        expr(s"regexp_count(aug, '$EmailRe')").as("n_emails"),
+        expr(s"regexp_count(aug, '$PhoneRe')").as("n_phones"),
+        expr(fp60(s"regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>'), '$PhoneRe', '<PHONE>')"))
+          .as("red_fp"))
+      .orderBy("doc_id"),
+    Some(s"""WITH a AS (
+            |  SELECT doc_id,
+            |    text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+            |    '.com or call ' || (100 + doc_id % 900) || '-555-' ||
+            |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+            |  FROM documents
+            |)
+            |SELECT doc_id,
+            |  len(regexp_extract_all(aug, '$EmailRe')) AS n_emails,
+            |  len(regexp_extract_all(aug, '$PhoneRe')) AS n_phones,
+            |  ${duckFp60(s"regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')")} AS red_fp
+            |FROM a ORDER BY doc_id""".stripMargin))
+
+  /** Repetition signals (Gopher-style quality filters): per document,
+    * the fraction of word-2-grams that are duplicates and the share of
+    * the single most frequent 2-gram — high values flag boilerplate /
+    * TEMPLATE text that dedup misses. Integer percentages only (no
+    * float boundary). Shape: explode grams -> (doc, gram) counts ->
+    * per-doc rollup; both aggregations partial-aggregate map-side, and
+    * the (doc_id, gram) key is near-unique so the first shuffle carries
+    * ~one row per gram occurrence — linear at 100 TB. */
+  val textRepetition: Q = Q(
+    "text_repetition",
+    (s, dir) => docs(s, dir)
+      .withColumn("ws", expr(words("text")))
+      .filter(expr("size(ws) >= 2"))
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2)))"))
+        .as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"), count(lit(1)).as("n_distinct"),
+        max("cnt").as("max_cnt"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("max_cnt"),
+        expr("max_cnt * 100 div n_grams").as("top_gram_pct"),
+        expr("(n_grams - n_distinct) * 100 div n_grams").as("dup_gram_pct"))
+      .orderBy("doc_id"),
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents
+            |), g AS (
+            |  SELECT doc_id,
+            |    unnest([array_to_string(list_slice(ws, i, i + 1), ' ')
+            |            FOR i IN range(1, greatest(len(ws), 1))]) AS gram
+            |  FROM w WHERE len(ws) >= 2
+            |), c AS (
+            |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+            |), r AS (
+            |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+            |    count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_cnt
+            |  FROM c GROUP BY 1
+            |)
+            |SELECT doc_id, n_grams, n_distinct, max_cnt,
+            |  max_cnt * 100 // n_grams AS top_gram_pct,
+            |  (n_grams - n_distinct) * 100 // n_grams AS dup_gram_pct
+            |FROM r ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(textTokens, textLangid, textQuality,
-    textFingerprint, textNgramFreq)
+    textFingerprint, textNgramFreq, textPiiRedact, textRepetition)
 }
