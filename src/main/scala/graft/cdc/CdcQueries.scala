@@ -352,8 +352,37 @@ object CdcQueries {
             |    ELSE -1 END AS key
             |FROM wire ORDER BY event_id""".stripMargin))
 
+  /** Log compaction with version retention: the changelog compacted to
+    * the newest 3 versions per key — Kafka's compacted-topic semantics
+    * (the reference's change topics are exactly that) extended with the
+    * bounded version history consumers keep for replay/audit; delete
+    * tombstones are retained so a compacted reader still sees the
+    * deletion. One shuffle on the key; per-key history is bounded, and
+    * the rank-then-filter never materializes more than the retained
+    * depth downstream. */
+  val cdcCompact: Q = Q(
+    "cdc_compact",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("key").orderBy(col("scn").desc, col("xid").desc)
+      flatten(parsed(s, dir))
+        .withColumn("version_rank", row_number().over(w))
+        .filter(col("version_rank") <= 3)
+        .select(col("key"), col("scn"), col("op"),
+          col("after_cents").as("cents"), col("version_rank"))
+        .orderBy("key", "version_rank")
+    },
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql),
+            |ranked AS (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY key ORDER BY scn DESC, xid DESC) AS version_rank
+            |  FROM p)
+            |SELECT key, scn, op, after_cents AS cents, version_rank
+            |FROM ranked WHERE version_rank <= 3
+            |ORDER BY key, version_rank""".stripMargin))
+
   val all: Seq[Q] = Seq(cdcParse, cdcUnwrap, cdcDeleteRewrite,
     cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin, cdcKafkaWire,
     cdcAvroRoundtrip, cdcBootstrap, cdcTxnAssemble, cdcScd2History,
-    cdcDeadLetter)
+    cdcDeadLetter, cdcCompact)
 }

@@ -20,6 +20,14 @@ final case class KeyState(
 final case class SnapshotRow(
     key: Long, id: Long, cents: Long, `type`: String, last_scn: Long)
 
+/** One SCD2 version row emitted by the incremental history builder.
+  * Downstream sinks upsert on (key, valid_from): an open version
+  * (valid_to = -1) is later re-emitted closed when the next event on
+  * the key arrives. */
+final case class ScdRow(
+    key: Long, valid_from: Long, valid_to: Long,
+    id: Long, cents: Long, `type`: String, is_current: Boolean)
+
 /** Structured Streaming re-expression of the reference pipeline's
   * streaming half (OpenLogReplicator -> Kafka -> ksqlDB / JDBC sink).
   *
@@ -118,6 +126,72 @@ object Streams {
           }
       }
   }
+
+  /** Incremental SCD2 history: per-key keyed state holds only the OPEN
+    * version; each arriving event closes it (emitting the closed row)
+    * and opens a new one (emitted with valid_to = -1, re-emitted closed
+    * when superseded — an upsert on (key, valid_from)). State is O(1)
+    * per key regardless of history length, which is what makes SCD2
+    * viable as a streaming operator at 100 TB: the full history lives
+    * in the sink, never in the state store. Events are sorted by
+    * (scn, xid) within each batch; stale events (scn at or below the
+    * open version) are dropped, mirroring the at-least-once dedup the
+    * batch operator gets from its window. */
+  def scd2Stream(parsed: Dataset[ChangeRow]): Dataset[ScdRow] = {
+    import parsed.sparkSession.implicits._
+    parsed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KeyState, ScdRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, events: Iterator[ChangeRow], state: GroupState[KeyState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.scn, e.xid))
+          var out = List.empty[ScdRow]
+          var cur = state.getOption.orNull
+          sorted.foreach { e =>
+            val newer = cur == null || e.scn > cur.scn ||
+              (e.scn == cur.scn && e.xid > cur.xid)
+            if (newer) {
+              if (cur != null && !cur.deleted)
+                out ::= ScdRow(key, cur.scn, e.scn, cur.id, cur.cents, cur.typ,
+                  is_current = false)
+              cur =
+                if (e.op == "d") KeyState(e.scn, e.xid, -1, -1, "", deleted = true)
+                else KeyState(e.scn, e.xid, e.id.getOrElse(-1L),
+                  e.cents.getOrElse(-1L), e.typ.getOrElse(""), deleted = false)
+            }
+          }
+          if (cur == null) Iterator.empty
+          else {
+            state.update(cur)
+            if (!cur.deleted)
+              out ::= ScdRow(key, cur.scn, -1L, cur.id, cur.cents, cur.typ,
+                is_current = true)
+            out.reverse.iterator
+          }
+      }
+  }
+
+  /** SCD2 audit history built incrementally (see [[scd2Stream]]); on
+    * the bounded feed the emitted rows ARE the final history, matching
+    * the batch cdc_scd2_history oracle exactly. Multi-batch
+    * close-then-reopen upsert behavior is pinned by StreamingSpec. */
+  val cdcStreamScd2: Q = Q(
+    "cdc_stream_scd2",
+    (s, dir) => {
+      val out = scd2Stream(parsedStream(s, dir)).toDF()
+      runBounded(out, "update").orderBy("key", "valid_from")
+    },
+    Some(s"""WITH feed AS (${CdcQueries.feedSql}), p AS (${CdcQueries.parsedSql}),
+            |v AS (
+            |  SELECT *, lead(scn) OVER
+            |    (PARTITION BY key ORDER BY scn ASC, xid ASC) AS next_scn
+            |  FROM p)
+            |SELECT key, scn AS valid_from,
+            |  coalesce(next_scn, -1) AS valid_to,
+            |  after_id AS id, after_cents AS cents, after_type AS type,
+            |  next_scn IS NULL AS is_current
+            |FROM v WHERE op <> 'd'
+            |ORDER BY key, valid_from""".stripMargin))
 
   /** Typed parse of the streaming OLR feed. */
   def parsedStream(s: SparkSession, dir: String): Dataset[ChangeRow] = {
@@ -427,5 +501,6 @@ object Streams {
 
   val all: Seq[Q] = Seq(cdcStreamIngest, cdcStreamMaterialize, cdcUpsertSink,
     cdcJdbcUpsert, cdcStreamDedup, cdcSchemaEvolve, qStreamTumbling,
-    qStreamHopping, qStreamSession, qStreamJoin, cdcStreamEnrich)
+    qStreamHopping, qStreamSession, qStreamJoin, cdcStreamEnrich,
+    cdcStreamScd2)
 }

@@ -181,6 +181,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("scd2Stream: versions close across batches via (key, valid_from) upsert") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[ChangeRow]
+    val q = Streams.scd2Stream(in.toDS()).writeStream
+      .format("memory").queryName("scd2_test").outputMode("update").start()
+    try {
+      def rows() = spark.table("scd2_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+          r.getBoolean(6)))
+
+      in.addData(ins(1, 10, 100), ins(2, 11, 200))
+      q.processAllAvailable()
+      // batch 1: both versions open
+      assert(rows().toSeq.sorted == Seq(
+        (1L, 10L, -1L, 100L, true), (2L, 11L, -1L, 200L, true)))
+
+      // batch 2: key 1 updated (closes v10, opens v20), key 2 deleted
+      // (closes v11, no new open version), plus a STALE event for key 1
+      // that must not produce any version
+      in.addData(upd(1, 20, 150), del(2, 12), ins(1, 5, 999))
+      q.processAllAvailable()
+      // sink upserts on (key, valid_from): last emission per version wins
+      val hist = rows().zipWithIndex
+        .groupBy { case (r, _) => (r._1, r._2) }
+        .map { case (_, v) => v.maxBy(_._2)._1 }.toSeq.sorted
+      assert(hist == Seq(
+        (1L, 10L, 20L, 100L, false),  // closed by the scn-20 update
+        (1L, 20L, -1L, 150L, true),   // new open version
+        (2L, 11L, 12L, 200L, false)), // closed by the delete, none opened
+        s"got $hist")
+      assert(!rows().exists(_._2 == 5L), "stale event must not open a version")
+    } finally q.stop()
+  }
+
   test("bounded streaming queries agree with their batch equivalents") {
     // tumbling-window streaming agg == batch tumbling agg at sf0.001
     val streamed = Streams.qStreamTumbling.run(spark, sfDir)
