@@ -449,6 +449,77 @@ object Ann {
             |    (a, y) -> greatest(a, y)), 6) AS max_err
             |FROM q ORDER BY vec_id""".stripMargin))
 
+  /** Recall@5 of nprobe=2 IVF vs exact ground truth — paired with
+    * ann_recall_ivf this quantifies exactly what the second probed cell
+    * buys, the measurement that drives the nprobe knob in production.
+    * Same construction as [[annRecallIvf]]. */
+  val annRecallNprobe: Q = Q(
+    "ann_recall_nprobe",
+    (s, dir) => {
+      val exact = annBruteforce.run(s, dir).filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annIvfNprobe.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+        .withColumn("recall_pct", expr("hits * 100 div k"))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), p AS (
+            |  SELECT vec_id AS probe_id, v AS pv FROM e WHERE $ProbeFilter
+            |), bf_scored AS (
+            |  SELECT probe_id, e.vec_id AS n_id, ${duckCosine("pv", "e.v")} AS cos
+            |  FROM e JOIN p ON e.vec_id <> p.probe_id
+            |), bf_ranked AS (
+            |  SELECT probe_id, n_id,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM bf_scored
+            |), exact AS (
+            |  SELECT probe_id, n_id FROM bf_ranked WHERE rank <= 5
+            |), c AS (
+            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+            |), cs AS (
+            |  SELECT e.vec_id, c_id, ${duckCosine("e.v", "cv")} AS c_cos
+            |  FROM e CROSS JOIN c
+            |), assigned AS (
+            |  SELECT vec_id, c_id AS cell FROM (
+            |    SELECT vec_id, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS rn
+            |    FROM cs
+            |  ) WHERE rn = 1
+            |), pc AS (
+            |  SELECT vec_id AS probe_id, c_id AS cell FROM (
+            |    SELECT vec_id, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS crn
+            |    FROM cs WHERE $ProbeFilter
+            |  ) WHERE crn <= 2
+            |), cand AS (
+            |  SELECT pc.probe_id, a.vec_id AS n_id
+            |  FROM assigned a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+            |), np_scored AS (
+            |  SELECT cand.probe_id, cand.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM cand
+            |  JOIN e ep ON cand.probe_id = ep.vec_id
+            |  JOIN e en ON cand.n_id = en.vec_id
+            |), np_ranked AS (
+            |  SELECT probe_id, n_id,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM np_scored
+            |), approx AS (
+            |  SELECT probe_id, n_id FROM np_ranked WHERE rank <= 5
+            |)
+            |SELECT x.probe_id, count(*) AS k, count(a.n_id) AS hits,
+            |  count(a.n_id) * 100 // count(*) AS recall_pct
+            |FROM exact x LEFT JOIN approx a
+            |  ON x.probe_id = a.probe_id AND x.n_id = a.n_id
+            |GROUP BY 1 ORDER BY x.probe_id""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
-    annRecallIvf, annIvfNprobe, vecQuantize)
+    annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe)
 }

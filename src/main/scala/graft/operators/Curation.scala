@@ -259,6 +259,44 @@ object Curation {
             |FROM r LEFT JOIN k USING (lang, source)
             |ORDER BY lang, source""".stripMargin))
 
+  /** Corpus health report — the dashboard numbers a data team watches
+    * per ingestion batch: per-language doc/token volumes, duplicate
+    * rate (by normalized fingerprint) and average doc length, all in
+    * ONE aggregation pass. Integer arithmetic only (floor-div
+    * averages/percentages) so no float boundary exists. The count
+    * DISTINCT expands to the standard two-phase aggregate; everything
+    * partial-aggregates map-side, one shuffle on lang. */
+  val corpusStats: Q = Q(
+    "corpus_stats",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("lang"), col("n_chars"),
+        expr(s"size(${words("text")})").as("tokens"),
+        expr(fp60(normText("text"))).as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tokens").as("n_tokens"),
+        countDistinct("fp").as("n_unique"),
+        sum("n_chars").as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_unique"),
+        expr("(n_docs - n_unique) * 100 div n_docs").as("dup_pct"),
+        expr("sum_chars div n_docs").as("avg_chars"))
+      .orderBy("lang"),
+    Some(s"""WITH d AS (
+            |  SELECT lang, n_chars, len(${duckWords("text")}) AS tokens,
+            |    ${duckFp60(duckNormText("text"))} AS fp
+            |  FROM documents
+            |), a AS (
+            |  SELECT lang, count(*) AS n_docs,
+            |    CAST(sum(tokens) AS BIGINT) AS n_tokens,
+            |    count(DISTINCT fp) AS n_unique,
+            |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            |  FROM d GROUP BY 1
+            |)
+            |SELECT lang, n_docs, n_tokens, n_unique,
+            |  (n_docs - n_unique) * 100 // n_docs AS dup_pct,
+            |  sum_chars // n_docs AS avg_chars
+            |FROM a ORDER BY lang""".stripMargin))
+
   val all: Seq[Q] = Seq(textContamination, sampleStratified, pipelineCurate,
-    pipelinePack, sampleMix)
+    pipelinePack, sampleMix, corpusStats)
 }

@@ -96,6 +96,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("hashpartitioning\\(fp".r.findAllIn(p).size == 1, p)
   }
 
+  test("sample_mix keeps the corpus side map-only against broadcast rates") {
+    val p = plan("sample_mix")
+    // the stratum census + rate table broadcast back to the corpus
+    // scan, so the only hash exchanges are the tiny census aggregations
+    // — the documents scan that does the filtering must not shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pipeline_pack windows per shard, no global sort before the aggregation") {
+    val p = plan("pipeline_pack")
+    // the running-token window partitions by shard: the only full sort
+    // is shard-local (Sort [shard, doc_id] inside partitions after one
+    // exchange on shard); the final orderBy is presentation-only
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 2,
+      "pack must shuffle on shard (window) and reuse it or add one agg exchange\n" + p)
+  }
+
+  test("text_repetition aggregates partially on a near-unique key") {
+    val p = plan("text_repetition")
+    // both rollups partial-aggregate map-side: 2 aggregation keys ->
+    // >= 4 HashAggregate nodes (partial+final each) around 2 exchanges
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("vec_quantize is map-only: no exchange anywhere") {
+    val p = plan("vec_quantize")
+    assert(!p.contains("hashpartitioning("),
+      "quantization must fuse into the scan\n" + p)
+  }
+
+  test("ann_ivf_nprobe broadcasts centroids and probe cells; candidates stay cell-bounded") {
+    val p = plan("ann_ivf_nprobe")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("two-phase sessionize shuffles raw events on (user, bucket), never on user alone") {
     val p = plan(Relational.qSessionize2Phase.name)
     // exactly two hash exchanges: phase A on (user_id, bucket) — the
