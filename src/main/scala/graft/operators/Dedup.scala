@@ -363,7 +363,82 @@ object Dedup {
             |SELECT a AS doc_id, min(b) AS cluster_id
             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin))
 
+  /** MinHash estimator quality audit: for every true near-dup pair
+    * (word-3-gram Jaccard >= 0.8), how far is the signature's
+    * lane-agreement estimate from the exact Jaccard? The eval harness
+    * that justifies trusting MinHash/LSH at scale — all arithmetic is
+    * integer (agreeing lanes out of 64, floor-div percents), so no
+    * float boundary exists. Candidates come from the same bounded
+    * shingle-block join as dedup_ngram_jaccard; signatures are
+    * re-attached to the (few) pairs only. */
+  val dedupMinhashQuality: Q = Q(
+    "dedup_minhash_quality",
+    (s, dir) => {
+      val base = shingleArrays(s, dir)
+      val sh = base.select(col("doc_id"), explode(col("hs")).as("sh"))
+      val cnt = base.select(col("doc_id"), expr("size(hs)").as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+        .withColumn("true_pct",
+          expr("inter * 100 div (ca.n + cb.n - inter)"))
+        .filter(col("true_pct") >= 80)
+        .select("da", "db", "true_pct")
+      val sig = base
+        .withColumn("hashes", expr(shingleHashes("words")))
+        .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
+      pairs
+        .join(sig.select(col("doc_id"), col("sig").as("siga")), col("da") === col("doc_id"))
+        .drop("doc_id")
+        .join(sig.select(col("doc_id"), col("sig").as("sigb")), col("db") === col("doc_id"))
+        .withColumn("agree_lanes", expr(
+          "aggregate(zip_with(siga, sigb, (x, y) -> CASE WHEN x = y THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .select(col("da"), col("db"), col("true_pct"),
+          expr("agree_lanes * 100 div 64").as("est_pct"),
+          expr("abs(agree_lanes * 100 div 64 - true_pct)").as("err_pct"))
+        .orderBy("da", "db")
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), base AS (
+            |  SELECT doc_id, words FROM w WHERE len(words) >= 3
+            |), sh AS (
+            |  SELECT DISTINCT doc_id, unnest(${duckShingleHashes60(duckShingles3("words"))}) AS sh
+            |  FROM base
+            |), cnt AS (
+            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            |), pairs AS (
+            |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2
+            |), tp AS (
+            |  SELECT da, db, inter * 100 // (ca.n + cb.n - inter) AS true_pct
+            |  FROM pairs
+            |  JOIN cnt ca ON da = ca.doc_id
+            |  JOIN cnt cb ON db = cb.doc_id
+            |  WHERE inter * 100 // (ca.n + cb.n - inter) >= 80
+            |), hsx AS (
+            |  SELECT doc_id, ${duckShingleHashes(duckShingles3("words"))} AS hashes
+            |  FROM base
+            |), sig AS (
+            |  SELECT doc_id, ${duckMinhashSig("hashes")} AS sig FROM hsx
+            |), est AS (
+            |  SELECT da, db, true_pct,
+            |    CAST(list_sum(list_transform(range(1, 65),
+            |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS agree_lanes
+            |  FROM tp
+            |  JOIN sig sa ON da = sa.doc_id
+            |  JOIN sig sb ON db = sb.doc_id
+            |)
+            |SELECT da, db, true_pct,
+            |  agree_lanes * 100 // 64 AS est_pct,
+            |  abs(agree_lanes * 100 // 64 - true_pct) AS err_pct
+            |FROM est ORDER BY da, db""".stripMargin))
+
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupNgramJaccard,
     dedupMinhash, dedupMinhashLsh, dedupSimhash, dedupEmbedding,
-    dedupClusters)
+    dedupClusters, dedupMinhashQuality)
 }

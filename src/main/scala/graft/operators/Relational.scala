@@ -739,11 +739,46 @@ object Relational {
            |  epoch_us(CAST(max(l_shipdate) AS TIMESTAMP)) AS max_ship_us
            |FROM lineitem)""".stripMargin))
 
+  /** INTERSECT / EXCEPT set semantics: customers active in 1995
+    * labeled by whether they were also active in 1996 ('both') or not
+    * ('only_1995'). Spark plans both ops as left-semi/anti hash joins
+    * over the deduped branches — same shuffle shape as q_semijoin, one
+    * exchange per branch, no sort-merge of full sets. */
+  val qSetOps: Q = Q(
+    "q_set_ops",
+    (s, dir) => {
+      val tb = t(s, dir)
+      def active(year: Int) = tb.orders
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp")
+          && col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      val both = active(1995).intersect(active(1996))
+        .withColumn("set_op", lit("both"))
+      val only = active(1995).except(active(1996))
+        .withColumn("set_op", lit("only_1995"))
+      both.union(only).orderBy("o_custkey")
+    },
+    Some("""WITH a95 AS (
+           |  SELECT DISTINCT o_custkey FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           |    AND o_orderdate < TIMESTAMP '1996-01-01'
+           |), a96 AS (
+           |  SELECT DISTINCT o_custkey FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           |    AND o_orderdate < TIMESTAMP '1997-01-01'
+           |)
+           |SELECT o_custkey, 'both' AS set_op
+           |FROM (SELECT o_custkey FROM a95 INTERSECT SELECT o_custkey FROM a96)
+           |UNION ALL
+           |SELECT o_custkey, 'only_1995' AS set_op
+           |FROM (SELECT o_custkey FROM a95 EXCEPT SELECT o_custkey FROM a96)
+           |ORDER BY o_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
     qHaving, qConditionalAgg, qDateRollup, qPercentiles, qArgmax, qPivot,
     qGroupingSets, qUnionDedup, qSessionize, qSessionize2Phase, qNtile,
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
-    qApproxPercentile, qRangeJoin, qCube, qProfile)
+    qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps)
 }
