@@ -1,6 +1,8 @@
 package graft.sources
 
+import graft.Q
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Source/sink surface of the engine (SURVEY.md §G): schema'd readers
   * for parquet/csv/json/orc and writers with the layouts that matter at
@@ -47,4 +49,54 @@ object Formats {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  // ---- registry rows: text-format round-trip fidelity --------------
+
+  /** orders → <format> files → schema'd read-back → aggregate; the
+    * aggregate must equal the same aggregate over the original parquet
+    * (the DuckDB oracle), proving the writer/reader pair loses nothing
+    * — including timestamps, which text formats are notorious for
+    * mangling across engines/timezones. */
+  private def roundtrip(s: SparkSession, dir: String, format: String): DataFrame = {
+    val src = Tables(s, dir).orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderdate"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val path = java.nio.file.Files
+      .createTempDirectory(s"graft_fmt_$format").toString + "/orders"
+    src.write.mode("overwrite").option("header", "true").format(format).save(path)
+    val back = format match {
+      case "csv" => readCsv(s, path, src.schema)
+      case _ => readJson(s, path, src.schema)
+    }
+    back.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast
+        // is the identity instant-wise
+        unix_micros(min("o_orderdate").cast("timestamp")).as("min_date_us"),
+        unix_micros(max("o_orderdate").cast("timestamp")).as("max_date_us"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val roundtripOracle =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  epoch_us(CAST(min(o_orderdate) AS TIMESTAMP)) AS min_date_us,
+      |  epoch_us(CAST(max(o_orderdate) AS TIMESTAMP)) AS max_date_us
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
+  val fmtCsvRoundtrip: Q = Q(
+    "fmt_csv_roundtrip",
+    (s, dir) => roundtrip(s, dir, "csv"),
+    Some(roundtripOracle))
+
+  val fmtJsonRoundtrip: Q = Q(
+    "fmt_json_roundtrip",
+    (s, dir) => roundtrip(s, dir, "json"),
+    Some(roundtripOracle))
+
+  val all: Seq[Q] = Seq(fmtCsvRoundtrip, fmtJsonRoundtrip)
 }
