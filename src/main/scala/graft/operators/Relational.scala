@@ -477,6 +477,45 @@ object Relational {
       .orderBy("user_id", "session_id"),
     Some(sessionizeOracle))
 
+  /** The skew CLAIM, bench-visible: sessionize under a synthetic
+    * hot-key distribution (~10% of users remapped onto one sentinel
+    * user, so one key owns ~10% of all events) using the two-phase
+    * operator. The oracle is the plain single-phase sessionize over the
+    * same remapped input, so correctness-under-skew is driver-verified
+    * every round, and the bench row times the mitigation on the actual
+    * skewed distribution — no reducer sees more than one (user,
+    * hour-bucket) of raw events even for the hot key. */
+  val qSessionizeSkew: Q = Q(
+    "q_sessionize_skew",
+    (s, dir) => Skew.sessionize2Phase(
+      sessionizeInput(s, dir).withColumn("user_id",
+        expr(s"CASE WHEN ${graft.functions.Portable.charHash("concat('h', CAST(user_id AS STRING))")} % 10 = 0 THEN -7 ELSE user_id END")))
+      .orderBy("user_id", "session_id"),
+    Some {
+      import graft.functions.Portable.duckCharHash
+      s"""WITH e AS (
+         |  SELECT CASE WHEN ${duckCharHash("concat('h', CAST(user_id AS VARCHAR))")} % 10 = 0
+         |      THEN -7 ELSE user_id END AS user_id,
+         |    event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events),
+         |g AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+         |      THEN 1 ELSE 0 END AS new_sess
+         |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+         |    ORDER BY us ASC, event_id ASC) AS prev_us FROM e)),
+         |sess AS (
+         |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY us ASC, event_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  CAST(sum(cents) AS BIGINT) AS session_cents,
+         |  min(us) AS start_us, max(us) AS end_us
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin
+    })
+
   /** Decile assignment per market segment (ntile): the analytic a
     * pipeline uses to band customers/documents by a score. Rank-based
     * integer output — no float boundary; ordering fully determined by
@@ -780,5 +819,6 @@ object Relational {
     qHaving, qConditionalAgg, qDateRollup, qPercentiles, qArgmax, qPivot,
     qGroupingSets, qUnionDedup, qSessionize, qSessionize2Phase, qNtile,
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
-    qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps)
+    qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
+    qSessionizeSkew)
 }
