@@ -135,6 +135,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_sessionize_skew also shuffles raw events on (user, bucket) — the hot key splits") {
+    val p = plan("q_sessionize_skew")
+    val exchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(user_id")).toSeq
+    // first exchange (raw events) must carry the bucket salt; only the
+    // partial-session stitch may partition on user_id alone
+    assert(exchanges.nonEmpty && exchanges.head.contains("bucket"),
+      "hot key must be split by time bucket before any per-user work\n" + p)
+  }
+
   test("two-phase sessionize shuffles raw events on (user, bucket), never on user alone") {
     val p = plan(Relational.qSessionize2Phase.name)
     // exactly two hash exchanges: phase A on (user_id, bucket) — the
