@@ -381,8 +381,52 @@ object CdcQueries {
             |FROM ranked WHERE version_rank <= 3
             |ORDER BY key, version_rank""".stripMargin))
 
+  /** The reference's whole topology as ONE declarative plan — what a
+    * user actually deploys: an at-least-once transport feed (every 10th
+    * event redelivered) → exactly-once dedup → changelog materialization
+    * → dimension enrichment → per-nation rollup (the ksqlDB-style
+    * consumer aggregate). Catalyst composes the stages: the dedup
+    * window and the materialize aggregate exchange on real reduction
+    * keys ((key, scn) then key), the dimension broadcasts, and the
+    * final rollup partial-aggregates — so the whole pipeline is three
+    * bounded shuffles end to end regardless of input size. */
+  val pipelineCdc: Q = Q(
+    "pipeline_cdc",
+    (s, dir) => {
+      val p = parsed(s, dir)
+      val redelivered = p.union(p.filter(col("scn") % 10 === 0))
+      val snap = Cdc.materialize(Cdc.dedup(redelivered))
+      val cust = Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_nationkey"))
+      snap.join(broadcast(cust), snap("key") === cust("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_keys"),
+          sum("cents").as("sum_cents"),
+          max("last_scn").as("max_scn"))
+        .orderBy("c_nationkey")
+    },
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql),
+            |redelivered AS (
+            |  SELECT * FROM p UNION ALL SELECT * FROM p WHERE scn % 10 = 0),
+            |deduped AS (
+            |  SELECT * FROM (SELECT *, row_number() OVER
+            |      (PARTITION BY key, scn ORDER BY xid ASC) AS rn
+            |    FROM redelivered) WHERE rn = 1),
+            |ranked AS (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY key ORDER BY scn DESC, xid DESC) AS rn2
+            |  FROM deduped),
+            |snap AS (
+            |  SELECT key, after_cents AS cents, scn AS last_scn
+            |  FROM ranked WHERE rn2 = 1 AND op <> 'd')
+            |SELECT c_nationkey, count(*) AS n_keys,
+            |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+            |  max(last_scn) AS max_scn
+            |FROM snap JOIN customer ON key = c_custkey
+            |GROUP BY 1 ORDER BY c_nationkey""".stripMargin))
+
   val all: Seq[Q] = Seq(cdcParse, cdcUnwrap, cdcDeleteRewrite,
     cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin, cdcKafkaWire,
     cdcAvroRoundtrip, cdcBootstrap, cdcTxnAssemble, cdcScd2History,
-    cdcDeadLetter, cdcCompact)
+    cdcDeadLetter, cdcCompact, pipelineCdc)
 }
