@@ -135,6 +135,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pipeline_cdc composes to three bounded shuffles with a broadcast dim") {
+    val p = plan("pipeline_cdc")
+    // dedup on (key, scn) + materialize on key + final rollup on
+    // nationkey — and nothing else; the customer dim must broadcast
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 3, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sessionize_skew also shuffles raw events on (user, bucket) — the hot key splits") {
     val p = plan("q_sessionize_skew")
     val exchanges = p.linesIterator
