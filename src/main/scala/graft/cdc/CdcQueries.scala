@@ -425,8 +425,53 @@ object CdcQueries {
             |FROM snap JOIN customer ON key = c_custkey
             |GROUP BY 1 ORDER BY c_nationkey""".stripMargin))
 
+  /** Point-in-time (AS OF) lookup against the SCD2 history — the
+    * canonical consumer of a version table: "what did key K look like
+    * at scn S?". Probes (every 50th event's (key, scn)) join their
+    * key's version chain on key-equality with the validity range as a
+    * residual filter — a per-key bounded range join, one hash exchange
+    * per side, never a cross product. A probe whose as-of time falls
+    * after a delete finds no version: the key correctly did not exist
+    * then. */
+  val cdcTimeTravel: Q = Q(
+    "cdc_time_travel",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("key").orderBy(col("scn").asc, col("xid").asc)
+      val p = flatten(parsed(s, dir))
+      val hist = p
+        .withColumn("next_scn", lead("scn", 1).over(w))
+        .filter(col("op") =!= "d")
+        .select(col("key"), col("scn").as("valid_from"),
+          coalesce(col("next_scn"), lit(Long.MaxValue)).as("valid_to_x"),
+          col("after_id").as("id"), col("after_cents").as("cents"),
+          col("after_type").as("type"))
+      val probes = p.filter(col("scn") % 50 === 0)
+        .select(col("key").as("p_key"), col("scn").as("as_of"))
+      hist.join(probes, col("key") === col("p_key")
+          && col("valid_from") <= col("as_of") && col("as_of") < col("valid_to_x"))
+        .select(col("key"), col("as_of"), col("id"), col("cents"), col("type"))
+        .orderBy("key", "as_of")
+    },
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql),
+            |v AS (
+            |  SELECT *, lead(scn) OVER
+            |    (PARTITION BY key ORDER BY scn ASC, xid ASC) AS next_scn
+            |  FROM p),
+            |hist AS (
+            |  SELECT key, scn AS valid_from,
+            |    coalesce(next_scn, 9223372036854775807) AS valid_to_x,
+            |    after_id AS id, after_cents AS cents, after_type AS type
+            |  FROM v WHERE op <> 'd'),
+            |probes AS (
+            |  SELECT key AS p_key, scn AS as_of FROM p WHERE scn % 50 = 0)
+            |SELECT key, as_of, id, cents, type
+            |FROM hist JOIN probes
+            |  ON key = p_key AND valid_from <= as_of AND as_of < valid_to_x
+            |ORDER BY key, as_of""".stripMargin))
+
   val all: Seq[Q] = Seq(cdcParse, cdcUnwrap, cdcDeleteRewrite,
     cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin, cdcKafkaWire,
     cdcAvroRoundtrip, cdcBootstrap, cdcTxnAssemble, cdcScd2History,
-    cdcDeadLetter, cdcCompact, pipelineCdc)
+    cdcDeadLetter, cdcCompact, pipelineCdc, cdcTimeTravel)
 }

@@ -16,6 +16,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("no batch query exceeds 8 hash exchanges (registry-wide shuffle ceiling)") {
+    // regression net for accidental shuffle explosions: the measured
+    // census tops out at 7 (the ANN recall harnesses, which embed two
+    // full search paths); anything above 8 means a new operator
+    // re-exchanges something it should have reused
+    val streaming = graft.streaming.Streams.all.map(_.name).toSet
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(streaming.contains)
+      .map(n => n -> "hashpartitioning\\(".r.findAllIn(plan(n)).size)
+      .filter(_._2 > 8)
+    assert(offenders.isEmpty, s"shuffle ceiling exceeded: $offenders")
+  }
+
   test("no query plan contains a cartesian product") {
     // batch queries only: streaming queries execute on .run, and their
     // join topology is covered by their own oracles/specs
