@@ -180,8 +180,9 @@ object Curation {
     * token lands in (running token count over the shard, a window that
     * partial-sorts per shard only). Shards are a portable hash of the
     * doc_id: on a cluster each shard's window is independent, so
-    * parallelism = #shards and no global sort exists anywhere. Output
-    * is the per-sequence manifest a loader would read. */
+    * parallelism = #shards and the packing itself needs no global sort
+    * (the final orderBy is presentation-only, like every registry row).
+    * Output is the per-sequence manifest a loader would read. */
   private val SeqTokens = 512
   private val NShards = 8
 
