@@ -85,6 +85,19 @@ object ParquetUpsert {
     }
   }
 
+  /** ksqlDB-style "pull query": the current state of ONE key, served
+    * from the lake table. The bucket predicate is computed driver-side
+    * from the same hash the writer used, so the scan partition-prunes
+    * to a single `bucket=N` directory — at 100 TB the lookup opens a
+    * few-GB bucket, not the table. Tombstoned keys correctly return no
+    * row. Pruning is spec-pinned (ParquetUpsertSpec). */
+  def pointLookup(sp: org.apache.spark.sql.SparkSession, target: String,
+                  key: Long, numBuckets: Int = 16): DataFrame =
+    sp.read.parquet(target)
+      .filter(col("bucket") === pmod(hash(lit(key)), lit(numBuckets)))
+      .filter(col("key") === key && col("op") =!= "d")
+      .drop("bucket")
+
   private def writeDynamic(out: DataFrame, target: String): Unit = {
     val sp = out.sparkSession
     val prev = sp.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -134,6 +134,27 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(snapshot(target).contains((31L, 999L, 50L)))
   }
 
+  test("pointLookup (pull query) prunes to the key's single bucket and hides tombstones") {
+    import org.apache.spark.sql.functions.input_file_name
+    val target = newTarget()
+    ParquetUpsert.applyBatch(
+      toBatch((1L to 40L).map(k => ins(k, k, k * 10))), target)
+    ParquetUpsert.applyBatch(toBatch(Seq(del(7, 100))), target)
+
+    // live key: exactly its row, served from exactly one bucket dir
+    val live = ParquetUpsert.pointLookup(spark, target, 5L)
+    assert(live.select("key", "cents").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 50L)))
+    val scanned = ParquetUpsert.pointLookup(spark, target, 5L)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    val expectDir = s"bucket=${bucketOf(5L)}"
+    assert(scanned.nonEmpty && scanned.forall(_.contains(expectDir)),
+      s"pull query leaked outside $expectDir: ${scanned.mkString(", ")}")
+
+    // tombstoned key: no row
+    assert(ParquetUpsert.pointLookup(spark, target, 7L).collect().isEmpty)
+  }
+
   test("the existing-state read is partition-pruned to the touched buckets") {
     import org.apache.spark.sql.execution.ExplainMode
     import org.apache.spark.sql.functions.{col, input_file_name}
