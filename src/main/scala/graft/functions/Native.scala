@@ -261,6 +261,50 @@ object Native {
       copy(child = c)
   }
 
+  /** Per-vector symmetric int8 quantization in one pass — bit-identical
+    * to the SQL HOF formulation pinned in NativeVsSqlSpec (and the
+    * DuckDB oracle of vec_quantize): maxabs is a fold seeded at 1e-12
+    * (zero-vector guard), codes are floor(x*127/maxabs + 0.5) — floor,
+    * not round, so engine rounding modes can't diverge — digested with
+    * the standard (acc*1000003 + v) % 2147483647 fold over code+127,
+    * and max_err is the largest |x - code*maxabs/127|. This runs on
+    * EVERY vector of the corpus (the quantization scan), which is
+    * exactly the hot path the interpreted-lambda rule exists for. */
+  case class Int8Quantize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("max_abs", DoubleType, nullable = false),
+      StructField("code_digest", LongType, nullable = false),
+      StructField("max_err", DoubleType, nullable = false)))
+    override def prettyName: String = "graft_int8_quantize"
+
+    override def nullSafeEval(vAny: Any): Any = {
+      val v = vAny.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var maxabs = 1e-12
+      var i = 0
+      while (i < n) {
+        val a = math.abs(v.getDouble(i))
+        if (a > maxabs) maxabs = a
+        i += 1
+      }
+      var digest = 0L
+      var maxerr = 0.0
+      i = 0
+      while (i < n) {
+        val x = v.getDouble(i)
+        val c = math.floor(x * 127.0 / maxabs + 0.5).toLong
+        digest = (digest * 1000003L + (c + 127)) % 2147483647L
+        val e = math.abs(x - c * maxabs / 127.0)
+        if (e > maxerr) maxerr = e
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(maxabs, digest, maxerr)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[Native.type].getName, null, name, usage, "")
 
@@ -280,7 +324,9 @@ object Native {
     ("graft_simhash60", "60-bit SimHash fingerprint",
       es => SimHash60(es.head)),
     ("graft_hyperplane_keys", "4x6-bit random-hyperplane LSH keys",
-      es => HyperplaneKeys(es.head)))
+      es => HyperplaneKeys(es.head)),
+    ("graft_int8_quantize", "symmetric int8 quantization: (max_abs, code_digest, max_err)",
+      es => Int8Quantize(es.head)))
 
   /** Idempotently registers the graft_* functions in a session. Called
     * from Tables() so every query works on any SparkSession, including

@@ -417,18 +417,16 @@ object Ann {
     * vector can't divide by zero. */
   val vecQuantize: Q = Q(
     "vec_quantize",
+    // one native eval per vector (graft_int8_quantize) — this scan runs
+    // over EVERY vector, so the interpreted-HOF formulation (pinned
+    // bit-identical in NativeVsSqlSpec) stays out of the hot path
     (s, dir) => Tables(s, dir).embeddings
-      .select(col("vec_id"), expr(toDouble("embedding")).as("v"))
-      .withColumn("maxabs",
-        expr("aggregate(v, CAST(1e-12 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
-      .withColumn("codes",
-        expr("transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))"))
       .select(col("vec_id"),
-        round(col("maxabs"), 6).as("max_abs"),
-        expr(sigDigest("transform(codes, c -> c + 127)")).as("code_digest"),
-        round(expr(
-          "aggregate(zip_with(v, codes, (x, c) -> abs(x - c * maxabs / 127.0)), CAST(0 AS DOUBLE), (a, y) -> greatest(a, y))"),
-          6).as("max_err"))
+        expr(s"graft_int8_quantize(${toDouble("embedding")})").as("q"))
+      .select(col("vec_id"),
+        round(col("q.max_abs"), 6).as("max_abs"),
+        col("q.code_digest").as("code_digest"),
+        round(col("q.max_err"), 6).as("max_err"))
       .orderBy("vec_id"),
     Some(s"""WITH e AS (
             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

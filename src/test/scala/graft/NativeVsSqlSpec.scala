@@ -76,6 +76,29 @@ class NativeVsSqlSpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("graft_int8_quantize == SQL HOF formulation on real vectors") {
+    val e = graft.sources.Tables(spark, sfDir).embeddings.limit(20)
+      .withColumn("v", expr(Portable.toDouble("embedding")))
+      .withColumn("maxabs",
+        expr("aggregate(v, CAST(1e-12 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("codes",
+        expr("transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))"))
+    val rows = e.select(
+      expr("graft_int8_quantize(v)").as("q"),
+      col("maxabs"),
+      expr(Portable.sigDigest("transform(codes, c -> c + 127)")).as("dig"),
+      expr("aggregate(zip_with(v, codes, (x, c) -> abs(x - c * maxabs / 127.0)), CAST(0 AS DOUBLE), (a, y) -> greatest(a, y))").as("err"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getStruct(0)
+      // exact equality IS the contract: same arithmetic, same order
+      assert(q.getDouble(0) == r.getDouble(1))
+      assert(q.getLong(1) == r.getLong(2))
+      assert(q.getDouble(2) == r.getDouble(3))
+    }
+  }
+
   test("graft_dot and graft_hyperplane_keys == SQL folds on real vectors") {
     val e = graft.sources.Tables(spark, sfDir).embeddings.limit(20)
       .withColumn("v", expr(Portable.toDouble("embedding")))
