@@ -76,6 +76,27 @@ class NativeVsSqlSpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("GraftExtensions injects the graft_* functions at session build time") {
+    // the spark-submit path: --conf spark.sql.extensions=graft.GraftExtensions.
+    // Function registries are session-scoped, so a session built THROUGH
+    // the extension must resolve graft_* without Tables' lazy install.
+    import org.apache.spark.sql.SparkSession
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate() // reuses the JVM's SparkContext, new session state
+      val v = s2.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+        .collect()(0).getDouble(0)
+      assert(v == 11.0)
+    } finally old.foreach { o =>
+      SparkSession.setDefaultSession(o)
+      SparkSession.setActiveSession(o)
+    }
+  }
+
   test("graft_int8_quantize == SQL HOF formulation on real vectors") {
     val e = graft.sources.Tables(spark, sfDir).embeddings.limit(20)
       .withColumn("v", expr(Portable.toDouble("embedding")))
