@@ -813,6 +813,50 @@ object Relational {
            |FROM (SELECT o_custkey FROM a95 EXCEPT SELECT o_custkey FROM a96)
            |ORDER BY o_custkey""".stripMargin))
 
+  /** FULL OUTER join: year-over-year order counts per customer with
+    * both-sided null handling — the one join type the rest of the
+    * registry doesn't exercise. Both sides pre-aggregate to one row
+    * per key before the join (partial-agg shuffles), so the full-outer
+    * itself joins two deduped key sets — at scale this is two
+    * well-partitioned exchanges plus a merge, never a blowup. */
+  val qFullOuter: Q = Q(
+    "q_full_outer",
+    (s, dir) => {
+      val tb = t(s, dir)
+      def yearly(year: Int, out: String) = tb.orders
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp")
+          && col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as(s"ck_$year"))
+        .agg(count(lit(1)).as(out))
+      yearly(1995, "n_1995").join(yearly(1996, "n_1996"),
+          col("ck_1995") === col("ck_1996"), "full_outer")
+        .select(
+          coalesce(col("ck_1995"), col("ck_1996")).as("o_custkey"),
+          coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+          coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+          when(col("ck_1995").isNull, "only_1996")
+            .when(col("ck_1996").isNull, "only_1995")
+            .otherwise("both").as("presence"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH a AS (
+           |  SELECT o_custkey AS ck95, count(*) AS n_1995 FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           |    AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1
+           |), b AS (
+           |  SELECT o_custkey AS ck96, count(*) AS n_1996 FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           |    AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1
+           |)
+           |SELECT coalesce(ck95, ck96) AS o_custkey,
+           |  coalesce(n_1995, 0) AS n_1995,
+           |  coalesce(n_1996, 0) AS n_1996,
+           |  CASE WHEN ck95 IS NULL THEN 'only_1996'
+           |       WHEN ck96 IS NULL THEN 'only_1995'
+           |       ELSE 'both' END AS presence
+           |FROM a FULL OUTER JOIN b ON ck95 = ck96
+           |ORDER BY o_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
@@ -820,5 +864,5 @@ object Relational {
     qGroupingSets, qUnionDedup, qSessionize, qSessionize2Phase, qNtile,
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
     qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
-    qSessionizeSkew)
+    qSessionizeSkew, qFullOuter)
 }
