@@ -857,6 +857,38 @@ object Relational {
            |FROM a FULL OUTER JOIN b ON ck95 = ck96
            |ORDER BY o_custkey""".stripMargin))
 
+  /** Correlated scalar subqueries: customers above their own nation's
+    * average balance — the SQL-surface shape Catalyst DECORRELATES into
+    * per-nation aggregates joined back (bounded exchanges), which is
+    * exactly what you'd hand-write at scale; here the optimizer does it
+    * from the subquery form. "Above average" is tested as the integer
+    * cross-multiplication cents * n > sum (no float average, so no
+    * engine-summation-order boundary). */
+  val qCorrelated: Q = Q(
+    "q_correlated",
+    (s, dir) => {
+      Tables(s, dir).customer.createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_custkey, c_nationkey,
+          |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          |FROM customer_v o
+          |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+          |  (SELECT count(*) FROM customer_v i
+          |   WHERE i.c_nationkey = o.c_nationkey) >
+          |  (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+          |   FROM customer_v i WHERE i.c_nationkey = o.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+           |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           |FROM customer o
+           |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+           |  (SELECT count(*) FROM customer i
+           |   WHERE i.c_nationkey = o.c_nationkey) >
+           |  (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           |   FROM customer i WHERE i.c_nationkey = o.c_nationkey)
+           |ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
@@ -864,5 +896,5 @@ object Relational {
     qGroupingSets, qUnionDedup, qSessionize, qSessionize2Phase, qNtile,
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
     qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
-    qSessionizeSkew, qFullOuter)
+    qSessionizeSkew, qFullOuter, qCorrelated)
 }

@@ -67,6 +67,7 @@ object Formats {
     src.write.mode("overwrite").option("header", "true").format(format).save(path)
     val back = format match {
       case "csv" => readCsv(s, path, src.schema)
+      case "orc" => readOrc(s, path, src.schema)
       case _ => readJson(s, path, src.schema)
     }
     back.groupBy("o_orderstatus")
@@ -98,5 +99,10 @@ object Formats {
     (s, dir) => roundtrip(s, dir, "json"),
     Some(roundtripOracle))
 
-  val all: Seq[Q] = Seq(fmtCsvRoundtrip, fmtJsonRoundtrip)
+  val fmtOrcRoundtrip: Q = Q(
+    "fmt_orc_roundtrip",
+    (s, dir) => roundtrip(s, dir, "orc"),
+    Some(roundtripOracle))
+
+  val all: Seq[Q] = Seq(fmtCsvRoundtrip, fmtJsonRoundtrip, fmtOrcRoundtrip)
 }
