@@ -443,7 +443,7 @@ object Ann {
             |SELECT vec_id, round(maxabs, 6) AS max_abs,
             |  ${duckSigDigest("list_transform(codes, c -> c + 127)")} AS code_digest,
             |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            |    list_transform(range(1, 65), i -> abs(v[i] - codes[i] * maxabs / 127.0))),
+            |    list_transform(range(1, len(v) + 1), i -> abs(v[i] - codes[i] * maxabs / 127.0))),
             |    (a, y) -> greatest(a, y)), 6) AS max_err
             |FROM q ORDER BY vec_id""".stripMargin))
 

@@ -34,12 +34,41 @@ import org.apache.spark.sql.functions._
   */
 object ParquetUpsert {
 
+  /** The bucket count is a physical property of the TABLE, not of any
+    * one writer/reader call: a lookup hashed with a different B than
+    * the writer used silently prunes to the wrong directory. So the
+    * first applyBatch persists B in a `_graft_buckets` metadata file
+    * (underscore-prefixed — invisible to the parquet reader) and every
+    * later call, writer or reader, derives B from the table itself;
+    * the `numBuckets` argument only seeds a brand-new table. */
+  private def metaPath(target: String) =
+    new org.apache.hadoop.fs.Path(target, "_graft_buckets")
+
+  def bucketCount(sp: org.apache.spark.sql.SparkSession, target: String): Option[Int] = {
+    val p = metaPath(target)
+    val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
+      try Some(in.readLine().trim.toInt) finally in.close()
+    }
+  }
+
+  private def writeBucketCount(sp: org.apache.spark.sql.SparkSession,
+                               target: String, n: Int): Unit = {
+    val p = metaPath(target)
+    val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+  }
+
   /** Merge one micro-batch of parsed change rows (columns key, scn,
     * xid, op, id, cents, typ) into the bucketed parquet target. */
   def applyBatch(batch: DataFrame, target: String, numBuckets: Int = 16): Unit = {
     val sp = batch.sparkSession
+    val b = bucketCount(sp, target).getOrElse(numBuckets)
     val bucketed = batch.withColumn(
-      "bucket", pmod(hash(col("key")), lit(numBuckets)))
+      "bucket", pmod(hash(col("key")), lit(b)))
     val touched = bucketed.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val existing =
@@ -55,6 +84,7 @@ object ParquetUpsert {
     // the write is about to replace
     val out = merged.localCheckpoint(true)
     writeDynamic(out, target)
+    if (bucketCount(sp, target).isEmpty) writeBucketCount(sp, target, b)
   }
 
   /** Tombstone compaction: once every replica/consumer has passed
@@ -87,16 +117,21 @@ object ParquetUpsert {
 
   /** ksqlDB-style "pull query": the current state of ONE key, served
     * from the lake table. The bucket predicate is computed driver-side
-    * from the same hash the writer used, so the scan partition-prunes
-    * to a single `bucket=N` directory — at 100 TB the lookup opens a
-    * few-GB bucket, not the table. Tombstoned keys correctly return no
-    * row. Pruning is spec-pinned (ParquetUpsertSpec). */
+    * from the same hash — and, crucially, the same bucket count, read
+    * from the table's metadata file — the writer used, so the scan
+    * partition-prunes to a single `bucket=N` directory — at 100 TB the
+    * lookup opens a few-GB bucket, not the table. Tombstoned keys
+    * correctly return no row. Pruning and writer/reader bucket-count
+    * agreement are spec-pinned (ParquetUpsertSpec). */
   def pointLookup(sp: org.apache.spark.sql.SparkSession, target: String,
-                  key: Long, numBuckets: Int = 16): DataFrame =
+                  key: Long): DataFrame = {
+    val b = bucketCount(sp, target).getOrElse(sys.error(
+      s"$target has no _graft_buckets metadata — not a ParquetUpsert table"))
     sp.read.parquet(target)
-      .filter(col("bucket") === pmod(hash(lit(key)), lit(numBuckets)))
+      .filter(col("bucket") === pmod(hash(lit(key)), lit(b)))
       .filter(col("key") === key && col("op") =!= "d")
       .drop("bucket")
+  }
 
   private def writeDynamic(out: DataFrame, target: String): Unit = {
     val sp = out.sparkSession

@@ -57,14 +57,35 @@ object Formats {
     * (the DuckDB oracle), proving the writer/reader pair loses nothing
     * — including timestamps, which text formats are notorious for
     * mangling across engines/timezones. */
+  /** One staged write per (session, source dir, format), reused across
+    * calls — constructing the DataFrame repeatedly (bench iterations,
+    * plan audits) must not re-write orders each time — and deleted on
+    * JVM exit. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+
+  private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
+    sys.addShutdownHook {
+      import java.nio.file._
+      if (Files.exists(root)) {
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+
   private def roundtrip(s: SparkSession, dir: String, format: String): DataFrame = {
     val src = Tables(s, dir).orders.select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_orderdate"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-    val path = java.nio.file.Files
-      .createTempDirectory(s"graft_fmt_$format").toString + "/orders"
-    src.write.mode("overwrite").option("header", "true").format(format).save(path)
+    val path = stagedDirs.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, format), { _ =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_fmt_$format")
+        deleteRecursivelyOnExit(tmp)
+        val p = tmp.toString + "/orders"
+        src.write.mode("overwrite").option("header", "true").format(format).save(p)
+        p
+      })
     val back = format match {
       case "csv" => readCsv(s, path, src.schema)
       case "orc" => readOrc(s, path, src.schema)

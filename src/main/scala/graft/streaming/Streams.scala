@@ -171,15 +171,25 @@ object Streams {
       }
   }
 
-  /** SCD2 audit history built incrementally (see [[scd2Stream]]); on
-    * the bounded feed the emitted rows ARE the final history, matching
-    * the batch cdc_scd2_history oracle exactly. Multi-batch
-    * close-then-reopen upsert behavior is pinned by StreamingSpec. */
+  /** SCD2 audit history built incrementally (see [[scd2Stream]]); the
+    * memory sink keeps EVERY emission, so the result is collapsed to
+    * the LAST emission per (key, valid_from) — the upsert a real sink
+    * applies. A version closes at most once and a closed row carries
+    * valid_to > -1 > the open sentinel, so max-by-valid_to IS
+    * emission order, making the row independent of how the bounded
+    * feed splits into micro-batches. Multi-batch close-then-reopen
+    * upsert behavior is pinned by StreamingSpec. */
   val cdcStreamScd2: Q = Q(
     "cdc_stream_scd2",
     (s, dir) => {
       val out = scd2Stream(parsedStream(s, dir)).toDF()
-      runBounded(out, "update").orderBy("key", "valid_from")
+      runBounded(out, "update")
+        .groupBy("key", "valid_from")
+        .agg(max(struct(col("valid_to"), col("id"), col("cents"),
+          col("type"), col("is_current"))).as("v"))
+        .select(col("key"), col("valid_from"), col("v.valid_to"),
+          col("v.id"), col("v.cents"), col("v.type"), col("v.is_current"))
+        .orderBy("key", "valid_from")
     },
     Some(s"""WITH feed AS (${CdcQueries.feedSql}), p AS (${CdcQueries.parsedSql}),
             |v AS (
@@ -224,7 +234,19 @@ object Streams {
     "cdc_stream_materialize",
     (s, dir) => {
       val out = materializeStream(parsedStream(s, dir)).toDF()
-      runBounded(out, "update").orderBy("key")
+      // the memory sink appends every batch's updates; keep the last
+      // emission per key (max last_scn) so a key updated in two
+      // micro-batches doesn't appear twice — the upsert a real sink
+      // applies. (A delete AFTER a key was emitted in an earlier batch
+      // emits nothing to collapse on; StreamingSpec pins that real
+      // multi-batch contract at the state level.)
+      runBounded(out, "update")
+        .groupBy("key")
+        .agg(max(struct(col("last_scn"), col("id"), col("cents"),
+          col("type"))).as("v"))
+        .select(col("key"), col("v.id"), col("v.cents"), col("v.type"),
+          col("v.last_scn"))
+        .orderBy("key")
     },
     Some(s"""WITH feed AS (${CdcQueries.feedSql}), p AS (${CdcQueries.parsedSql}),
             |ranked AS (

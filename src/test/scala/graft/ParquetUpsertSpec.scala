@@ -155,6 +155,34 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(ParquetUpsert.pointLookup(spark, target, 7L).collect().isEmpty)
   }
 
+  test("bucket count is a table property: readers and later writers derive it, not guess it") {
+    import org.apache.spark.sql.functions.input_file_name
+    val target = newTarget()
+    // table created with a NON-default bucket count
+    ParquetUpsert.applyBatch(
+      toBatch((1L to 40L).map(k => ins(k, k, k * 10))), target, numBuckets = 8)
+    assert(ParquetUpsert.bucketCount(spark, target) == Some(8))
+
+    // a later writer passing a DIFFERENT count must follow the table's
+    // layout (8), not fragment it into a second hashing scheme
+    ParquetUpsert.applyBatch(toBatch(Seq(upd(5, 100, 555))), target, numBuckets = 16)
+    val dirs = Files.list(Paths.get(target)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("bucket=")).toSeq
+    assert(dirs.forall(_.stripPrefix("bucket=").toInt < 8),
+      s"writer ignored the table's bucket count: $dirs")
+
+    // pointLookup needs no caller-supplied count: it reads the table's,
+    // prunes to the right bucket under B=8, and finds the row
+    val got = ParquetUpsert.pointLookup(spark, target, 5L)
+    assert(got.select("key", "cents").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 555L)))
+    val scanned = got.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    val expectDir = s"bucket=${bucketOf(5L, numBuckets = 8)}"
+    assert(scanned.nonEmpty && scanned.forall(_.contains(expectDir)),
+      s"pull query hashed with the wrong bucket count: ${scanned.mkString(", ")}")
+  }
+
   test("the existing-state read is partition-pruned to the touched buckets") {
     import org.apache.spark.sql.execution.ExplainMode
     import org.apache.spark.sql.functions.{col, input_file_name}
