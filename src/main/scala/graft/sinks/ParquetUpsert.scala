@@ -50,16 +50,29 @@ object ParquetUpsert {
     if (!fs.exists(p)) None
     else {
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
-      try Some(in.readLine().trim.toInt) finally in.close()
+      val line = try in.readLine() finally in.close()
+      if (line == null || line.trim.isEmpty)
+        sys.error(s"$target/_graft_buckets is empty or truncated — " +
+          "table metadata is corrupt; restore it or rebucket the table")
+      Some(line.trim.toInt)
     }
   }
 
+  /** Crash-atomic metadata write: the content lands under a temp name
+    * and is renamed into place, so a reader can never observe a
+    * half-written file — it sees either the old metadata or the new. */
   private def writeBucketCount(sp: org.apache.spark.sql.SparkSession,
                                target: String, n: Int): Unit = {
     val p = metaPath(target)
     val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(target, s"._graft_buckets.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      sys.error(s"could not commit $target/_graft_buckets")
+    }
   }
 
   /** Merge one micro-batch of parsed change rows (columns key, scn,
@@ -83,8 +96,41 @@ object ParquetUpsert {
     // materialize before the overwrite — the plan reads the same files
     // the write is about to replace
     val out = merged.localCheckpoint(true)
-    writeDynamic(out, target)
+    // metadata BEFORE the first data write: a crash between the two then
+    // leaves a metadata file with no data (harmless — the next batch just
+    // follows it), never data whose bucket count is unrecorded
     if (bucketCount(sp, target).isEmpty) writeBucketCount(sp, target, b)
+    writeDynamic(out, target)
+  }
+
+  /** Re-hash the whole table into `newB` buckets — the lever for a table
+    * that outgrew its creation-time bucket count (a few-GB bucket at
+    * sf0.1 is a few-TB bucket at 100 TB). One full rewrite by design;
+    * afterwards every reader/writer derives `newB` from the metadata as
+    * usual. Crash stance is fail-loud: the metadata file is removed
+    * before the rewrite and re-written after it, so a crash mid-rebucket
+    * leaves a table whose pointLookup/applyBatch error out loudly rather
+    * than silently pruning against the wrong layout. */
+  def rebucket(sp: org.apache.spark.sql.SparkSession, target: String,
+               newB: Int): Unit = {
+    val oldB = bucketCount(sp, target).getOrElse(sys.error(
+      s"$target has no _graft_buckets metadata — not a ParquetUpsert table"))
+    if (oldB == newB) return
+    val all = sp.read.parquet(target).drop("bucket")
+      .withColumn("bucket", pmod(hash(col("key")), lit(newB)))
+      .localCheckpoint(true)
+    val newDirs = all.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val root = new org.apache.hadoop.fs.Path(target)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    fs.delete(metaPath(target), false)
+    writeDynamic(all, target)
+    // drop old-layout directories the new hashing left unused (dynamic
+    // overwrite only replaces partitions present in its output)
+    (0 until oldB).filterNot(newDirs).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true)
+    }
+    writeBucketCount(sp, target, newB)
   }
 
   /** Tombstone compaction: once every replica/consumer has passed

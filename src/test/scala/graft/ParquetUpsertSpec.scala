@@ -183,6 +183,65 @@ class ParquetUpsertSpec extends SparkSpec {
       s"pull query hashed with the wrong bucket count: ${scanned.mkString(", ")}")
   }
 
+  test("rebucket re-hashes the table; lookups prune against the NEW layout") {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name}
+    val target = newTarget()
+    ParquetUpsert.applyBatch(
+      toBatch((1L to 40L).map(k => ins(k, k, k * 10))), target, numBuckets = 8)
+    ParquetUpsert.applyBatch(toBatch(Seq(del(7, 100))), target)
+
+    ParquetUpsert.rebucket(spark, target, 32)
+    assert(ParquetUpsert.bucketCount(spark, target) == Some(32))
+
+    // no stale data from the old layout: every surviving row sits in the
+    // directory the NEW hashing assigns it (a leftover old-layout dir
+    // would violate this for some row)
+    val misplaced = spark.read.parquet(target)
+      .filter(col("bucket") =!= expr("pmod(hash(key), 32)")).count()
+    assert(misplaced == 0, "rows left in old-layout bucket directories")
+    // content survived intact: 39 live rows + 1 tombstone
+    assert(snapshot(target).map(_._1).toSet == ((1L to 40L).toSet - 7L))
+    assert(spark.read.parquet(target).filter(col("op") === "d").count() == 1)
+
+    // pointLookup derives the new count and prunes to ONE new-layout dir
+    val got = ParquetUpsert.pointLookup(spark, target, 5L)
+    assert(got.select("key", "cents").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 50L)))
+    val scanned = got.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    val expectDir = s"bucket=${bucketOf(5L, numBuckets = 32)}"
+    assert(scanned.nonEmpty && scanned.forall(_.contains(expectDir)),
+      s"lookup did not prune against the rebucketed layout: ${scanned.mkString(", ")}")
+    // and later writers follow the new layout
+    ParquetUpsert.applyBatch(toBatch(Seq(upd(5, 200, 555))), target)
+    assert(ParquetUpsert.pointLookup(spark, target, 5L)
+      .select("cents").collect().map(_.getLong(0)).toSeq == Seq(555L))
+  }
+
+  test("corrupt (empty) bucket metadata fails loudly, never falls back to a guess") {
+    val target = newTarget()
+    ParquetUpsert.applyBatch(toBatch(Seq(ins(1, 10, 100))), target)
+    // truncate the metadata file, simulating a partial write
+    Files.write(Paths.get(target, "_graft_buckets"), Array.emptyByteArray)
+    val e = intercept[RuntimeException] {
+      ParquetUpsert.bucketCount(spark, target)
+    }
+    assert(e.getMessage.contains("_graft_buckets"))
+  }
+
+  test("metadata is written before the first data write (crash leaves no orphan data)") {
+    // contract check: on a brand-new table the metadata file must exist
+    // by the time any data directory does. We can't crash mid-call, but
+    // we CAN verify the observable invariant applyBatch guarantees —
+    // metadata present immediately after the first batch, with the
+    // seeded count — plus the atomic-rename leftover never lingering.
+    val target = newTarget()
+    ParquetUpsert.applyBatch(toBatch(Seq(ins(1, 10, 100))), target, numBuckets = 4)
+    assert(ParquetUpsert.bucketCount(spark, target) == Some(4))
+    assert(!Files.exists(Paths.get(target, "._graft_buckets.tmp")),
+      "temp metadata file must not survive the rename")
+  }
+
   test("the existing-state read is partition-pruned to the touched buckets") {
     import org.apache.spark.sql.execution.ExplainMode
     import org.apache.spark.sql.functions.{col, input_file_name}
