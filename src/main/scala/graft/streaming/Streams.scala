@@ -16,9 +16,14 @@ final case class KeyState(
     scn: Long, xid: String, id: Long, cents: Long, typ: String,
     deleted: Boolean)
 
-/** One output row of the incremental materialization. */
+/** One output row of the incremental materialization. Deletes surface
+  * as explicit tombstone emissions (`deleted = true`, sentinel payload)
+  * rather than silence, so a downstream collapse-to-last-emission is
+  * delete-safe under ANY micro-batch split: the tombstone carries the
+  * delete's scn and outranks every earlier emission of the key. */
 final case class SnapshotRow(
-    key: Long, id: Long, cents: Long, `type`: String, last_scn: Long)
+    key: Long, id: Long, cents: Long, `type`: String, last_scn: Long,
+    deleted: Boolean)
 
 /** One SCD2 version row emitted by the incremental history builder.
   * Downstream sinks upsert on (key, valid_from): an open version
@@ -121,11 +126,30 @@ object Streams {
           if (cur == null) Iterator.empty
           else {
             state.update(cur)
-            if (cur.deleted) Iterator.empty
-            else Iterator.single(SnapshotRow(key, cur.id, cur.cents, cur.typ, cur.scn))
+            if (cur.deleted)
+              Iterator.single(SnapshotRow(key, -1, -1, "", cur.scn, deleted = true))
+            else
+              Iterator.single(SnapshotRow(key, cur.id, cur.cents, cur.typ, cur.scn,
+                deleted = false))
           }
       }
   }
+
+  /** The upsert a real sink applies to the materialization's update
+    * stream, as a batch collapse over the accumulated emissions: last
+    * emission per key wins (max last_scn — a key's emissions are
+    * monotone in scn), and keys whose last emission is a tombstone are
+    * absent. Batch-count-independent BY CONSTRUCTION: a delete in a
+    * later micro-batch than the key's last live emission still emits (a
+    * tombstone), so it participates in — and wins — the collapse. */
+  def collapseSnapshots(updates: DataFrame): DataFrame =
+    updates
+      .groupBy("key")
+      .agg(max(struct(col("last_scn"), col("id"), col("cents"),
+        col("type"), col("deleted"))).as("v"))
+      .filter(!col("v.deleted"))
+      .select(col("key"), col("v.id"), col("v.cents"), col("v.type"),
+        col("v.last_scn"))
 
   /** Incremental SCD2 history: per-key keyed state holds only the OPEN
     * version; each arriving event closes it (emitting the closed row)
@@ -234,19 +258,12 @@ object Streams {
     "cdc_stream_materialize",
     (s, dir) => {
       val out = materializeStream(parsedStream(s, dir)).toDF()
-      // the memory sink appends every batch's updates; keep the last
-      // emission per key (max last_scn) so a key updated in two
-      // micro-batches doesn't appear twice — the upsert a real sink
-      // applies. (A delete AFTER a key was emitted in an earlier batch
-      // emits nothing to collapse on; StreamingSpec pins that real
-      // multi-batch contract at the state level.)
-      runBounded(out, "update")
-        .groupBy("key")
-        .agg(max(struct(col("last_scn"), col("id"), col("cents"),
-          col("type"))).as("v"))
-        .select(col("key"), col("v.id"), col("v.cents"), col("v.type"),
-          col("v.last_scn"))
-        .orderBy("key")
+      // the memory sink appends every batch's updates; collapseSnapshots
+      // applies the sink-side upsert (last emission per key, tombstones
+      // filtered) — delete-safe under any batch split because deletes
+      // emit tombstones (StreamingSpec drives insert-then-delete across
+      // two forced micro-batches through this exact collapse)
+      collapseSnapshots(runBounded(out, "update")).orderBy("key")
     },
     Some(s"""WITH feed AS (${CdcQueries.feedSql}), p AS (${CdcQueries.parsedSql}),
             |ranked AS (

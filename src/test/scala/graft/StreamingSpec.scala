@@ -33,11 +33,13 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       in.addData(upd(1, 20, 150), del(2, 12), ins(1, 5, 999))
       q.processAllAvailable()
       val updates = spark.table("mat_test").collect()
-        .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getBoolean(5)))
       // update-mode sink accumulates per-batch emissions: batch 2 emits
-      // key 1 at scn 20 (cents 150) and nothing for deleted key 2
-      assert(updates.count(r => r._1 == 1L && r._3 == 20L && r._2 == 150L) == 1)
-      assert(!updates.exists(r => r._1 == 2L && r._3 > 11L))
+      // key 1 at scn 20 (cents 150) and an explicit TOMBSTONE for the
+      // deleted key 2 (so a later collapse can apply the delete)
+      assert(updates.count(r => r._1 == 1L && r._3 == 20L && r._2 == 150L && !r._4) == 1)
+      assert(updates.count(r => r._1 == 2L && r._3 == 12L && r._4) == 1)
+      assert(!updates.exists(r => r._1 == 2L && r._3 > 11L && !r._4))
       assert(!updates.exists(r => r._1 == 1L && r._3 == 5L))
     } finally q.stop()
   }
@@ -51,12 +53,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     try {
       in.addData(ins(7, 1, 70), del(7, 2))
       q.processAllAvailable()
-      assert(spark.table("mat_test2").collect().isEmpty)
+      // the delete emits a tombstone (not silence) — that is what makes
+      // collapse-to-last-emission delete-safe across batches
+      val b1 = spark.table("mat_test2").collect()
+        .map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5)))
+      assert(b1.toSeq == Seq((7L, 2L, true)))
       in.addData(ins(7, 3, 77))
       q.processAllAvailable()
       val rows = spark.table("mat_test2").collect()
+        .filter(!_.getBoolean(5))
         .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
       assert(rows.toSeq == Seq((7L, 77L, 3L)))
+    } finally q.stop()
+  }
+
+  test("collapseSnapshots: a delete in a LATER micro-batch removes the key (the registry row's own collapse path)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[ChangeRow]
+    val q = Streams.materializeStream(in.toDS()).writeStream
+      .format("memory").queryName("mat_collapse").outputMode("update").start()
+    try {
+      // batch 1 emits key 1 live; batch 2 deletes it — the stale-row
+      // hazard the tombstone emission closes: without it, the batch-1
+      // emission would survive the collapse
+      in.addData(ins(1, 10, 100), ins(2, 11, 200))
+      q.processAllAvailable()
+      in.addData(del(1, 20), upd(2, 21, 250))
+      q.processAllAvailable()
+      val collapsed = Streams.collapseSnapshots(spark.table("mat_collapse"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).sorted
+      assert(collapsed.toSeq == Seq((2L, 250L, 21L)),
+        "key 1's batch-1 emission must be beaten by the batch-2 tombstone")
     } finally q.stop()
   }
 
