@@ -10,9 +10,9 @@ object SparkEntry {
 
   /** All implemented capabilities, one Q per SURVEY.md §2 row. */
   def registry: Seq[Q] =
-    Relational.all ++ CdcQueries.all ++ Dedup.all ++ TextOps.all ++
-      Curation.all ++ Ann.all ++ Multimodal.all ++ Streams.all ++
-      graft.sources.Formats.all
+    Relational.all ++ CdcQueries.all ++ graft.cdc.Router.all ++ Dedup.all ++
+      TextOps.all ++ Curation.all ++ Ann.all ++ Multimodal.all ++
+      Streams.all ++ graft.sources.Formats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

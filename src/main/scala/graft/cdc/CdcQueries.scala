@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object CdcQueries {
 
   /** op mapping: signup->c (insert), error->d (delete), rest->u. */
-  private val opSql =
+  private[cdc] val opSql =
     "CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END"
 
   /** Build the OLR-style JSON feed column (Spark side). */
