@@ -210,6 +210,22 @@ object CdcQueries {
             |$parsedSql
             |ORDER BY scn""".stripMargin))
 
+  /** Wire-schema evolution (the Schema Registry contract, consumer
+    * side): the feed is ENCODED with the v1 writer schema and DECODED
+    * through the evolved v2 reader schema (one appended field with a
+    * default) — Avro schema resolution surfaces the new `origin` column
+    * on every old-schema byte array. Complements cdc_schema_evolve
+    * (sink-side evolution); reference stack: AvroConverter + Schema
+    * Registry (README.md:518-536). */
+  val cdcAvroEvolve: Q = Q(
+    "cdc_avro_evolve",
+    (s, dir) => flatten(graft.sources.AvroWire.decodeEvolved(
+      graft.sources.AvroWire.encode(parsed(s, dir))), col("origin"))
+      .orderBy("scn"),
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql)
+            |SELECT *, 'olr' AS origin FROM p
+            |ORDER BY scn""".stripMargin))
+
   /** Snapshot bootstrap + catchup: the reference's operational start
     * sequence — an initial consistent load of the source table, then
     * the change stream applied on top (reference README.md "initial
@@ -472,6 +488,6 @@ object CdcQueries {
 
   val all: Seq[Q] = Seq(cdcParse, cdcUnwrap, cdcDeleteRewrite,
     cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin, cdcKafkaWire,
-    cdcAvroRoundtrip, cdcBootstrap, cdcTxnAssemble, cdcScd2History,
-    cdcDeadLetter, cdcCompact, pipelineCdc, cdcTimeTravel)
+    cdcAvroRoundtrip, cdcAvroEvolve, cdcBootstrap, cdcTxnAssemble,
+    cdcScd2History, cdcDeadLetter, cdcCompact, pipelineCdc, cdcTimeTravel)
 }

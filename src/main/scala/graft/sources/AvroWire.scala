@@ -12,6 +12,12 @@ final case class AvroChange(
     scn: Option[Long], tm: Option[Long], xid: Option[String], op: Option[String],
     key: Option[Long], after: Option[AvroImage], before: Option[AvroImage])
 
+/** The evolved (v2) consumer view: one added field with a default. */
+final case class AvroChangeV2(
+    scn: Option[Long], tm: Option[Long], xid: Option[String], op: Option[String],
+    key: Option[Long], after: Option[AvroImage], before: Option[AvroImage],
+    origin: String)
+
 /** Avro wire format for the change feed.
   *
   * The reference transports every change event as Avro with an explicit
@@ -69,6 +75,24 @@ object AvroWire {
       |  ]
       |}""".stripMargin
 
+  /** The EVOLVED reader schema (v2 of the Schema-Registry subject):
+    * same record plus one appended field `origin` with a default. This
+    * is the Schema Registry BACKWARD-compatibility contract the
+    * reference stack enforces (AvroConverter + registry — reference
+    * README.md:518-536): a consumer on the new schema must keep reading
+    * every byte producers wrote with the OLD schema, Avro schema
+    * resolution filling the added field from its default. */
+  val changeAvroSchemaV2: String = {
+    val marker = "  ]\n}"
+    val added =
+      """    ,{"name": "origin", "type": "string", "default": "olr"}
+        |  ]
+        |}""".stripMargin
+    val v2 = changeAvroSchema.replace(marker, added)
+    require(v2 != changeAvroSchema, "v1 schema shape changed; update the v2 splice")
+    v2
+  }
+
   /** Producer side: typed change columns (the [[graft.cdc.Cdc.parse]]
     * output shape) -> one Avro-encoded binary `value` column. */
   def encode(parsed: DataFrame): Dataset[Array[Byte]] = {
@@ -112,6 +136,41 @@ object AvroWire {
           baos.toByteArray
         }
       }(Encoders.BINARY)
+  }
+
+  /** Schema-evolution consumer: decode bytes WRITTEN with the v1 schema
+    * READ through the evolved v2 schema — Avro schema resolution
+    * (`GenericDatumReader(writer, reader)`) maps old wire bytes onto
+    * the new shape, surfacing the added `origin` field as its default.
+    * This is the wire-side half of auto-evolution (cdc_schema_evolve is
+    * the sink-side half): producers upgrade on their own schedule;
+    * consumers on v2 read both generations of bytes. */
+  def decodeEvolved(wire: Dataset[Array[Byte]]): DataFrame = {
+    val (writerJson, readerJson) = (changeAvroSchema, changeAvroSchemaV2)
+    wire.mapPartitions { bs =>
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      import org.apache.avro.io.{BinaryDecoder, DecoderFactory}
+      val writer = new Schema.Parser().parse(writerJson)
+      val reader = new Schema.Parser().parse(readerJson)
+      val datumReader = new GenericDatumReader[GenericRecord](writer, reader)
+      var dec: BinaryDecoder = null
+      def s(rec: GenericRecord, f: String): Option[String] =
+        Option(rec.get(f)).map(_.toString)
+      def l(rec: GenericRecord, f: String): Option[Long] =
+        Option(rec.get(f)).map(_.asInstanceOf[Long])
+      def image(v: AnyRef): Option[AvroImage] = Option(v).map { o =>
+        val rec = o.asInstanceOf[GenericRecord]
+        AvroImage(l(rec, "id"), l(rec, "cents"), s(rec, "type"))
+      }
+      bs.map { bytes =>
+        dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+        val rec = datumReader.read(null, dec)
+        AvroChangeV2(l(rec, "scn"), l(rec, "tm"), s(rec, "xid"), s(rec, "op"),
+          l(rec, "key"), image(rec.get("after")), image(rec.get("before")),
+          rec.get("origin").toString)
+      }
+    }(Encoders.product[AvroChangeV2]).toDF()
   }
 
   /** Consumer side: Avro binary values -> typed change columns (same

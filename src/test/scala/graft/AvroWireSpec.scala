@@ -53,6 +53,32 @@ class AvroWireSpec extends SparkSpec {
     assert(r.getLong(2) == r.getLong(0))
   }
 
+  test("schema evolution: v1-written bytes read through the v2 reader schema surface the defaulted field") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.io.DecoderFactory
+
+    // plain-runtime proof first (what any reference consumer does):
+    // old bytes + GenericDatumReader(writer=v1, reader=v2) -> default
+    val row = parsed.orderBy("scn").limit(1)
+    val bytes = AvroWire.encode(row).collect()(0)
+    val v1 = new Schema.Parser().parse(AvroWire.changeAvroSchema)
+    val v2 = new Schema.Parser().parse(AvroWire.changeAvroSchemaV2)
+    val rec: GenericRecord = new GenericDatumReader[GenericRecord](v1, v2)
+      .read(null, DecoderFactory.get().binaryDecoder(bytes, null))
+    assert(rec.get("origin").toString == "olr")
+    assert(rec.get("scn") == row.select("scn").collect()(0).getLong(0))
+
+    // and the Spark path: every old-schema record decodes, origin filled
+    val evolved = AvroWire.decodeEvolved(AvroWire.encode(parsed))
+    val n = parsed.count()
+    assert(evolved.count() == n)
+    assert(evolved.filter(col("origin") === "olr").count() == n)
+    // payload survives resolution unchanged
+    val orig = parsed.select("scn", "key", "op").collect().map(_.toSeq).toSet
+    assert(evolved.select("scn", "key", "op").collect().map(_.toSeq).toSet == orig)
+  }
+
   test("Spark-native Avro file format round-trips the feed with the explicit schema") {
     // the "avro" shortname registration ships in the external connector
     // module; the file format itself is bundled — address it by class
