@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.{ChangeRow, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit, sum, unix_micros, window}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Incremental (multi-batch) semantics of the streaming operators —
@@ -176,6 +177,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       val rows = spark.table("wm_dedup").select("key", "scn").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted
       assert(rows.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+
+      // the BOUNDED-state half of the claim: advance the watermark past
+      // the old entries and the state store must shrink to just the
+      // still-covered row — state is O(watermark window), not O(feed)
+      in.addData((99L, 99L, new java.sql.Timestamp(t0.getTime + 3L * 3600 * 1000)))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1,
+        s"expected watermark eviction down to the sentinel row, state holds $stateRows")
+    } finally q.stop()
+  }
+
+  test("append mode + watermark: final windows close, emit once, and state is evicted") {
+    // the scale-correct shape of the windowed streaming rows: the
+    // registry runs them in complete mode so the bounded feed flushes
+    // (a DuckDB-comparable final answer); at 100 TB you run THIS —
+    // append mode, watermark closes each window exactly once, closed
+    // windows leave the state store
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, String, Long)]
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_cents"))
+    val q = agg(in.toDF().toDF("ts", "event_type", "cents")
+        .withWatermark("ts", "30 minutes"))
+      .writeStream.format("memory").queryName("append_win")
+      .outputMode("append").start()
+    try {
+      def t(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+      val events = Seq(
+        (t(0), "a", 1L), (t(10 * 60 * 1000L), "a", 2L),
+        (t(70 * 60 * 1000L), "b", 5L))
+      in.addData(events: _*)
+      q.processAllAvailable()
+      // windows are still open: append mode must not have emitted yet
+      assert(spark.table("append_win").collect().isEmpty)
+
+      // a watermark-advancing sentinel (5 h later) closes both windows
+      in.addData((t(5L * 3600 * 1000), "z", 0L))
+      q.processAllAvailable()
+      val emitted = spark.table("append_win").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val expected = agg(events.toDF("ts", "event_type", "cents")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(emitted == expected,
+        s"append-mode final windows must equal the batch result: $emitted vs $expected")
+
+      // and the closed windows left the state store — only the
+      // sentinel's still-open window remains
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1,
+        s"closed windows must be evicted from state, found $stateRows rows")
     } finally q.stop()
   }
 
