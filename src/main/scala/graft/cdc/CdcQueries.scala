@@ -19,7 +19,14 @@ object CdcQueries {
   private[cdc] val opSql =
     "CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END"
 
-  /** Build the OLR-style JSON feed column (Spark side). */
+  /** Build the OLR-style JSON feed column (Spark side).
+    *
+    * Invariant (spec-pinned in CdcSpec): scn = event_id is globally
+    * unique, so (key, scn) uniquely identifies an event and the (scn,
+    * xid) tiebreaks in the operators are deterministic. Redo-log SCNs
+    * are monotone per transaction in the reference too; consumers of a
+    * source that CAN emit duplicate (key, scn) must fold xid into every
+    * per-version collapse key (see cdcStreamScd2). */
   def feed(s: SparkSession, dir: String): DataFrame =
     feedFrom(Tables(s, dir).events)
 

@@ -14,6 +14,14 @@ class CdcSpec extends SparkSpec {
     assert(parsed.filter(col("scn").isNull || col("key").isNull).count() == 0)
   }
 
+  test("feed invariant: (key, scn) is unique — the contract the (scn, xid) tiebreaks and version collapses rely on") {
+    // scn = event_id, globally unique by construction; every per-version
+    // collapse keyed on (key, scn)/(key, valid_from) depends on this
+    // (see Streams.cdcStreamScd2). If the feed generator ever changes,
+    // this must fail before an operator silently drops a version.
+    assert(parsed.groupBy("scn").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("materialize: one row per surviving key; deleted keys absent") {
     val snap = Cdc.materialize(parsed)
     assert(snap.groupBy("key").count().filter(col("count") > 1).count() == 0)
