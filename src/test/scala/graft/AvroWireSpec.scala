@@ -79,6 +79,34 @@ class AvroWireSpec extends SparkSpec {
     assert(evolved.select("scn", "key", "op").collect().map(_.toSeq).toSet == orig)
   }
 
+  test("schema evolution, forward direction: v2-written bytes still read through the v1 reader schema") {
+    // the other half of the registry's FULL-compatibility contract: a
+    // NOT-yet-upgraded consumer (v1 reader) keeps reading bytes from an
+    // upgraded producer (v2 writer) — resolution skips the unknown field
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+    import java.io.ByteArrayOutputStream
+
+    val v1 = new Schema.Parser().parse(AvroWire.changeAvroSchema)
+    val v2 = new Schema.Parser().parse(AvroWire.changeAvroSchemaV2)
+    val rec = new GenericData.Record(v2)
+    rec.put("scn", 42L); rec.put("op", "c"); rec.put("key", 7L)
+    rec.put("origin", "oracle19c")
+    val baos = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(baos, null)
+    new GenericDatumWriter[GenericRecord](v2).write(rec, enc)
+    enc.flush()
+
+    val back: GenericRecord = new GenericDatumReader[GenericRecord](v2, v1)
+      .read(null, DecoderFactory.get().binaryDecoder(baos.toByteArray, null))
+    assert(back.get("scn") == 42L)
+    assert(back.get("op").toString == "c")
+    assert(back.get("key") == 7L)
+    assert(back.getSchema.getField("origin") == null,
+      "v1 reader must resolve v2 bytes by skipping the added field")
+  }
+
   test("Spark-native Avro file format round-trips the feed with the explicit schema") {
     // the "avro" shortname registration ships in the external connector
     // module; the file format itself is bundled — address it by class
