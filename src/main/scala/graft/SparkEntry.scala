@@ -10,7 +10,8 @@ object SparkEntry {
 
   /** All implemented capabilities, one Q per SURVEY.md §2 row. */
   def registry: Seq[Q] =
-    Relational.all ++ CdcQueries.all ++ graft.cdc.Router.all ++ Dedup.all ++
+    Relational.all ++ CdcQueries.all ++ graft.cdc.Router.all ++
+      graft.cdc.ChangelogAgg.all ++ Dedup.all ++
       TextOps.all ++ Curation.all ++ Ann.all ++ Multimodal.all ++
       Streams.all ++ graft.sources.Formats.all
 

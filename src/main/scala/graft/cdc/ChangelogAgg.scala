@@ -1,0 +1,116 @@
+package graft.cdc
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retraction-based aggregate maintenance over a change stream — the
+  * ksqlDB `CREATE TABLE AS SELECT agg(...) ... GROUP BY g` semantics
+  * the reference's query layer applies to CDC topics, computed WITHOUT
+  * ever materializing per-key state.
+  *
+  * Every change event carries a before-image and an after-image (OLR
+  * emits both when the source runs full supplemental logging — the
+  * deployment mode the reference's setup SQL enables with
+  * `SUPPLEMENTAL LOG DATA (ALL) COLUMNS`, reference
+  * scripts/setup-olr.sql). For a sum/count grouped on a payload
+  * attribute g, each event contributes at most two deltas:
+  *
+  *   -(before.value) to group before.g   (retract the old state)
+  *   +(after.value)  to group after.g    (add the new state)
+  *
+  * Summing the deltas telescopes, per key, to exactly the key's final
+  * state: the aggregate over the deltas EQUALS the aggregate over the
+  * materialized snapshot — for any event order, any grouping drift
+  * (updates that move a key between groups), deletes, and
+  * re-inserts after delete.
+  *
+  * Scale design — this is the whole point of the operator: the
+  * snapshot path (materialize latest-per-key, then aggregate) shuffles
+  * the feed on the KEY — at 100 TB that is a 10-billion-row exchange
+  * recomputed on every refresh. The delta path never groups on the
+  * key: contributions are computed MAP-SIDE (an explode of at most 2
+  * small structs per event) and the only exchange is the final
+  * aggregate on the GROUP key — cardinality #groups, partial-aggregated
+  * map-side like any declarative sum. Aggregate maintenance cost is
+  * O(delta), independent of table size. PlanAuditSpec pins the
+  * one-exchange/no-window shape on the operator.
+  *
+  * The same additivity makes the streaming form trivially correct
+  * under any micro-batch split: per-batch delta aggregates merge into
+  * running per-group sums (Structured Streaming's own stateful
+  * aggregation — state is one row per GROUP, not per key).
+  */
+object ChangelogAgg {
+
+  /** Harness synthesis of the full-image wire format: the repo's
+    * synthetic feed carries only one payload per event, so the
+    * before-image is reconstructed here as the key's previous
+    * after-image (NULL across a delete — state did not exist). On a
+    * real OLR feed with supplemental logging both images arrive ON THE
+    * WIRE and this window does not exist; it stands in for the
+    * source-side logging, not for any part of the operator. */
+  def withBeforeImages(parsed: DataFrame): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("scn", "xid")
+    parsed.select(col("key"), col("scn"), col("xid"),
+        col("after.cents").as("a_cents"), col("after.type").as("a_type"))
+      .withColumn("b_cents", lag("a_cents", 1).over(w))
+      .withColumn("b_type", lag("a_type", 1).over(w))
+  }
+
+  /** The operator: full-image change rows -> maintained per-group
+    * aggregate. Map-side contribution explode, ONE exchange (the group
+    * aggregate). `n_contrib` counts contributions per group; it is
+    * strictly increasing every time any event touches the group, which
+    * makes it a valid emission ordinal for streaming sinks that must
+    * collapse to the latest emission (see [[Streams.cdcStreamChangelogAgg]]).
+    * Groups whose live row count reaches zero are dropped — a group
+    * exists only while rows exist, matching the snapshot semantics. */
+  def aggregateDeltas(full: DataFrame): DataFrame =
+    contributions(full)
+      .groupBy("type")
+      .agg(sum("d_cents").as("sum_cents"),
+        sum("d_rows").as("live_rows"),
+        count(lit(1)).as("n_contrib"))
+      .filter(col("live_rows") > 0)
+      .drop("n_contrib")
+
+  /** Map-side delta expansion: at most 2 contribution rows per event
+    * (retraction of the before-image, addition of the after-image).
+    * No shuffle, no per-key state. */
+  def contributions(full: DataFrame): DataFrame =
+    full.select(explode(array(
+        struct(col("b_type").as("type"),
+          (-col("b_cents")).as("d_cents"), lit(-1L).as("d_rows")),
+        struct(col("a_type").as("type"),
+          col("a_cents").as("d_cents"), lit(1L).as("d_rows")))).as("c"))
+      .filter(col("c.type").isNotNull)
+      .select(col("c.type").as("type"), col("c.d_cents").as("d_cents"),
+        col("c.d_rows").as("d_rows"))
+
+  private def fullImage(s: SparkSession, dir: String): DataFrame =
+    withBeforeImages(Cdc.parse(CdcQueries.feed(s, dir), col("json")))
+
+  /** The oracle computes the SAME aggregate the other way — materialize
+    * the latest row per key, then group — so a hash match proves the
+    * delta maintenance path equals the snapshot path exactly. */
+  private[graft] val snapshotAggSql =
+    s"""WITH feed AS (${CdcQueries.feedSql}), p AS (${CdcQueries.parsedSql}),
+       |ranked AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY key ORDER BY scn DESC, xid DESC) AS rn
+       |  FROM p)
+       |SELECT after_type AS type,
+       |  CAST(sum(after_cents) AS BIGINT) AS sum_cents,
+       |  count(*) AS live_rows
+       |FROM ranked WHERE rn = 1 AND op <> 'd'
+       |GROUP BY 1 ORDER BY type""".stripMargin
+
+  val cdcChangelogAgg: Q = Q(
+    "cdc_changelog_agg",
+    (s, dir) => aggregateDeltas(fullImage(s, dir)).orderBy("type"),
+    Some(snapshotAggSql))
+
+  val all: Seq[Q] = Seq(cdcChangelogAgg)
+}

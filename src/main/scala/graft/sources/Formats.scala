@@ -64,7 +64,7 @@ object Formats {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
 
-  private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
     sys.addShutdownHook {
       import java.nio.file._
       if (Files.exists(root)) {

@@ -624,8 +624,64 @@ object Streams {
             |FROM ranked WHERE rn = 1 AND op <> 'd'
             |ORDER BY tbl, key""".stripMargin))
 
+  /** One staged full-image stream directory per (session, source dir),
+    * reused across calls and deleted on JVM exit. Written as TWO
+    * parquet files so `maxFilesPerTrigger=1` genuinely splits the
+    * bounded feed into two micro-batches. */
+  private val changelogStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Incrementally-maintained grouped aggregate over the change stream
+    * — the ksqlDB `CREATE TABLE AS SELECT sum(...), count(*) GROUP BY`
+    * materialized table, as a REAL streaming query. Contributions are
+    * computed map-side from the full-image rows
+    * ([[graft.cdc.ChangelogAgg.contributions]]); Structured Streaming's
+    * stateful aggregation keeps ONE running row per GROUP (not per key
+    * — state cardinality is #groups however large the table), and each
+    * micro-batch emits the groups it changed (update mode). The memory
+    * sink keeps every emission, so the result collapses to the latest
+    * emission per group: `n_contrib` (contributions absorbed so far)
+    * strictly increases every time any event touches the group, making
+    * it a sound emission ordinal under ANY batch split — which the
+    * registry row itself exercises by forcing the feed into two
+    * micro-batches. Delta additivity makes the result independent of
+    * how events split across batches; the oracle computes the same
+    * aggregate via the materialized snapshot. */
+  val cdcStreamChangelogAgg: Q = Q(
+    "cdc_stream_changelog_agg",
+    (s, dir) => {
+      import graft.cdc.ChangelogAgg
+      val staged = changelogStreamDirs.computeIfAbsent(
+        (s.sparkContext.applicationId, dir), { _ =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft_chagg_stream")
+          graft.sources.Formats.deleteRecursivelyOnExit(tmp)
+          val p = tmp.toString + "/full"
+          ChangelogAgg.withBeforeImages(
+              Cdc.parse(CdcQueries.feed(s, dir), col("json")))
+            .repartition(2).write.mode("overwrite").parquet(p)
+          p
+        })
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val agg = ChangelogAgg.contributions(stream)
+        .groupBy("type")
+        .agg(sum("d_cents").as("sum_cents"),
+          sum("d_rows").as("live_rows"),
+          count(lit(1)).as("n_contrib"))
+      runBounded(agg, "update")
+        .groupBy("type")
+        .agg(max_by(struct(col("sum_cents"), col("live_rows")),
+          col("n_contrib")).as("v"))
+        .select(col("type"), col("v.sum_cents").as("sum_cents"),
+          col("v.live_rows").as("live_rows"))
+        .filter(col("live_rows") > 0)
+        .orderBy("type")
+    },
+    Some(graft.cdc.ChangelogAgg.snapshotAggSql))
+
   val all: Seq[Q] = Seq(cdcStreamIngest, cdcStreamMaterialize, cdcUpsertSink,
     cdcJdbcUpsert, cdcStreamDedup, cdcSchemaEvolve, qStreamTumbling,
     qStreamHopping, qStreamSession, qStreamJoin, cdcStreamEnrich,
-    cdcStreamScd2, cdcStreamRoute)
+    cdcStreamScd2, cdcStreamRoute, cdcStreamChangelogAgg)
 }
