@@ -160,5 +160,70 @@ object Router {
             |FROM ranked WHERE rn = 1 AND op <> 'd'
             |ORDER BY tbl, key""".stripMargin))
 
-  val all: Seq[Q] = Seq(cdcRoute)
+  /** Feed-integrity audit — the monitoring query a CDC operator runs
+    * against every replicated table (the reference's equivalent
+    * concern: OLR checkpoints SCN progress per source and consumers
+    * verify delivery; reference README.md "Verification" flow). Per
+    * (owner, table): event/key cardinalities, duplicate (key, scn)
+    * deliveries (at-least-once redelivery — injected here exactly like
+    * cdc_dedup_events, every 10th event delivered twice), event-time
+    * regressions against SCN order (clock skew / out-of-order capture),
+    * and the SCN span.
+    *
+    * Scale: ONE pass; the per-(table, key) lag window shuffles on the
+    * same (tbl, key) hash domain every other CDC operator uses, and the
+    * distinct aggregates are standard two-stage partial aggs (Expand),
+    * so the audit costs about as much as one materialization — run it
+    * as a side output of ingest, not a separate read of the feed. */
+  val cdcAudit: Q = Q(
+    "cdc_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val parsed = parseRouted(routedFeed(s, dir), col("json"))
+        // injected clock skew (every 13th event stamped 1h early) so
+        // the regression detector provably fires — the synthetic feed's
+        // event time is otherwise monotone with scn
+        .withColumn("tm", when(col("scn") % 13 === 0,
+          col("tm") - 3600000000L).otherwise(col("tm")))
+      val redelivered = parsed.union(parsed.filter(col("scn") % 10 === 0))
+      val w = Window.partitionBy("tbl", "key").orderBy("scn", "xid")
+      redelivered
+        .withColumn("prev_tm", lag("tm", 1).over(w))
+        .groupBy("owner", "tbl")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("key")).as("n_keys"),
+          (count(lit(1)) - countDistinct(col("key"), col("scn")))
+            .as("dup_deliveries"),
+          sum(when(col("tm") < col("prev_tm"), 1L).otherwise(0L))
+            .as("tm_regressions"),
+          min("scn").as("min_scn"), max("scn").as("max_scn"))
+        .orderBy("owner", "tbl")
+    },
+    Some(s"""WITH feed AS ($routedFeedSql), p AS (
+            |  SELECT
+            |    CAST(json_extract(json, '$$.scn') AS BIGINT) AS scn,
+            |    CAST(json_extract(json, '$$.tm') AS BIGINT)
+            |      - CASE WHEN CAST(json_extract(json, '$$.scn') AS BIGINT) % 13 = 0
+            |             THEN 3600000000 ELSE 0 END AS tm,
+            |    json_extract_string(json, '$$.xid') AS xid,
+            |    json_extract_string(json, '$$.owner') AS owner,
+            |    json_extract_string(json, '$$.table') AS tbl,
+            |    CAST(json_extract(json, '$$.key') AS BIGINT) AS key
+            |  FROM feed),
+            |r AS (SELECT * FROM p UNION ALL SELECT * FROM p WHERE scn % 10 = 0),
+            |x AS (
+            |  SELECT *, lag(tm) OVER
+            |    (PARTITION BY tbl, key ORDER BY scn, xid) AS prev_tm
+            |  FROM r)
+            |SELECT owner, tbl, count(*) AS n_events,
+            |  count(DISTINCT key) AS n_keys,
+            |  count(*) - count(DISTINCT (key, scn)) AS dup_deliveries,
+            |  CAST(sum(CASE WHEN tm < prev_tm THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS tm_regressions,
+            |  min(scn) AS min_scn, max(scn) AS max_scn
+            |FROM x GROUP BY 1, 2
+            |ORDER BY owner, tbl""".stripMargin))
+
+  val all: Seq[Q] = Seq(cdcRoute, cdcAudit)
 }

@@ -518,6 +518,174 @@ object Ann {
             |  ON x.probe_id = a.probe_id AND x.n_id = a.n_id
             |GROUP BY 1 ORDER BY x.probe_id""".stripMargin))
 
+  /** candidate budget for the quantized search: 4x the final K, the
+    * usual rerank headroom for int8 ANN. */
+  private val QCand = 40
+
+  /** vectors + their int8 codes (same quantization as vec_quantize:
+    * floor-half-up against the per-vector maxabs, seeded 1e-12).
+    * Codes are carried as doubles — every product |code| <= 127 is
+    * integer-exact in a double, so the quantized dot is deterministic
+    * across engines while still using the codegen'd graft_dot. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("maxabs",
+        expr("aggregate(v, CAST(1e-12 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("qd",
+        expr("transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE))"))
+
+  /** int8-quantized ANN: candidates scored on 4x-compressed codes,
+    * exact float rerank of the top [[QCand]] only — the memory-bound
+    * scale lever (candidate generation streams 1/4 the bytes; the
+    * full-precision column is only needed for <= QCand rows per
+    * probe). The approximate cosine rescales the integer code dot by
+    * (maxabs_a/127)(maxabs_b/127)/sqrt(n2a*n2b).
+    *
+    * Here codes are derived inline from the float column (the test
+    * table stores no code column), so the single scan reads floats
+    * anyway; in the production layout the codes are a STORED column
+    * (written once by the vec_quantize step) and the candidate scan
+    * never touches the float column at all — the rerank fetches full
+    * vectors by key for the tiny candidate set. ann_recall_quantized
+    * measures exactly what the compression costs in recall. */
+  val annQuantized: Q = Q(
+    "ann_quantized",
+    (s, dir) => {
+      val q = quantized(s, dir)
+      val probes = broadcast(q.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("n2").as("pn2"), col("maxabs").as("pmax"), col("qd").as("pqd")))
+      val scoredQ = q.join(probes, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("n_id"),
+          col("pv"), col("pn2"), col("v"), col("n2"),
+          expr(s"${dot("pqd", "qd")} * pmax * maxabs / (16129.0 * sqrt(pn2 * n2))")
+            .as("score_q"))
+      scoredQ
+        .withColumn("rank_q", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("score_q").desc, col("n_id"))))
+        .filter(col("rank_q") <= QCand)
+        .select(col("probe_id"), col("n_id"),
+          cosWith("pv", "pn2", "v", "n2").as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= K)
+        .select(col("probe_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), n AS (
+            |  SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM e
+            |), q AS (
+            |  SELECT vec_id, v, n2, maxabs,
+            |    list_transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE)) AS qd
+            |  FROM (
+            |    SELECT vec_id, v, n2,
+            |      list_reduce(list_prepend(CAST(1e-12 AS DOUBLE),
+            |        list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
+            |    FROM n)
+            |), p AS (
+            |  SELECT vec_id AS probe_id, v AS pv, n2 AS pn2, maxabs AS pmax,
+            |    qd AS pqd
+            |  FROM q WHERE $ProbeFilter
+            |), scored_q AS (
+            |  SELECT probe_id, q.vec_id AS n_id, pv, pn2, v, n2,
+            |    ${duckDot("pqd", "qd")} * pmax * maxabs / (16129.0 * sqrt(pn2 * n2)) AS score_q
+            |  FROM q JOIN p ON q.vec_id <> p.probe_id
+            |), cand AS (
+            |  SELECT * FROM (
+            |    SELECT probe_id, n_id, pv, pn2, v, n2,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY score_q DESC, n_id) AS rank_q
+            |    FROM scored_q
+            |  ) WHERE rank_q <= $QCand
+            |), reranked AS (
+            |  SELECT probe_id, n_id,
+            |    ${duckDot("pv", "v")} / sqrt(pn2 * n2) AS cos
+            |  FROM cand
+            |)
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM reranked
+            |) WHERE rank <= $K""".stripMargin))
+
+  /** Recall@5 of the int8-quantized search vs exact ground truth — the
+    * number that justifies (or forbids) shipping the 4x compression.
+    * With a 4xK rerank budget the quantization error has to displace a
+    * true neighbor out of the top-40 candidates to cost recall at
+    * all. */
+  val annRecallQuantized: Q = Q(
+    "ann_recall_quantized",
+    (s, dir) => {
+      val exact = annBruteforce.run(s, dir).filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annQuantized.run(s, dir).filter(col("rank") <= 5)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+        .withColumn("recall_pct", expr("hits * 100 div k"))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), bf_p AS (
+            |  SELECT vec_id AS probe_id, v AS pv FROM e WHERE $ProbeFilter
+            |), bf_scored AS (
+            |  SELECT probe_id, e.vec_id AS n_id, ${duckCosine("pv", "e.v")} AS cos
+            |  FROM e JOIN bf_p ON e.vec_id <> bf_p.probe_id
+            |), bf_ranked AS (
+            |  SELECT probe_id, n_id,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM bf_scored
+            |), exact AS (
+            |  SELECT probe_id, n_id FROM bf_ranked WHERE rank <= 5
+            |), n AS (
+            |  SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM e
+            |), q AS (
+            |  SELECT vec_id, v, n2, maxabs,
+            |    list_transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE)) AS qd
+            |  FROM (
+            |    SELECT vec_id, v, n2,
+            |      list_reduce(list_prepend(CAST(1e-12 AS DOUBLE),
+            |        list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
+            |    FROM n)
+            |), p AS (
+            |  SELECT vec_id AS probe_id, v AS pv, n2 AS pn2, maxabs AS pmax,
+            |    qd AS pqd
+            |  FROM q WHERE $ProbeFilter
+            |), scored_q AS (
+            |  SELECT probe_id, q.vec_id AS n_id, pv, pn2, v, n2,
+            |    ${duckDot("pqd", "qd")} * pmax * maxabs / (16129.0 * sqrt(pn2 * n2)) AS score_q
+            |  FROM q JOIN p ON q.vec_id <> p.probe_id
+            |), cand AS (
+            |  SELECT * FROM (
+            |    SELECT probe_id, n_id, pv, pn2, v, n2,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY score_q DESC, n_id) AS rank_q
+            |    FROM scored_q
+            |  ) WHERE rank_q <= $QCand
+            |), reranked AS (
+            |  SELECT probe_id, n_id,
+            |    ${duckDot("pv", "v")} / sqrt(pn2 * n2) AS cos
+            |  FROM cand
+            |), approx AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT probe_id, n_id,
+            |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |    FROM reranked
+            |  ) WHERE rank <= 5
+            |)
+            |SELECT x.probe_id, count(*) AS k, count(a.n_id) AS hits,
+            |  count(a.n_id) * 100 // count(*) AS recall_pct
+            |FROM exact x LEFT JOIN approx a
+            |  ON x.probe_id = a.probe_id AND x.n_id = a.n_id
+            |GROUP BY 1 ORDER BY x.probe_id""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
-    annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe)
+    annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
+    annRecallQuantized)
 }

@@ -889,6 +889,43 @@ object Relational {
            |   FROM customer i WHERE i.c_nationkey = o.c_nationkey)
            |ORDER BY c_custkey""".stripMargin))
 
+  /** wide-to-long reshaping (the inverse of q_pivot): lineitem's
+    * measure columns unpivoted to (measure, value) rows, then
+    * aggregated per (returnflag, measure). Spark's native `unpivot`
+    * expands rows map-side in ONE scan — the naive formulation (one
+    * SELECT + UNION ALL per measure, which is also what the DuckDB
+    * oracle runs) scans the table once PER MEASURE, an M-fold read
+    * amplification at 100 TB. Cents-ized to integers so the reshaped
+    * sums hash-compare exactly. */
+  val qUnpivot: Q = Q(
+    "q_unpivot",
+    (s, dir) => {
+      val li = t(s, dir).lineitem.select(col("l_returnflag"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("quantity"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("extendedprice"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("discount"))
+      li.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "val")
+        .groupBy("l_returnflag", "measure")
+        .agg(sum("val").as("sum_val"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "measure")
+    },
+    Some("""WITH u AS (
+           |  SELECT l_returnflag, 'quantity' AS measure,
+           |    CAST(round(l_quantity * 100) AS BIGINT) AS val FROM lineitem
+           |  UNION ALL
+           |  SELECT l_returnflag, 'extendedprice',
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+           |  UNION ALL
+           |  SELECT l_returnflag, 'discount',
+           |    CAST(round(l_discount * 100) AS BIGINT) FROM lineitem)
+           |SELECT l_returnflag, measure,
+           |  CAST(sum(val) AS BIGINT) AS sum_val, count(*) AS n
+           |FROM u GROUP BY 1, 2
+           |ORDER BY l_returnflag, measure""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
@@ -896,5 +933,5 @@ object Relational {
     qGroupingSets, qUnionDedup, qSessionize, qSessionize2Phase, qNtile,
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
     qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
-    qSessionizeSkew, qFullOuter, qCorrelated)
+    qSessionizeSkew, qFullOuter, qCorrelated, qUnpivot)
 }
