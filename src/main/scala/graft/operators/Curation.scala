@@ -298,6 +298,46 @@ object Curation {
             |  sum_chars // n_docs AS avg_chars
             |FROM a ORDER BY lang""".stripMargin))
 
+  /** Deterministic fixed-K-per-group sample (eval-set construction:
+    * "exactly K docs per language, reproducibly") — the complement of
+    * rate-based sample_stratified. Rank-by-hash makes membership a pure
+    * function of the data, and the MAP-SIDE hash pre-filter is the
+    * scale lever: the rank window sees only the pre-filter survivors,
+    * not the group. Here the pre-filter keeps 50% (test-SF groups are
+    * tiny); at 100 TB it is tuned to pass a small multiple of K per
+    * group (e.g. 1e-6 of a billion-row group), so the per-group window
+    * ranks thousands of rows while the scan discards the rest without
+    * shuffling a single dropped row. Groups smaller than K return
+    * whole — same semantics both sides. */
+  val samplePerGroup: Q = {
+    val k = 10
+    Q(
+      "sample_per_group",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables(s, dir).documents
+          .withColumn("h",
+            expr(charHash("concat('k', CAST(doc_id AS STRING))")) % 1000000)
+          .filter(col("h") < 500000)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy("h", "doc_id")))
+          .filter(col("rn") <= k)
+          .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+          .orderBy("lang", "rn")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, lang, n_chars,
+              |    ${duckCharHash("concat('k', CAST(doc_id AS VARCHAR))")} % 1000000 AS h
+              |  FROM documents),
+              |f AS (SELECT * FROM h WHERE h < 500000),
+              |r AS (
+              |  SELECT *, row_number() OVER
+              |    (PARTITION BY lang ORDER BY h, doc_id) AS rn
+              |  FROM f)
+              |SELECT lang, rn, doc_id, n_chars FROM r WHERE rn <= $k
+              |ORDER BY lang, rn""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(textContamination, sampleStratified, pipelineCurate,
-    pipelinePack, sampleMix, corpusStats)
+    pipelinePack, sampleMix, corpusStats, samplePerGroup)
 }

@@ -926,6 +926,49 @@ object Relational {
            |FROM u GROUP BY 1, 2
            |ORDER BY l_returnflag, measure""".stripMargin))
 
+  /** explicit window FRAMES — the one window feature the other rows
+    * don't touch: a 3-row trailing sum (ROWS BETWEEN 2 PRECEDING AND
+    * CURRENT ROW), the frame's own row count (ramp-up at the partition
+    * head), and lag/lead neighbors, all over one (custkey, orderdate)
+    * window. ONE shuffle on the partition key serves every frame —
+    * Spark evaluates all four functions in a single Window operator
+    * over the same sort. Integer cents end to end so the trailing sums
+    * hash-compare exactly. */
+  val qWindowFrames: Q = Q(
+    "q_window_frames",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir).orders
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderdate"))
+      val order = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame3 = order.rowsBetween(-2, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"), col("cents"),
+          sum("cents").over(frame3).as("trailing3_cents"),
+          count(lit(1)).over(frame3).as("frame_n"),
+          coalesce(lag("cents", 1).over(order), lit(-1L)).as("prev_cents"),
+          coalesce(lead("cents", 1).over(order), lit(-1L)).as("next_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey, o_orderkey,
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderdate
+           |  FROM orders WHERE o_custkey % 10 = 0)
+           |SELECT o_custkey, o_orderkey, cents,
+           |  CAST(sum(cents) OVER w3 AS BIGINT) AS trailing3_cents,
+           |  count(*) OVER w3 AS frame_n,
+           |  coalesce(lag(cents, 1) OVER wo, -1) AS prev_cents,
+           |  coalesce(lead(cents, 1) OVER wo, -1) AS next_cents
+           |FROM o
+           |WINDOW
+           |  wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
@@ -933,5 +976,5 @@ object Relational {
     qGroupingSets, qUnionDedup, qSessionize, qSessionize2Phase, qNtile,
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
     qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
-    qSessionizeSkew, qFullOuter, qCorrelated, qUnpivot)
+    qSessionizeSkew, qFullOuter, qCorrelated, qUnpivot, qWindowFrames)
 }
