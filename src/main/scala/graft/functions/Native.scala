@@ -305,6 +305,43 @@ object Native {
       copy(child = c)
   }
 
+  /** The codes themselves (plus maxabs) for quantized similarity
+    * search — [[Int8Quantize]]'s sibling for the STORED-column write
+    * path ann_quantized assumes at scale: quantization identical
+    * (maxabs fold seeded 1e-12; floor(x*127/maxabs + 0.5)), codes
+    * emitted as doubles (integer-exact for |c| <= 127) so the
+    * candidate scorer feeds them straight into graft_dot. */
+  case class Int8Codes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("max_abs", DoubleType, nullable = false),
+      StructField("codes", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "graft_int8_codes"
+
+    override def nullSafeEval(vAny: Any): Any = {
+      val v = vAny.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var maxabs = 1e-12
+      var i = 0
+      while (i < n) {
+        val a = math.abs(v.getDouble(i))
+        if (a > maxabs) maxabs = a
+        i += 1
+      }
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(v.getDouble(i) * 127.0 / maxabs + 0.5)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(maxabs,
+        new GenericArrayData(out))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[Native.type].getName, null, name, usage, "")
 
@@ -326,7 +363,9 @@ object Native {
     ("graft_hyperplane_keys", "4x6-bit random-hyperplane LSH keys",
       es => HyperplaneKeys(es.head)),
     ("graft_int8_quantize", "symmetric int8 quantization: (max_abs, code_digest, max_err)",
-      es => Int8Quantize(es.head)))
+      es => Int8Quantize(es.head)),
+    ("graft_int8_codes", "symmetric int8 quantization codes: (max_abs, codes as doubles)",
+      es => Int8Codes(es.head)))
 
   /** Idempotently registers the graft_* functions in a session. Called
     * from Tables() so every query works on any SparkSession, including

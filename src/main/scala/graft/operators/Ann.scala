@@ -526,13 +526,17 @@ object Ann {
     * floor-half-up against the per-vector maxabs, seeded 1e-12).
     * Codes are carried as doubles — every product |code| <= 127 is
     * integer-exact in a double, so the quantized dot is deterministic
-    * across engines while still using the codegen'd graft_dot. */
+    * across engines while still using the codegen'd graft_dot. One
+    * native eval per vector (graft_int8_codes, pinned bit-identical to
+    * the SQL HOF formulation in NativeVsSqlSpec): this scan runs over
+    * the whole corpus, the hot path the interpreted-lambda rule
+    * exists for. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
-      .withColumn("maxabs",
-        expr("aggregate(v, CAST(1e-12 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
-      .withColumn("qd",
-        expr("transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE))"))
+      .withColumn("qz", expr("graft_int8_codes(v)"))
+      .withColumn("maxabs", col("qz.max_abs"))
+      .withColumn("qd", col("qz.codes"))
+      .drop("qz")
 
   /** int8-quantized ANN: candidates scored on 4x-compressed codes,
     * exact float rerank of the top [[QCand]] only — the memory-bound

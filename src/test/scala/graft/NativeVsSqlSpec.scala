@@ -120,6 +120,24 @@ class NativeVsSqlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("graft_int8_codes == SQL HOF formulation on real vectors") {
+    val e = graft.sources.Tables(spark, sfDir).embeddings.limit(20)
+      .withColumn("v", expr(Portable.toDouble("embedding")))
+      .withColumn("maxabs",
+        expr("aggregate(v, CAST(1e-12 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("codes",
+        expr("transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE))"))
+    val rows = e.select(expr("graft_int8_codes(v)").as("q"),
+        col("maxabs"), col("codes"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getStruct(0)
+      assert(q.getDouble(0) == r.getDouble(1))
+      assert(q.getSeq[Double](1) == r.getSeq[Double](2))
+    }
+  }
+
   test("graft_dot and graft_hyperplane_keys == SQL folds on real vectors") {
     val e = graft.sources.Tables(spark, sfDir).embeddings.limit(20)
       .withColumn("v", expr(Portable.toDouble("embedding")))
