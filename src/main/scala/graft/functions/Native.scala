@@ -365,7 +365,9 @@ object Native {
     ("graft_int8_quantize", "symmetric int8 quantization: (max_abs, code_digest, max_err)",
       es => Int8Quantize(es.head)),
     ("graft_int8_codes", "symmetric int8 quantization codes: (max_abs, codes as doubles)",
-      es => Int8Codes(es.head)))
+      es => Int8Codes(es.head)),
+    ("graft_topk", "partial-aggregatable top-K (value, id) pairs per group",
+      es => TopKPairs(es(0), es(1), es(2))))
 
   /** Idempotently registers the graft_* functions in a session. Called
     * from Tables() so every query works on any SparkSession, including

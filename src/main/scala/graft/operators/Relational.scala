@@ -969,6 +969,40 @@ object Relational {
            |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
            |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** top-N rows per group as a partial-aggregatable AGGREGATE
+    * (graft_topk, a custom TypedImperativeAggregate): map tasks keep a
+    * K-bounded heap per group, the exchange moves <= K pairs per
+    * (group, map partition), reducers merge heaps — the skew-immune
+    * form of what q_window_rank computes with a ranking window (which
+    * funnels a hot group's every row through one reducer). Same
+    * pre-aggregation argument as cdc_materialize's max_by, generalized
+    * from K=1 to arbitrary K. Oracle ranks with the equivalent
+    * row_number window — a hash match proves the heap semantics. */
+  val qTopkAgg: Q = Q(
+    "q_topk_agg",
+    (s, dir) => {
+      val o = t(s, dir).orders.select(
+        (col("o_custkey") % 50).as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey"))
+      o.groupBy("grp")
+        .agg(expr("graft_topk(cents, o_orderkey, 3)").as("top"))
+        .select(col("grp"), posexplode(col("top")))
+        .select(col("grp"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.v").as("cents"), col("col.id").as("o_orderkey"))
+        .orderBy("grp", "rank")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey % 50 AS grp,
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+           |  FROM orders),
+           |r AS (
+           |  SELECT *, row_number() OVER
+           |    (PARTITION BY grp ORDER BY cents DESC, o_orderkey DESC) AS rank
+           |  FROM o)
+           |SELECT grp, rank, cents, o_orderkey FROM r WHERE rank <= 3
+           |ORDER BY grp, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
@@ -976,5 +1010,6 @@ object Relational {
     qGroupingSets, qUnionDedup, qSessionize, qSessionize2Phase, qNtile,
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
     qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
-    qSessionizeSkew, qFullOuter, qCorrelated, qUnpivot, qWindowFrames)
+    qSessionizeSkew, qFullOuter, qCorrelated, qUnpivot, qWindowFrames,
+    qTopkAgg)
 }
