@@ -689,7 +689,127 @@ object Ann {
             |  ON x.probe_id = a.probe_id AND x.n_id = a.n_id
             |GROUP BY 1 ORDER BY x.probe_id""".stripMargin))
 
+  /** Deterministic k-means over the int8-quantized vectors — the
+    * clustering stage of cluster-balanced curation (group the corpus
+    * by embedding neighborhood, then sample/dedup per cluster instead
+    * of globally). One full Lloyd iteration: seed centroids = codes of
+    * vec_id < 16, assign (argmax cosine), recompute centroids,
+    * reassign; output per-cluster membership before/after plus a
+    * centroid digest.
+    *
+    * Every arithmetic step is ORDER-INDEPENDENT, which is what makes a
+    * clustering loop oracle-comparable at all: coordinates are int8
+    * codes (graft_int8_codes), centroid updates are INTEGER sums with
+    * floor-div means (no float accumulation to diverge with partition
+    * order — explicitly floor(double-div), since BIGINT `div`
+    * truncation differs between engines on negatives), and cosines are
+    * the usual shared-fold doubles. Assignment ties break to the
+    * smaller centroid id, mirroring the oracle's ORDER BY.
+    *
+    * Scale: centroids broadcast both times; assignment is the same
+    * partial-aggregated argmax as ann_ivf (the exchange moves one row
+    * per vector); centroid update shuffles (cluster, dim) partial sums
+    * — k x dims groups regardless of corpus size. More Lloyd rounds =
+    * repeat the two broadcast stages; at real scale you run them on a
+    * sample (mini-batch k-means), which changes nothing structurally. */
+  val clusterKmeans: Q = Q(
+    "cluster_kmeans",
+    (s, dir) => {
+      val codes = emb(s, dir)
+        .withColumn("qz", expr("graft_int8_codes(v)"))
+        .select(col("vec_id"), col("qz.codes").as("qd"))
+        .withColumn("qn2", expr(s"greatest(${dot("qd", "qd")}, 1e-12)"))
+
+      def assign(cents: DataFrame): DataFrame =
+        codes.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("qd"), col("qn2"), col("c_id"),
+            expr(s"${dot("qd", "cd")} / sqrt(qn2 * cn2)").as("c_cos"))
+          .groupBy("vec_id")
+          .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cid"),
+            first(col("qd")).as("qd")) // constant within the group
+
+      val c0 = codes.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("qd").as("cd"),
+          col("qn2").as("cn2"))
+      val a0 = assign(c0)
+
+      val c1 = a0.select(col("cid"), posexplode(col("qd")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+        // floor of the DOUBLE division (not BIGINT div, whose negative
+        // truncation differs between engines), back to double so cd
+        // stays an array<double> for graft_dot
+        .withColumn("m", floor(col("s").cast("double") / col("n")).cast("double"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("cd"))
+        .select(col("cid").as("c_id"), col("cd"),
+          expr(s"greatest(${dot("cd", "cd")}, 1e-12)").as("cn2"))
+
+      val n0 = a0.groupBy("cid").agg(count(lit(1)).as("n_before"))
+      val n1 = assign(c1).groupBy("cid").agg(count(lit(1)).as("n_after"))
+      c1.join(n0, col("c_id") === n0("cid"), "left").drop("cid")
+        .join(n1, col("c_id") === n1("cid"), "left").drop("cid")
+        .select(col("c_id"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          expr(sigDigest("transform(cd, x -> CAST(x AS BIGINT) + 127)"))
+            .as("centroid_digest"))
+        .orderBy("c_id")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), q AS (
+            |  SELECT vec_id,
+            |    list_transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE)) AS qd
+            |  FROM (
+            |    SELECT vec_id, v,
+            |      list_reduce(list_prepend(CAST(1e-12 AS DOUBLE),
+            |        list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
+            |    FROM e)
+            |), qn AS (
+            |  SELECT vec_id, qd, greatest(${duckDot("qd", "qd")}, 1e-12) AS qn2 FROM q
+            |), c0 AS (
+            |  SELECT vec_id AS c_id, qd AS cd, qn2 AS cn2 FROM qn WHERE vec_id < 16
+            |), a0 AS (
+            |  SELECT vec_id, qd, c_id AS cid FROM (
+            |    SELECT qn.vec_id, qn.qd, c_id,
+            |      row_number() OVER (PARTITION BY qn.vec_id
+            |        ORDER BY ${duckDot("qd", "cd")} / sqrt(qn2 * cn2) DESC, c_id) AS rn
+            |    FROM qn CROSS JOIN c0
+            |  ) WHERE rn = 1
+            |), sums AS (
+            |  SELECT cid, t.x['pos'] AS pos,
+            |    CAST(sum(t.x['code']) AS BIGINT) AS s, count(*) AS n
+            |  FROM a0, unnest([{'pos': i, 'code': CAST(qd[i] AS BIGINT)}
+            |    FOR i IN range(1, len(qd) + 1)]) AS t(x)
+            |  GROUP BY 1, 2
+            |), c1 AS (
+            |  SELECT cid AS c_id,
+            |    list(floor(CAST(s AS DOUBLE) / n) ORDER BY pos) AS cd
+            |  FROM sums GROUP BY 1
+            |), c1n AS (
+            |  SELECT c_id, cd, greatest(${duckDot("cd", "cd")}, 1e-12) AS cn2 FROM c1
+            |), a1 AS (
+            |  SELECT vec_id, c_id AS cid FROM (
+            |    SELECT qn.vec_id, c_id,
+            |      row_number() OVER (PARTITION BY qn.vec_id
+            |        ORDER BY ${duckDot("qd", "cd")} / sqrt(qn2 * cn2) DESC, c_id) AS rn
+            |    FROM qn CROSS JOIN c1n
+            |  ) WHERE rn = 1
+            |), n0 AS (SELECT cid, count(*) AS n_before FROM a0 GROUP BY 1
+            |), n1 AS (SELECT cid, count(*) AS n_after FROM a1 GROUP BY 1)
+            |SELECT c1n.c_id,
+            |  coalesce(n0.n_before, 0) AS n_before,
+            |  coalesce(n1.n_after, 0) AS n_after,
+            |  ${duckSigDigest("list_transform(cd, x -> CAST(x AS BIGINT) + 127)")}
+            |    AS centroid_digest
+            |FROM c1n
+            |LEFT JOIN n0 ON c1n.c_id = n0.cid
+            |LEFT JOIN n1 ON c1n.c_id = n1.cid
+            |ORDER BY c_id""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
-    annRecallQuantized)
+    annRecallQuantized, clusterKmeans)
 }
