@@ -12,11 +12,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * }}}
   *
   * Injects the graft_* native functions (see graft.functions.Native)
-  * into the session's function registry at build time. Sessions that
-  * are not built with the extension still get the functions lazily the
-  * first time they touch graft.sources.Tables.
+  * and the AsOfJoin planner strategy (graft.plans.AsOfJoinStrategy)
+  * at session build time. Sessions that are not built with the
+  * extension still get both lazily — the functions the first time
+  * they touch graft.sources.Tables, the strategy on the first
+  * AsOf.join call.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.Native.injectInto(ext)
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+  }
 }

@@ -731,7 +731,13 @@ object Ann {
       val c0 = codes.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("qd").as("cd"),
           col("qn2").as("cn2"))
-      val a0 = assign(c0)
+      // iterative algorithm: each Lloyd stage consumes the previous
+      // one SEVERAL ways (centroid update + membership counts + the
+      // next assignment), and the consumers prune different columns,
+      // so lineage replay would recompute the stage per consumer.
+      // localCheckpoint truncates between stages — the same call
+      // dedup_clusters makes for its propagation rounds.
+      val a0 = assign(c0).localCheckpoint()
 
       val c1 = a0.select(col("cid"), posexplode(col("qd")))
         .groupBy("cid", "pos")
@@ -742,16 +748,18 @@ object Ann {
         .withColumn("m", floor(col("s").cast("double") / col("n")).cast("double"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-          .as("cd"))
-        .select(col("cid").as("c_id"), col("cd"),
+          .as("cd"),
+          // n is the cluster's membership count replicated per dim —
+          // carrying it here makes the n_before join disappear
+          max("n").as("n_before"))
+        .select(col("cid").as("c_id"), col("cd"), col("n_before"),
           expr(s"greatest(${dot("cd", "cd")}, 1e-12)").as("cn2"))
+        .localCheckpoint()
 
-      val n0 = a0.groupBy("cid").agg(count(lit(1)).as("n_before"))
       val n1 = assign(c1).groupBy("cid").agg(count(lit(1)).as("n_after"))
-      c1.join(n0, col("c_id") === n0("cid"), "left").drop("cid")
-        .join(n1, col("c_id") === n1("cid"), "left").drop("cid")
-        .select(col("c_id"),
-          coalesce(col("n_before"), lit(0L)).as("n_before"),
+      // k-row side table: broadcast, or the planner sort-merge-joins it
+      c1.join(broadcast(n1), col("c_id") === n1("cid"), "left").drop("cid")
+        .select(col("c_id"), col("n_before"),
           coalesce(col("n_after"), lit(0L)).as("n_after"),
           expr(sigDigest("transform(cd, x -> CAST(x AS BIGINT) + 127)"))
             .as("centroid_digest"))

@@ -640,6 +640,50 @@ object Relational {
            |  AND e.us >= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
            |ORDER BY event_id""".stripMargin))
 
+  /** The same as-of semantics through the NATIVE whole-operator
+    * extension (graft.plans.AsOfJoin: logical node + strategy +
+    * merge-scan exec) instead of the union+window composition above —
+    * both rows are kept deliberately: q_asof_join proves the semantics
+    * are expressible declaratively, this row proves the custom
+    * operator ladder end to end against the identical DuckDB ASOF
+    * oracle. Plan shape: two key exchanges + two sorts (inserted by
+    * EnsureRequirements from the exec's declared requirements), then a
+    * single O(|L|+|R|) merge scan with one buffered right row — no
+    * Window, nothing materialized. */
+  val qAsofNative: Q = Q(
+    "q_asof_native",
+    (s, dir) => {
+      val tb = t(s, dir)
+      val ord = tb.orders
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("order_key"))
+        .select(col("o_custkey").as("rk"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("rtu"),
+          col("order_key"))
+      val ev = tb.events
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tu"))
+      graft.plans.AsOf.join(ev, ord,
+          ev("user_id"), ev("tu"), ord("rk"), ord("rtu"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("order_key"), lit(-1L)).as("as_of_key"),
+          coalesce(col("rtu"), lit(-1L)).as("as_of_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ord AS (
+           |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS order_key
+           |  FROM orders GROUP BY 1, 2
+           |), e AS (
+           |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events
+           |)
+           |SELECT e.event_id, e.user_id,
+           |  coalesce(o.order_key, -1) AS as_of_key,
+           |  coalesce(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)), -1) AS as_of_us
+           |FROM e ASOF LEFT JOIN ord o
+           |  ON e.user_id = o.o_custkey
+           |  AND e.us >= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+           |ORDER BY event_id""".stripMargin))
+
   /** banded range join: facts land in value bands via a range
     * condition against a tiny band dimension. The band table is
     * BROADCAST, so the range condition is evaluated map-side
@@ -1011,5 +1055,5 @@ object Relational {
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
     qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
     qSessionizeSkew, qFullOuter, qCorrelated, qUnpivot, qWindowFrames,
-    qTopkAgg)
+    qTopkAgg, qAsofNative)
 }

@@ -1,0 +1,193 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native backward as-of join — the whole-operator Catalyst extension
+  * (logical node + planner strategy + physical merge scan), for the
+  * one join type Spark's planner has no operator for.
+  *
+  * Semantics: LEFT OUTER as-of — for every left row, the single right
+  * row with `rightKey = leftKey` and the LARGEST `rightTime <=
+  * leftTime`; right columns are null when no such row exists. (The
+  * ksqlDB/kdb "most recent state at event time" join; DuckDB spells it
+  * `ASOF LEFT JOIN`, which is exactly what the oracle runs.)
+  *
+  * Physical shape — declared, not hand-built: the exec node REQUIRES
+  * `ClusteredDistribution(key)` on both children and (key, time)
+  * ascending intra-partition order, and Spark's own EnsureRequirements
+  * inserts the hash exchanges and sorts — the same machinery that
+  * plans SortMergeJoin. Execution is then a single forward merge scan
+  * per partition: O(|L| + |R|), O(1) state (ONE buffered right row),
+  * no window, no state blow-up on hot keys, never a cross product.
+  * Compare the composed formulation (q_asof_join: union + last-over
+  * running window): same two exchanges, but the window materializes
+  * and sorts the union and carries every right column through it; the
+  * merge scan streams both inputs once. At 100 TB both sides shuffle
+  * exactly once on the key, and skew behaves like sort-merge-join
+  * skew (a hot key sorts locally; nothing is replicated).
+  *
+  * Keys and times must be non-null (null left keys emit null-extended
+  * rows; null right keys match nothing). Right rows should be unique
+  * per (key, time) — with duplicates, which duplicate wins follows
+  * sort tie order, so dedup first (the registry row pre-aggregates,
+  * like any sane as-of input).
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] to [[AsOfJoinExec]]. Injected by GraftExtensions
+  * (`injectPlannerStrategy`) or lazily by [[AsOf.join]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition on the key: EnsureRequirements aligns both exchanges
+  // (same hash function, same partition count), exactly as for SMJ
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // intra-partition (key, time) order: sorts are inserted for free
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lt = BindReferences.bindReference(leftTime, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val rightWidth = right.output.length
+    val outAttrs = output
+    // the joined input row's right half can be the all-null row, so the
+    // projection MUST treat right attrs as nullable regardless of the
+    // child schema — binding against the child's non-null attrs would
+    // skip the null check and read 0s out of null slots
+    val inAttrs = left.output ++ right.output.map(_.withNullability(true))
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outAttrs, inAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val rBuf = rIter.buffered
+      // the ONE row of merge state: latest right row (copied — scan
+      // rows are reused) with key = current left key, time <= left time
+      var candidate: InternalRow = null
+      var candidateKey: Any = null
+
+      lIter.map { lRow =>
+        val k = lk.eval(lRow)
+        if (k == null) {
+          proj(joined(lRow, nullRight))
+        } else {
+          val t = lt.eval(lRow)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = rk.eval(head)
+            if (hk == null) { rBuf.next(); () } // sorts first, matches nothing
+            else {
+              val c = keyOrd.compare(hk, k)
+              if (c < 0) { rBuf.next(); candidate = null; candidateKey = null }
+              else if (c == 0 && timeOrd.lteq(rt.eval(head), t)) {
+                candidate = rBuf.next().copy(); candidateKey = hk
+              } else advance = false
+            }
+          }
+          val valid = candidate != null && candidateKey != null &&
+            keyOrd.compare(candidateKey, k) == 0
+          proj(joined(lRow, if (valid) candidate else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `AsOf.join(events, states, "k", "tu")`. */
+object AsOf {
+  /** Registers the strategy in the session (idempotently) and builds
+    * the joined DataFrame. Key and time columns are named the same on
+    * both sides here (rename beforehand if not); right columns appear
+    * suffixed only through normal Spark resolution, so project/alias
+    * the sides before joining if names collide. */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+      keyCol: String, timeCol: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    install(spark)
+    val plan = AsOfJoin(
+      leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
+      GraftSqlShim.expression(leftDf(keyCol)),
+      GraftSqlShim.expression(leftDf(timeCol)),
+      GraftSqlShim.expression(rightDf(keyCol)),
+      GraftSqlShim.expression(rightDf(timeCol)))
+    org.apache.spark.sql.GraftSqlShim.ofRows(spark, plan)
+  }
+
+  /** Column-expression variant for pre-resolved keys. */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: Column, leftTime: Column,
+      rightKey: Column, rightTime: Column): DataFrame = {
+    val spark = leftDf.sparkSession
+    install(spark)
+    val plan = AsOfJoin(
+      leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
+      GraftSqlShim.expression(leftKey), GraftSqlShim.expression(leftTime),
+      GraftSqlShim.expression(rightKey), GraftSqlShim.expression(rightTime))
+    org.apache.spark.sql.GraftSqlShim.ofRows(spark, plan)
+  }
+
+  /** Idempotent runtime registration, for sessions not built with
+    * GraftExtensions (mirrors Native.install). */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
+}

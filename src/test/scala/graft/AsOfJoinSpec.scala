@@ -1,0 +1,61 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of operator (logical node + strategy + merge-scan
+  * exec) must match the composed union+window formulation exactly, and
+  * must plan as two key exchanges + sorts with NO window. */
+class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
+
+  test("native as-of equals the composed q_asof_join on real data") {
+    val native = SparkEntry.queries("q_asof_native")(spark, sfDir).collect()
+    val composed = SparkEntry.queries("q_asof_join")(spark, sfDir)
+      .select("event_id", "user_id", "as_of_key", "as_of_us").collect()
+    assert(native.nonEmpty)
+    assert(native.map(_.toSeq).toSeq == composed.map(_.toSeq).toSeq)
+  }
+
+  test("boundary semantics: equal time matches, later rows don't, empty keys null-extend") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L),
+        (3L, 7L, 103L))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, 900L), (1L, 15L, 901L), (1L, 25L, 902L),
+        (2L, 6L, 903L))
+      .toDF("rk", "rt", "state")
+    val out = AsOf.join(left, right, left("k"), left("t"),
+        right("rk"), right("rt"))
+      .select(col("ev"), coalesce(col("state"), lit(-1L)).as("state"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // ev 100: right at EXACTLY t=10 matches; ev 101: t=20 -> latest is
+    // 15 (901), the t=25 row must NOT match; ev 102: right only at 6 >
+    // 5 -> null; ev 103: key 3 has no right rows -> null
+    assert(out == Seq((100L, 900L), (101L, 901L), (102L, -1L), (103L, -1L)))
+  }
+
+  test("delete/reinsert shape: candidate resets when the key advances") {
+    import spark.implicits._
+    // right has rows only for keys 1 and 3; key 2 between them must not
+    // inherit key 1's buffered candidate
+    val left = Seq((1L, 10L, 1L), (2L, 10L, 2L), (3L, 10L, 3L))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 1L, 11L), (3L, 2L, 33L)).toDF("rk", "rt", "state")
+    val out = AsOf.join(left, right, left("k"), left("t"),
+        right("rk"), right("rt"))
+      .select(col("ev"), coalesce(col("state"), lit(-1L)).as("state"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, 11L), (2L, -1L), (3L, 33L)))
+  }
+
+  test("plan: AsOfJoinExec with two key exchanges, sorted children, no Window") {
+    val p = SparkEntry.queries("q_asof_native")(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), p)
+    // EnsureRequirements inserted the declared sorts
+    assert("(?m)^\\s*\\+- Sort".r.findAllIn(p).size >= 2, p)
+  }
+}
