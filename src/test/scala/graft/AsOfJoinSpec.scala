@@ -50,6 +50,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq((1L, 11L), (2L, -1L), (3L, 33L)))
   }
 
+  test("GraftExtensions injects the planner strategy at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2.sessionState.planner.strategies
+        .contains(graft.plans.AsOfJoinStrategy))
+    } finally old.foreach { o =>
+      SparkSession.setDefaultSession(o)
+      SparkSession.setActiveSession(o)
+    }
+  }
+
   test("plan: AsOfJoinExec with two key exchanges, sorted children, no Window") {
     val p = SparkEntry.queries("q_asof_native")(spark, sfDir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
