@@ -84,6 +84,9 @@ object Streams {
     * of arriving files or a Kafka source — the transform chain is
     * identical). */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    // the stream path doesn't touch Tables, so install the graft_*
+    // functions here too (idempotent)
+    graft.functions.Native.install(s)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the file source wants a directory of arriving files; expose the
@@ -680,8 +683,49 @@ object Streams {
     },
     Some(graft.cdc.ChangelogAgg.snapshotAggSql))
 
+  /** Live top-K leaderboard: the custom graft_topk aggregate
+    * (TypedImperativeAggregate) running INSIDE Structured Streaming's
+    * stateful aggregation — state per group is the K-bounded heap
+    * buffer itself (serialized into the state store via the
+    * aggregate's own serialize/deserialize), so a group's state stays
+    * O(K) however many events stream through it. Update mode emits a
+    * group's refreshed top-K whenever a batch touches it; the memory
+    * sink keeps every emission, so the result collapses to the latest
+    * per group ranked by `n_seen` (events absorbed — strictly
+    * increasing per emission, same ordinal argument as
+    * cdc_stream_changelog_agg). The bounded feed's final leaderboard
+    * must equal the batch window-rank oracle. */
+  val qStreamTopk: Q = Q(
+    "q_stream_topk",
+    (s, dir) => {
+      val ev = eventsStream(s, dir)
+        .select((col("user_id") % 10).as("grp"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_id"))
+      val agg = ev.groupBy("grp")
+        .agg(expr("graft_topk(cents, event_id, 3)").as("top"),
+          count(lit(1)).as("n_seen"))
+      runBounded(agg, "update")
+        .groupBy("grp")
+        .agg(max_by(col("top"), col("n_seen")).as("top"))
+        .select(col("grp"), posexplode(col("top")))
+        .select(col("grp"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.v").as("cents"), col("col.id").as("event_id"))
+        .orderBy("grp", "rank")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id % 10 AS grp,
+           |    CAST(round(value * 100) AS BIGINT) AS cents, event_id
+           |  FROM events),
+           |r AS (
+           |  SELECT *, row_number() OVER
+           |    (PARTITION BY grp ORDER BY cents DESC, event_id DESC) AS rank
+           |  FROM e)
+           |SELECT grp, rank, cents, event_id FROM r WHERE rank <= 3
+           |ORDER BY grp, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(cdcStreamIngest, cdcStreamMaterialize, cdcUpsertSink,
     cdcJdbcUpsert, cdcStreamDedup, cdcSchemaEvolve, qStreamTumbling,
     qStreamHopping, qStreamSession, qStreamJoin, cdcStreamEnrich,
-    cdcStreamScd2, cdcStreamRoute, cdcStreamChangelogAgg)
+    cdcStreamScd2, cdcStreamRoute, cdcStreamChangelogAgg, qStreamTopk)
 }

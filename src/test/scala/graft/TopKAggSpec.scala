@@ -58,6 +58,32 @@ class TopKAggSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq((1L, 100L, 9L), (1L, 100L, 8L)))
   }
 
+  test("streaming: heap state merges across micro-batches in the state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Long, Long)]
+    val agg = in.toDF().toDF("grp", "cents", "id")
+      .groupBy("grp")
+      .agg(expr("graft_topk(cents, id, 2)").as("top"),
+        count(lit(1)).as("n_seen"))
+    val q = agg.writeStream.format("memory").queryName("topk_stream")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 10L, 100L), (1L, 30L, 101L))
+      q.processAllAvailable()
+      // batch 2: 20 displaces 10 but not 30 — the K=2 heap restored
+      // from the STATE STORE must still know about both earlier rows
+      in.addData((1L, 20L, 102L), (1L, 5L, 103L))
+      q.processAllAvailable()
+      val last = spark.table("topk_stream")
+        .groupBy("grp").agg(max_by(col("top"), col("n_seen")).as("top"))
+        .select(posexplode(col("top")))
+        .collect().map(r => (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toSeq
+      assert(last == Seq((30L, 101L), (20L, 102L)))
+    } finally q.stop()
+  }
+
   test("groups smaller than K return whole; plan partial-aggregates before the exchange") {
     import spark.implicits._
     val small = Seq((1L, 5L, 1L), (1L, 6L, 2L), (2L, 7L, 3L))
