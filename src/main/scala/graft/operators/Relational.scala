@@ -731,6 +731,45 @@ object Relational {
            |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
            |ORDER BY returnflag, linestatus""".stripMargin))
 
+  /** hierarchical ROLLUP — (nation, year) -> nation subtotal -> grand
+    * total in ONE pass: Catalyst expands each input row to its 3
+    * grouping sets map-side (Expand) and everything partial-aggregates
+    * before the single exchange; the hand-rolled alternative (one
+    * UNION ALL branch per level) scans the fact once per level. */
+  val qRollup: Q = Q(
+    "q_rollup",
+    // spark.sql form: Dataset.rollup downstream of a join trips the
+    // ambiguous-self-join detector on the rollup output columns (the
+    // Expand copies carry the source dataset tags); the SQL path
+    // resolves cleanly and plans identically (Expand -> partial agg ->
+    // one exchange, dims broadcast by hint)
+    (s, dir) => {
+      t(s, dir).orders.createOrReplaceTempView("orders_v")
+      t(s, dir).customer.createOrReplaceTempView("customer_v")
+      t(s, dir).nation.createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT /*+ BROADCAST(customer_v), BROADCAST(nation_v) */
+          |  coalesce(n_name, 'ALL') AS nation,
+          |  coalesce(CAST(year(o_orderdate) AS INT), -1) AS yr,
+          |  count(*) AS n,
+          |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+          |FROM orders_v
+          |JOIN customer_v ON o_custkey = c_custkey
+          |JOIN nation_v ON c_nationkey = n_nationkey
+          |GROUP BY ROLLUP (n_name, year(o_orderdate))
+          |ORDER BY nation, yr""".stripMargin)
+    },
+    Some("""SELECT coalesce(n_name, 'ALL') AS nation,
+           |  coalesce(CAST(year(o_orderdate) AS INT), -1) AS yr,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |    AS sum_cents
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY ROLLUP (n_name, year(o_orderdate))
+           |ORDER BY nation, yr""".stripMargin))
+
   /** approximate per-group quantiles (mergeable sketch): the scale
     * counterpart of q_percentiles. The sketch value is engine-specific,
     * so the query ALSO computes exact DISCRETE quantiles (the integer-
@@ -1055,5 +1094,5 @@ object Relational {
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
     qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
     qSessionizeSkew, qFullOuter, qCorrelated, qUnpivot, qWindowFrames,
-    qTopkAgg, qAsofNative)
+    qTopkAgg, qAsofNative, qRollup)
 }
