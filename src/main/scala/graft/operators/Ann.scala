@@ -712,60 +712,58 @@ object Ann {
     * — k x dims groups regardless of corpus size. More Lloyd rounds =
     * repeat the two broadcast stages; at real scale you run them on a
     * sample (mini-batch k-means), which changes nothing structurally. */
-  val clusterKmeans: Q = Q(
-    "cluster_kmeans",
-    (s, dir) => {
-      val codes = emb(s, dir)
-        .withColumn("qz", expr("graft_int8_codes(v)"))
-        .select(col("vec_id"), col("qz.codes").as("qd"))
-        .withColumn("qn2", expr(s"greatest(${dot("qd", "qd")}, 1e-12)"))
+  /** int8 code vectors (see [[clusterKmeans]]). */
+  private def kmeansCodes(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("qz", expr("graft_int8_codes(v)"))
+      .select(col("vec_id"), col("qz.codes").as("qd"))
+      .withColumn("qn2", expr(s"greatest(${dot("qd", "qd")}, 1e-12)"))
 
-      def assign(cents: DataFrame): DataFrame =
-        codes.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("qd"), col("qn2"), col("c_id"),
-            expr(s"${dot("qd", "cd")} / sqrt(qn2 * cn2)").as("c_cos"))
-          .groupBy("vec_id")
-          .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cid"),
-            first(col("qd")).as("qd")) // constant within the group
+  /** argmax-cosine assignment of every vector to its nearest centroid
+    * (broadcast cross join + partial-agg argmax, ann_ivf's shape). */
+  private def kmeansAssign(codes: DataFrame, cents: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qd"), col("qn2"), col("c_id"),
+        expr(s"${dot("qd", "cd")} / sqrt(qn2 * cn2)").as("c_cos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cid"),
+        first(col("qd")).as("qd")) // constant within the group
 
-      val c0 = codes.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("qd").as("cd"),
-          col("qn2").as("cn2"))
-      // iterative algorithm: each Lloyd stage consumes the previous
-      // one SEVERAL ways (centroid update + membership counts + the
-      // next assignment), and the consumers prune different columns,
-      // so lineage replay would recompute the stage per consumer.
-      // localCheckpoint truncates between stages — the same call
-      // dedup_clusters makes for its propagation rounds.
-      val a0 = assign(c0).localCheckpoint()
+  /** One Lloyd stage: seed centroids (vec_id < 16), assignment,
+    * integer-mean centroid update. Returns (codes, a0, c1); a0/c1 are
+    * localCheckpoint-ed — each stage is consumed several ways with
+    * different column pruning, so lineage replay would recompute it
+    * per consumer (the same truncation dedup_clusters applies). */
+  private def kmeansStage(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val codes = kmeansCodes(s, dir)
+    val c0 = codes.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("qd").as("cd"),
+        col("qn2").as("cn2"))
+    val a0 = kmeansAssign(codes, c0).localCheckpoint()
+    val c1 = a0.select(col("cid"), posexplode(col("qd")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+      // floor of the DOUBLE division (not BIGINT div, whose negative
+      // truncation differs between engines), back to double so cd
+      // stays an array<double> for graft_dot
+      .withColumn("m", floor(col("s").cast("double") / col("n")).cast("double"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("cd"),
+        // n is the cluster's membership count replicated per dim —
+        // carrying it here makes the n_before join disappear
+        max("n").as("n_before"))
+      .select(col("cid").as("c_id"), col("cd"), col("n_before"),
+        expr(s"greatest(${dot("cd", "cd")}, 1e-12)").as("cn2"))
+      .localCheckpoint()
+    (codes, a0, c1)
+  }
 
-      val c1 = a0.select(col("cid"), posexplode(col("qd")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
-        // floor of the DOUBLE division (not BIGINT div, whose negative
-        // truncation differs between engines), back to double so cd
-        // stays an array<double> for graft_dot
-        .withColumn("m", floor(col("s").cast("double") / col("n")).cast("double"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-          .as("cd"),
-          // n is the cluster's membership count replicated per dim —
-          // carrying it here makes the n_before join disappear
-          max("n").as("n_before"))
-        .select(col("cid").as("c_id"), col("cd"), col("n_before"),
-          expr(s"greatest(${dot("cd", "cd")}, 1e-12)").as("cn2"))
-        .localCheckpoint()
-
-      val n1 = assign(c1).groupBy("cid").agg(count(lit(1)).as("n_after"))
-      // k-row side table: broadcast, or the planner sort-merge-joins it
-      c1.join(broadcast(n1), col("c_id") === n1("cid"), "left").drop("cid")
-        .select(col("c_id"), col("n_before"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"),
-          expr(sigDigest("transform(cd, x -> CAST(x AS BIGINT) + 127)"))
-            .as("centroid_digest"))
-        .orderBy("c_id")
-    },
-    Some(s"""WITH e AS (
+  /** Shared oracle CTE chain for the one-Lloyd-stage k-means
+    * (codes -> seed centroids -> assignment -> integer-mean update ->
+    * reassignment a1) — used by cluster_kmeans and dedup_semantic. */
+  private val kmeansOracleCtes: String =
+    s"""e AS (
             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             |), q AS (
             |  SELECT vec_id,
@@ -805,7 +803,24 @@ object Ann {
             |        ORDER BY ${duckDot("qd", "cd")} / sqrt(qn2 * cn2) DESC, c_id) AS rn
             |    FROM qn CROSS JOIN c1n
             |  ) WHERE rn = 1
-            |), n0 AS (SELECT cid, count(*) AS n_before FROM a0 GROUP BY 1
+            |)""".stripMargin
+
+  val clusterKmeans: Q = Q(
+    "cluster_kmeans",
+    (s, dir) => {
+      val (codes, _, c1) = kmeansStage(s, dir)
+      val n1 = kmeansAssign(codes, c1)
+        .groupBy("cid").agg(count(lit(1)).as("n_after"))
+      // k-row side table: broadcast, or the planner sort-merge-joins it
+      c1.join(broadcast(n1), col("c_id") === n1("cid"), "left").drop("cid")
+        .select(col("c_id"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          expr(sigDigest("transform(cd, x -> CAST(x AS BIGINT) + 127)"))
+            .as("centroid_digest"))
+        .orderBy("c_id")
+    },
+    Some(s"""WITH $kmeansOracleCtes,
+            |n0 AS (SELECT cid, count(*) AS n_before FROM a0 GROUP BY 1
             |), n1 AS (SELECT cid, count(*) AS n_after FROM a1 GROUP BY 1)
             |SELECT c1n.c_id,
             |  coalesce(n0.n_before, 0) AS n_before,
@@ -817,7 +832,46 @@ object Ann {
             |LEFT JOIN n1 ON c1n.c_id = n1.cid
             |ORDER BY c_id""".stripMargin))
 
+  /** SemDeDup-style semantic near-dup detection: the k-means clusters
+    * are the BLOCKING key — exact float cosines are computed only
+    * WITHIN a cluster, never across the corpus. This is
+    * dedup_embedding with a learned partition of the space instead of
+    * random hyperplanes: at 100 TB the candidate set per vector is its
+    * cluster (|corpus|/k in expectation, tunable by k), the pair join
+    * is a self-join on the cluster id, and everything upstream is the
+    * already-audited one-Lloyd-stage pipeline. Pairs at cosine >= 0.4
+    * (dedup_embedding's threshold, so the two blocking strategies are
+    * directly comparable on the same data). */
+  val dedupSemantic: Q = Q(
+    "dedup_semantic",
+    (s, dir) => {
+      val (codes, _, c1) = kmeansStage(s, dir)
+      val a1 = kmeansAssign(codes, c1).select(col("vec_id"), col("cid"))
+      val e = emb(s, dir).select(col("vec_id"), col("v"), col("n2"))
+      val cand = a1.as("a")
+        .join(a1.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      cand
+        .join(e.as("ea"), col("va") === col("ea.vec_id"))
+        .join(e.as("eb"), col("vb") === col("eb.vec_id"))
+        .withColumn("cos", expr(s"${dot("ea.v", "eb.v")} / sqrt(ea.n2 * eb.n2)"))
+        .filter(col("cos") >= 0.4)
+        .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH $kmeansOracleCtes,
+            |pairs AS (
+            |  SELECT a.vec_id AS va, b.vec_id AS vb
+            |  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+            |scored AS (
+            |  SELECT va, vb, ${duckCosine("ea.v", "eb.v")} AS cos
+            |  FROM pairs
+            |  JOIN e ea ON va = ea.vec_id
+            |  JOIN e eb ON vb = eb.vec_id)
+            |SELECT va, vb, round(cos, 6) AS cos_sim
+            |FROM scored WHERE cos >= 0.4""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
-    annRecallQuantized, clusterKmeans)
+    annRecallQuantized, clusterKmeans, dedupSemantic)
 }
