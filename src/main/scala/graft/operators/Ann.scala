@@ -871,7 +871,76 @@ object Ann {
             |SELECT va, vb, round(cos, 6) AS cos_sim
             |FROM scored WHERE cos >= 0.4""".stripMargin))
 
+  /** Blocking-recall harness for near-dup detection: BOTH blocking
+    * strategies (random-hyperplane LSH = dedup_embedding's, learned
+    * k-means clusters = dedup_semantic's) measured against the exact
+    * all-pairs ground truth at the same 0.4 threshold — the evidence
+    * that justifies trusting a blocked pipeline's pair coverage before
+    * pointing it at a corpus where all-pairs is impossible. The truth
+    * side broadcasts one copy of the (small) vector table under a
+    * BroadcastNestedLoopJoin — an explicit eval-only baseline exactly
+    * like ann_bruteforce, not a scale path. */
+  val dedupBlockingRecall: Q = Q(
+    "dedup_blocking_recall",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("v"), col("n2"))
+      val truth = e.as("a")
+        .join(broadcast(e.select(col("vec_id").as("b_id"), col("v").as("bv"),
+          col("n2").as("bn2"))), col("vec_id") < col("b_id"))
+        .withColumn("cos", expr(s"${dot("v", "bv")} / sqrt(n2 * bn2)"))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_id").as("va"), col("b_id").as("vb"))
+        .localCheckpoint()
+      val nTrue = truth.count()
+
+      def recallOf(found: DataFrame, strategy: String): DataFrame = {
+        val f = found.select(col("va").as("f_va"), col("vb").as("f_vb"))
+        truth.join(broadcast(f),
+            col("va") === col("f_va") && col("vb") === col("f_vb"), "left")
+          .agg(count(col("f_va")).as("n_found"))
+          .select(lit(strategy).as("strategy"), col("n_found"),
+            lit(nTrue).as("n_true"),
+            expr(s"n_found * 100 div $nTrue").as("recall_pct"))
+      }
+
+      val hp = Dedup.dedupEmbedding.run(s, dir).select("va", "vb")
+      val km = dedupSemantic.run(s, dir).select("va", "vb")
+      recallOf(hp, "hyperplane").unionByName(recallOf(km, "kmeans"))
+        .orderBy("strategy")
+    },
+    Some(s"""WITH $kmeansOracleCtes,
+            |truth AS (
+            |  SELECT a.vec_id AS va, b.vec_id AS vb
+            |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+            |  WHERE ${duckCosine("a.v", "b.v")} >= 0.4
+            |), keys AS (
+            |  SELECT vec_id, v, unnest(${duckHyperplaneKeys("v")}) AS bk FROM e
+            |), hp AS (
+            |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id
+            |  WHERE ${duckCosine("a.v", "b.v")} >= 0.4
+            |), km AS (
+            |  SELECT a.vec_id AS va, b.vec_id AS vb
+            |  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            |  JOIN e ea ON a.vec_id = ea.vec_id
+            |  JOIN e eb ON b.vec_id = eb.vec_id
+            |  WHERE ${duckCosine("ea.v", "eb.v")} >= 0.4
+            |), t AS (SELECT count(*) AS n_true FROM truth)
+            |SELECT 'hyperplane' AS strategy,
+            |  (SELECT count(*) FROM truth JOIN hp USING (va, vb)) AS n_found,
+            |  n_true,
+            |  (SELECT count(*) FROM truth JOIN hp USING (va, vb)) * 100 // n_true
+            |    AS recall_pct
+            |FROM t
+            |UNION ALL
+            |SELECT 'kmeans',
+            |  (SELECT count(*) FROM truth JOIN km USING (va, vb)),
+            |  n_true,
+            |  (SELECT count(*) FROM truth JOIN km USING (va, vb)) * 100 // n_true
+            |FROM t
+            |ORDER BY strategy""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
-    annRecallQuantized, clusterKmeans, dedupSemantic)
+    annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall)
 }
