@@ -892,6 +892,9 @@ object Ann {
         .select(col("vec_id").as("va"), col("b_id").as("vb"))
         .localCheckpoint()
       val nTrue = truth.count()
+      // guard the ratio at tiny SFs where the truth set can be empty
+      // (0/0 would be null here but an error in the oracle dialect)
+      val denom = math.max(nTrue, 1L)
 
       def recallOf(found: DataFrame, strategy: String): DataFrame = {
         val f = found.select(col("va").as("f_va"), col("vb").as("f_vb"))
@@ -900,7 +903,7 @@ object Ann {
           .agg(count(col("f_va")).as("n_found"))
           .select(lit(strategy).as("strategy"), col("n_found"),
             lit(nTrue).as("n_true"),
-            expr(s"n_found * 100 div $nTrue").as("recall_pct"))
+            expr(s"n_found * 100 div $denom").as("recall_pct"))
       }
 
       val hp = Dedup.dedupEmbedding.run(s, dir).select("va", "vb")
@@ -925,18 +928,19 @@ object Ann {
             |  JOIN e ea ON a.vec_id = ea.vec_id
             |  JOIN e eb ON b.vec_id = eb.vec_id
             |  WHERE ${duckCosine("ea.v", "eb.v")} >= 0.4
-            |), t AS (SELECT count(*) AS n_true FROM truth)
+            |), t AS (SELECT count(*) AS n_true,
+            |  greatest(count(*), 1) AS denom FROM truth)
             |SELECT 'hyperplane' AS strategy,
             |  (SELECT count(*) FROM truth JOIN hp USING (va, vb)) AS n_found,
             |  n_true,
-            |  (SELECT count(*) FROM truth JOIN hp USING (va, vb)) * 100 // n_true
+            |  (SELECT count(*) FROM truth JOIN hp USING (va, vb)) * 100 // denom
             |    AS recall_pct
             |FROM t
             |UNION ALL
             |SELECT 'kmeans',
             |  (SELECT count(*) FROM truth JOIN km USING (va, vb)),
             |  n_true,
-            |  (SELECT count(*) FROM truth JOIN km USING (va, vb)) * 100 // n_true
+            |  (SELECT count(*) FROM truth JOIN km USING (va, vb)) * 100 // denom
             |FROM t
             |ORDER BY strategy""".stripMargin))
 
