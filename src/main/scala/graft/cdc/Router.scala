@@ -131,6 +131,27 @@ object Router {
   def writeRouted(snap: DataFrame, root: String): Unit =
     snap.write.mode("overwrite").partitionBy("tbl").parquet(root)
 
+  /** Streaming fan-out of ONE routed micro-batch into per-table
+    * bucketed lake targets (`<root>/<TBL>` via
+    * [[graft.sinks.ParquetUpsert]]): the parsed batch is persisted
+    * once, each table's slice feeds its own upsert (O(slice + touched
+    * buckets)), and the table list is derived from the batch itself (a
+    * <=N-row distinct collect — metadata), so a table appearing in the
+    * feed for the first time creates its target on arrival
+    * (spec-pinned by StreamingSpec across batches). Expects columns
+    * (tbl, key, scn, xid, op, id, cents, typ). */
+  def applyRoutedBatch(batch: DataFrame, root: String): Unit = {
+    batch.persist()
+    try {
+      val tables = batch.select("tbl").distinct()
+        .collect().map(_.getString(0)).sorted
+      tables.foreach { t =>
+        graft.sinks.ParquetUpsert.applyBatch(
+          batch.filter(col("tbl") === t).drop("tbl"), s"$root/$t")
+      }
+    } finally { batch.unpersist(); () }
+  }
+
   /** One feed in, N tables out: parse once, materialize all tables in
     * one shuffle. Output is every table's snapshot labeled by its
     * routing envelope. */

@@ -586,15 +586,7 @@ object Streams {
       val q = routed.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.persist()
-          try {
-            val tables = batch.select("tbl").distinct()
-              .collect().map(_.getString(0)).sorted
-            tables.foreach { t =>
-              graft.sinks.ParquetUpsert.applyBatch(
-                batch.filter(col("tbl") === t).drop("tbl"), s"$root/$t")
-            }
-          } finally { batch.unpersist(); () }
+          graft.cdc.Router.applyRoutedBatch(batch, root)
         }
         .start()
       try q.processAllAvailable() finally q.stop()

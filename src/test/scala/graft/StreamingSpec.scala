@@ -315,4 +315,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("stream routing: a table appearing mid-stream creates its target on arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("graft_route_mb").toString
+    // routed-change rows: (tbl, key, scn, xid, op, id, cents, typ)
+    val in = MemoryStream[(String, Long, Long, String, String, Long, Long, String)]
+    val routed = in.toDF().toDF(
+      "tbl", "key", "scn", "xid", "op", "id", "cents", "typ")
+    val q = routed.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.cdc.Router.applyRoutedBatch(batch, root)
+      }
+      .start()
+    try {
+      // batch 1: only ORDERS exists in the feed
+      in.addData(("ORDERS", 1L, 10L, "x.10", "c", 1L, 100L, "t"),
+        ("ORDERS", 2L, 11L, "x.11", "c", 2L, 200L, "t"))
+      q.processAllAvailable()
+      assert(new java.io.File(s"$root/ORDERS").exists())
+      assert(!new java.io.File(s"$root/CUSTOMERS").exists())
+
+      // batch 2: CUSTOMERS appears for the first time; ORDERS key 1
+      // updated, key 2 deleted — per-table upserts must all apply
+      in.addData(("CUSTOMERS", 7L, 12L, "x.12", "c", 7L, 700L, "t"),
+        ("ORDERS", 1L, 13L, "x.13", "u", 1L, 150L, "t"),
+        ("ORDERS", 2L, 14L, "x.14", "d", -1L, -1L, ""))
+      q.processAllAvailable()
+
+      val orders = spark.read.parquet(s"$root/ORDERS")
+        .filter(col("op") =!= "d")
+        .select("key", "cents").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(orders == Seq((1L, 150L)))
+      val customers = spark.read.parquet(s"$root/CUSTOMERS")
+        .filter(col("op") =!= "d")
+        .select("key", "cents").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(customers == Seq((7L, 700L)))
+    } finally q.stop()
+  }
 }
