@@ -207,7 +207,10 @@ object Router {
         .withColumn("tm", when(col("scn") % 13 === 0,
           col("tm") - 3600000000L).otherwise(col("tm")))
       val redelivered = parsed.union(parsed.filter(col("scn") % 10 === 0))
-      val w = Window.partitionBy("tbl", "key").orderBy("scn", "xid")
+      // (owner, tbl, key) — the full entity identity: two owners can
+      // legitimately carry the same table name, and a lag window crossing
+      // owner boundaries would mis-attribute tm regressions between them
+      val w = Window.partitionBy("owner", "tbl", "key").orderBy("scn", "xid")
       redelivered
         .withColumn("prev_tm", lag("tm", 1).over(w))
         .groupBy("owner", "tbl")
@@ -235,7 +238,7 @@ object Router {
             |r AS (SELECT * FROM p UNION ALL SELECT * FROM p WHERE scn % 10 = 0),
             |x AS (
             |  SELECT *, lag(tm) OVER
-            |    (PARTITION BY tbl, key ORDER BY scn, xid) AS prev_tm
+            |    (PARTITION BY owner, tbl, key ORDER BY scn, xid) AS prev_tm
             |  FROM r)
             |SELECT owner, tbl, count(*) AS n_events,
             |  count(DISTINCT key) AS n_keys,

@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -41,6 +42,27 @@ case class TopKPairs(
 
   // k is a literal of the query, not data: evaluated once at plan time
   private lazy val k: Int = math.max(1, kExpr.eval().asInstanceOf[Number].intValue())
+
+  // The buffer stores (Long, Long) and the declared output is LongType:
+  // fractional inputs would be silently truncated through
+  // Number.longValue, and a non-foldable k would NPE at plan time —
+  // reject both at analysis with a readable message instead.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import org.apache.spark.sql.GraftSqlShim.isIntegral
+    def integral(e: Expression, role: String): Option[String] =
+      if (isIntegral(e.dataType)) None
+      else Some(s"graft_topk $role must be an integral type " +
+        s"(cast explicitly if fractional), got ${e.dataType.sql}")
+    val kErr =
+      if (!kExpr.foldable) Some("graft_topk k must be a literal")
+      else if (!isIntegral(kExpr.dataType))
+        Some(s"graft_topk k must be an integral literal, got ${kExpr.dataType.sql}")
+      else if (kExpr.eval() == null) Some("graft_topk k must not be null")
+      else None
+    integral(valueExpr, "value").orElse(integral(idExpr, "id")).orElse(kErr)
+      .map(TypeCheckResult.TypeCheckFailure)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
 
   override def children: Seq[Expression] = Seq(valueExpr, idExpr, kExpr)
   override def nullable: Boolean = false

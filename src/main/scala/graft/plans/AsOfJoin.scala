@@ -94,6 +94,15 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // keyOrd/timeOrd are built from the LEFT types and applied to right
+    // values, so mismatched sides would miscompare or ClassCastException
+    // mid-scan — fail loud up front instead
+    require(GraftSqlShim.sameType(leftKey.dataType, rightKey.dataType),
+      s"as-of join key types differ: left ${leftKey.dataType.sql} vs " +
+        s"right ${rightKey.dataType.sql}; cast one side first")
+    require(GraftSqlShim.sameType(leftTime.dataType, rightTime.dataType),
+      s"as-of join time types differ: left ${leftTime.dataType.sql} vs " +
+        s"right ${rightTime.dataType.sql}; cast one side first")
     val lk = BindReferences.bindReference(leftKey, left.output)
     val lt = BindReferences.bindReference(leftTime, left.output)
     val rk = BindReferences.bindReference(rightKey, right.output)
@@ -133,7 +142,11 @@ case class AsOfJoinExec(
               val c = keyOrd.compare(hk, k)
               if (c < 0) { rBuf.next(); candidate = null; candidateKey = null }
               else if (c == 0 && timeOrd.lteq(rt.eval(head), t)) {
-                candidate = rBuf.next().copy(); candidateKey = hk
+                // re-evaluate the key AGAINST THE COPY: `hk` was read off
+                // the scan's reused buffer row, so for buffer-backed types
+                // (UTF8String, Decimal, structs) it would silently mutate
+                // as rBuf advances, corrupting the validity check below
+                candidate = rBuf.next().copy(); candidateKey = rk.eval(candidate)
               } else advance = false
             }
           }
@@ -184,9 +197,12 @@ object AsOf {
   }
 
   /** Idempotent runtime registration, for sessions not built with
-    * GraftExtensions (mirrors Native.install). */
+    * GraftExtensions (mirrors Native.install). Checks the planner's
+    * full strategy list — which includes extension-injected strategies,
+    * not just experimental ones — so a GraftExtensions session is never
+    * double-registered. */
   def install(spark: SparkSession): Unit = synchronized {
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+    if (!spark.sessionState.planner.strategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
   }

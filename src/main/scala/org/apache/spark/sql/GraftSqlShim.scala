@@ -15,4 +15,11 @@ object GraftSqlShim {
   /** Column -> Catalyst Expression (the 4.x ColumnNode bridge). */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** `DataType.sameType` (nullability-insensitive equality) is
+    * `private[spark]`; expose it for type-compatibility checks. */
+  def sameType(a: types.DataType, b: types.DataType): Boolean = a.sameType(b)
+
+  /** Is `dt` an integral type (`private[spark]` IntegralType)? */
+  def isIntegral(dt: types.DataType): Boolean = dt.isInstanceOf[types.IntegralType]
 }

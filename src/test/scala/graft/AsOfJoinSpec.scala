@@ -50,6 +50,53 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq((1L, 11L), (2L, -1L), (3L, 33L)))
   }
 
+  test("buffer-backed (string) keys: candidate key survives scan-buffer reuse") {
+    import spark.implicits._
+    // Many keys per partition forces the merge scan to advance through
+    // key groups; with UTF8String keys a candidateKey aliased to the
+    // scan's reused row would mutate and invalidate earlier matches.
+    val n = 2000
+    val left = (1 to n).map(i => (s"k${i % 50}", i.toLong, i.toLong))
+      .toDF("k", "t", "ev")
+    val right = (0 until 50).map(i => (s"k$i", 0L, 1000L + i))
+      .toDF("k", "t", "state")
+    val out = AsOf.join(left, right, "k", "t")
+      .select("ev", "state")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == n)
+    // every left row must match its key's single right row
+    assert(out.forall { case (ev, st) => st == 1000L + (ev % 50) })
+  }
+
+  test("mismatched key/time types fail loud, not mid-scan") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1, 5L)).toDF("k", "t") // Int key vs Long key
+    val ex = intercept[Exception] {
+      AsOf.join(left, right, "k", "t").collect()
+    }
+    assert(ex.getMessage.contains("as-of join key types differ"), ex.getMessage)
+  }
+
+  test("AsOf.install is a no-op on a GraftExtensions session (no duplicate strategy)") {
+    import org.apache.spark.sql.SparkSession
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      AsOf.install(s2)
+      assert(s2.sessionState.planner.strategies
+        .count(_ == graft.plans.AsOfJoinStrategy) == 1)
+      assert(s2.experimental.extraStrategies.isEmpty)
+    } finally old.foreach { o =>
+      SparkSession.setDefaultSession(o)
+      SparkSession.setActiveSession(o)
+    }
+  }
+
   test("GraftExtensions injects the planner strategy at session build time") {
     import org.apache.spark.sql.SparkSession
     val old = SparkSession.getDefaultSession

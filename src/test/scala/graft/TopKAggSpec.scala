@@ -84,6 +84,20 @@ class TopKAggSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("analysis rejects fractional inputs and non-literal k with readable errors") {
+    import spark.implicits._
+    val df = Seq((1L, 1.5, 2L)).toDF("grp", "v", "id")
+    val fractional = intercept[Exception] {
+      df.groupBy("grp").agg(expr("graft_topk(v, id, 3)")).collect()
+    }
+    assert(fractional.getMessage.contains("integral"), fractional.getMessage)
+    val nonLiteral = intercept[Exception] {
+      df.select(col("grp"), col("id"), col("id").as("k2"))
+        .groupBy("grp").agg(expr("graft_topk(id, id, k2)")).collect()
+    }
+    assert(nonLiteral.getMessage.contains("literal"), nonLiteral.getMessage)
+  }
+
   test("groups smaller than K return whole; plan partial-aggregates before the exchange") {
     import spark.implicits._
     val small = Seq((1L, 5L, 1L), (1L, 6L, 2L), (2L, 7L, 3L))
