@@ -139,15 +139,38 @@ object Router {
     * <=N-row distinct collect — metadata), so a table appearing in the
     * feed for the first time creates its target on arrival
     * (spec-pinned by StreamingSpec across batches). Expects columns
-    * (tbl, key, scn, xid, op, id, cents, typ). */
-  def applyRoutedBatch(batch: DataFrame, root: String): Unit = {
+    * (tbl, key, scn, xid, op, id, cents, typ).
+    *
+    * The per-table merges are INDEPENDENT by construction (each reads
+    * one slice of the persisted batch and writes its own directory), so
+    * they run concurrently on a bounded pool: micro-batch latency is
+    * ceil(N/`parallelism`) merge rounds instead of N — a wide feed (the
+    * reference's {owner, table} filter list can match hundreds of
+    * tables) no longer stalls the trigger behind a serial loop. Spark
+    * job submission is thread-safe; each job still uses the full
+    * cluster, so `parallelism` caps concurrent jobs, keeping scheduler
+    * pressure bounded. */
+  def applyRoutedBatch(batch: DataFrame, root: String,
+                       parallelism: Int = 4): Unit = {
     batch.persist()
     try {
       val tables = batch.select("tbl").distinct()
         .collect().map(_.getString(0)).sorted
-      tables.foreach { t =>
-        graft.sinks.ParquetUpsert.applyBatch(
-          batch.filter(col("tbl") === t).drop("tbl"), s"$root/$t")
+      def upsert(t: String): Unit = graft.sinks.ParquetUpsert.applyBatch(
+        batch.filter(col("tbl") === t).drop("tbl"), s"$root/$t")
+      if (tables.length <= 1 || parallelism <= 1) tables.foreach(upsert)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, tables.length))
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          Await.result(
+            Future.sequence(tables.toSeq.map(t => Future(upsert(t)))),
+            scala.concurrent.duration.Duration.Inf)
+          ()
+        } finally { pool.shutdown(); () }
       }
     } finally { batch.unpersist(); () }
   }

@@ -179,14 +179,13 @@ object ParquetUpsert {
       .drop("bucket")
   }
 
-  private def writeDynamic(out: DataFrame, target: String): Unit = {
-    val sp = out.sparkSession
-    val prev = sp.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode("overwrite").partitionBy("bucket").parquet(target)
-    finally prev match {
-      case Some(v) => sp.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => sp.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+  /** Dynamic partition overwrite as a PER-WRITER option, not a session
+    * conf mutation: concurrent upserts to different tables (the routed
+    * fan-out runs per-table merges on a thread pool) must not race on
+    * session state — a lost restore would silently flip a sibling's
+    * overwrite to static mode and truncate its whole target. */
+  private def writeDynamic(out: DataFrame, target: String): Unit =
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(target)
 }

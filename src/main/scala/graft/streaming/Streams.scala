@@ -590,8 +590,13 @@ object Streams {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      val fs = new java.io.File(root).listFiles().filter(_.isDirectory)
-        .map(_.getName).sorted
+      // discover tables through the same Hadoop FileSystem the sink
+      // writes with — a java.io.File listing would see nothing on an
+      // object store even though the lake is right there
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val hfs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fs = hfs.listStatus(rootPath).filter(_.isDirectory)
+        .map(_.getPath.getName).sorted
       fs.map { t =>
         s.read.parquet(s"$root/$t")
           .filter(col("op") =!= "d")
