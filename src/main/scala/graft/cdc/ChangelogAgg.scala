@@ -89,6 +89,28 @@ object ChangelogAgg {
       .select(col("c.type").as("type"), col("c.d_cents").as("d_cents"),
         col("c.d_rows").as("d_rows"))
 
+  /** Maintain a running per-group aggregate TABLE (a parquet dir) from
+    * delta rows `(type, d_cents, d_rows)` — the sink side of streaming
+    * aggregate maintenance: each micro-batch folds its deltas into the
+    * stored totals (read-modify-overwrite of a #groups-row table; the
+    * localCheckpoint pins the merge before the overwrite replaces the
+    * files it read). Groups whose live row count telescopes to zero
+    * stay stored at (0, 0) so a later re-insert resumes from the right
+    * totals; readers filter `d_rows > 0`, mirroring
+    * [[aggregateDeltas]]'s live-group semantics. */
+  def mergeDeltaTable(delta: DataFrame, aggDir: String): Unit = {
+    val sp = delta.sparkSession
+    val existing =
+      try sp.read.parquet(aggDir)
+      catch { case _: Throwable => sp.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), delta.schema) }
+    val merged = existing.unionByName(delta)
+      .groupBy("type")
+      .agg(sum("d_cents").as("d_cents"), sum("d_rows").as("d_rows"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(aggDir)
+  }
+
   private def fullImage(s: SparkSession, dir: String): DataFrame =
     withBeforeImages(Cdc.parse(CdcQueries.feed(s, dir), col("json")))
 

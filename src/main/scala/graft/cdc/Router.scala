@@ -151,14 +151,25 @@ object Router {
     * cluster, so `parallelism` caps concurrent jobs, keeping scheduler
     * pressure bounded. */
   def applyRoutedBatch(batch: DataFrame, root: String,
-                       parallelism: Int = 4): Unit = {
+                       parallelism: Int = 4): Unit =
+    foreachTableSlice(batch, parallelism) { (t, slice) =>
+      graft.sinks.ParquetUpsert.applyBatch(slice, s"$root/$t")
+    }
+
+  /** The fan-out harness [[applyRoutedBatch]] (and the full streaming
+    * pipeline) runs on: persist the batch once, discover its tables,
+    * and apply `f(table, slice)` to every table's slice on a bounded
+    * pool. `f` must touch only per-table resources — the slices share
+    * nothing but the persisted batch they filter. */
+  def foreachTableSlice(batch: DataFrame, parallelism: Int)
+                       (f: (String, DataFrame) => Unit): Unit = {
     batch.persist()
     try {
       val tables = batch.select("tbl").distinct()
         .collect().map(_.getString(0)).sorted
-      def upsert(t: String): Unit = graft.sinks.ParquetUpsert.applyBatch(
-        batch.filter(col("tbl") === t).drop("tbl"), s"$root/$t")
-      if (tables.length <= 1 || parallelism <= 1) tables.foreach(upsert)
+      def run(t: String): Unit =
+        f(t, batch.filter(col("tbl") === t).drop("tbl"))
+      if (tables.length <= 1 || parallelism <= 1) tables.foreach(run)
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(parallelism, tables.length))
@@ -167,7 +178,7 @@ object Router {
           implicit val ec: ExecutionContext =
             ExecutionContext.fromExecutor(pool)
           Await.result(
-            Future.sequence(tables.toSeq.map(t => Future(upsert(t)))),
+            Future.sequence(tables.toSeq.map(t => Future(run(t)))),
             scala.concurrent.duration.Duration.Inf)
           ()
         } finally { pool.shutdown(); () }

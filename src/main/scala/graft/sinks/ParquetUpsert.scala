@@ -75,9 +75,17 @@ object ParquetUpsert {
     }
   }
 
-  /** Merge one micro-batch of parsed change rows (columns key, scn,
-    * xid, op, id, cents, typ) into the bucketed parquet target. */
-  def applyBatch(batch: DataFrame, target: String, numBuckets: Int = 16): Unit = {
+  /** The shared merge core: prune-read the existing state, merge the
+    * batch, expose both sides plus the commit that writes the result.
+    * `merged` is localCheckpointed (safe to read after commit replaces
+    * the underlying files); `existing` is a LAZY view over the files
+    * commit() overwrites — anything derived from it must materialize
+    * before commit() runs. */
+  private final case class MergedBatch(
+      existing: DataFrame, merged: DataFrame, commit: () => Unit)
+
+  private def mergeBatch(batch: DataFrame, target: String,
+                         numBuckets: Int): MergedBatch = {
     val sp = batch.sparkSession
     val b = bucketCount(sp, target).getOrElse(numBuckets)
     val bucketed = batch.withColumn(
@@ -96,11 +104,43 @@ object ParquetUpsert {
     // materialize before the overwrite — the plan reads the same files
     // the write is about to replace
     val out = merged.localCheckpoint(true)
-    // metadata BEFORE the first data write: a crash between the two then
-    // leaves a metadata file with no data (harmless — the next batch just
-    // follows it), never data whose bucket count is unrecorded
-    if (bucketCount(sp, target).isEmpty) writeBucketCount(sp, target, b)
-    writeDynamic(out, target)
+    MergedBatch(existing, out, () => {
+      // metadata BEFORE the first data write: a crash between the two then
+      // leaves a metadata file with no data (harmless — the next batch just
+      // follows it), never data whose bucket count is unrecorded
+      if (bucketCount(sp, target).isEmpty) writeBucketCount(sp, target, b)
+      writeDynamic(out, target)
+    })
+  }
+
+  /** Merge one micro-batch of parsed change rows (columns key, scn,
+    * xid, op, id, cents, typ) into the bucketed parquet target. */
+  def applyBatch(batch: DataFrame, target: String, numBuckets: Int = 16): Unit =
+    mergeBatch(batch, target, numBuckets).commit()
+
+  /** [[applyBatch]] that ALSO returns the batch's per-group live-state
+    * delta — the aggregate-maintenance feed of the streaming pipeline
+    * (see [[graft.cdc.ChangelogAgg]]): for each payload `typ`,
+    * `post(touched buckets) − prior(touched buckets)` over live
+    * (non-tombstone) rows, as rows `(type, d_cents, d_rows)`. Keys the
+    * batch did not touch appear identically in prior and post and
+    * cancel, so the delta needs no per-key bookkeeping; summing deltas
+    * over any micro-batch split telescopes to exactly the snapshot
+    * aggregate. Cost on top of the merge: ONE extra aggregate over the
+    * already-pruned touched buckets, materialized to a handful of
+    * group rows before the overwrite invalidates the prior view. */
+  def applyBatchWithDeltas(batch: DataFrame, target: String,
+                           numBuckets: Int = 16): DataFrame = {
+    val m = mergeBatch(batch, target, numBuckets)
+    def live(df: DataFrame, sign: Int): DataFrame =
+      df.filter(col("op") =!= "d")
+        .groupBy(col("typ").as("type"))
+        .agg((sum("cents") * sign).as("d_cents"),
+          (count(lit(1)) * sign).as("d_rows"))
+    // prior reads the very files commit() replaces — pin it first
+    val prior = live(m.existing, -1).localCheckpoint(true)
+    m.commit()
+    live(m.merged, 1).unionByName(prior)
   }
 
   /** Re-hash the whole table into `newB` buckets — the lever for a table

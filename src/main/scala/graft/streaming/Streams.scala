@@ -680,6 +680,105 @@ object Streams {
     },
     Some(graft.cdc.ChangelogAgg.snapshotAggSql))
 
+  /** One staged routed-feed directory per (session, source dir) — TWO
+    * parquet files so `maxFilesPerTrigger=1` forces the pipeline row
+    * through two genuine micro-batches. */
+  private val pipelineStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** The WHOLE reference topology as ONE live streaming query — the
+    * deployed shape end to end (OLR multiplexed JSON feed -> parse ->
+    * per-{owner,table} routing -> upsert-materialized tables + the
+    * ksqlDB-style maintained aggregates over them; reference
+    * OpenLogReplicator.json:32-39,48 + README.md "Connector
+    * Configuration"). Every stage existed as its own registry row;
+    * this row is the proof they COMPOSE live:
+    *
+    *   staged feed (2 files -> 2 forced micro-batches)
+    *     -> [[graft.cdc.Router.parseRouted]]   (the ONE from_json)
+    *     -> foreachBatch: [[graft.cdc.Router.foreachTableSlice]]
+    *          (persisted batch, bounded-pool per-table fan-out)
+    *        -> [[graft.sinks.ParquetUpsert.applyBatchWithDeltas]]
+    *             (bucket-scoped lake merge, returns live-state deltas)
+    *        -> [[graft.cdc.ChangelogAgg.mergeDeltaTable]]
+    *             (running per-group aggregate table per table)
+    *
+    * Scale: per micro-batch the cost is O(batch + touched buckets) per
+    * table plus a #groups-row aggregate fold — nothing rescans the
+    * lake or the feed; the deltas telescope across ANY batch split
+    * (post − prior over touched buckets, untouched keys cancel), so
+    * the final aggregate table provably equals the composed snapshot
+    * aggregate the DuckDB oracle computes from scratch. PipelineSpec
+    * pins the cross-batch maintenance (group-moving update, delete,
+    * mid-stream table discovery) and the single parse. */
+  val pipelineCdcStream: Q = Q(
+    "pipeline_cdc_stream",
+    (s, dir) => {
+      import graft.cdc.{ChangelogAgg, Router}
+      val staged = pipelineStreamDirs.computeIfAbsent(
+        (s.sparkContext.applicationId, dir), { _ =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft_pipe_feed")
+          graft.sources.Formats.deleteRecursivelyOnExit(tmp)
+          val p = tmp.toString + "/feed"
+          Router.routedFeed(s, dir).repartition(2)
+            .write.mode("overwrite").parquet(p)
+          p
+        })
+      val schema = s.read.parquet(staged).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val routed = Router.parseRouted(feed, col("json"))
+        .select(col("tbl"), col("key"), col("scn"), col("xid"), col("op"),
+          when(col("op") === "d", col("before.id")).otherwise(col("after.id")).as("id"),
+          when(col("op") === "d", col("before.cents")).otherwise(col("after.cents")).as("cents"),
+          when(col("op") === "d", col("before.type")).otherwise(col("after.type")).as("typ"))
+      val lakeRoot = java.nio.file.Files
+        .createTempDirectory("graft_pipe_lake").toString
+      val aggRoot = java.nio.file.Files
+        .createTempDirectory("graft_pipe_agg").toString
+      val q = routed.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Router.foreachTableSlice(batch, parallelism = 4) { (t, slice) =>
+            val delta = graft.sinks.ParquetUpsert
+              .applyBatchWithDeltas(slice, s"$lakeRoot/$t")
+            ChangelogAgg.mergeDeltaTable(delta, s"$aggRoot/$t")
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val rootPath = new org.apache.hadoop.fs.Path(aggRoot)
+      val hfs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tables = hfs.listStatus(rootPath).filter(_.isDirectory)
+        .map(_.getPath.getName).sorted
+      tables.map { t =>
+        s.read.parquet(s"$aggRoot/$t")
+          .select(lit(t).as("tbl"), col("type"),
+            col("d_cents").as("sum_cents"), col("d_rows").as("live_rows"))
+      }.reduce(_.unionByName(_))
+        .filter(col("live_rows") > 0)
+        .orderBy("tbl", "type")
+    },
+    Some(s"""WITH feed AS (${graft.cdc.Router.routedFeedSql}), p AS (
+            |  SELECT
+            |    CAST(json_extract(json, '$$.scn') AS BIGINT) AS scn,
+            |    json_extract_string(json, '$$.xid') AS xid,
+            |    json_extract_string(json, '$$.op') AS op,
+            |    json_extract_string(json, '$$.table') AS tbl,
+            |    CAST(json_extract(json, '$$.key') AS BIGINT) AS key,
+            |    CAST(json_extract(json, '$$.after.cents') AS BIGINT) AS after_cents,
+            |    json_extract_string(json, '$$.after.type') AS after_type
+            |  FROM feed),
+            |ranked AS (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY tbl, key ORDER BY scn DESC, xid DESC) AS rn
+            |  FROM p)
+            |SELECT tbl, after_type AS type,
+            |  CAST(sum(after_cents) AS BIGINT) AS sum_cents,
+            |  count(*) AS live_rows
+            |FROM ranked WHERE rn = 1 AND op <> 'd'
+            |GROUP BY 1, 2
+            |ORDER BY tbl, type""".stripMargin))
+
   /** Live top-K leaderboard: the custom graft_topk aggregate
     * (TypedImperativeAggregate) running INSIDE Structured Streaming's
     * stateful aggregation — state per group is the K-bounded heap
@@ -724,5 +823,6 @@ object Streams {
   val all: Seq[Q] = Seq(cdcStreamIngest, cdcStreamMaterialize, cdcUpsertSink,
     cdcJdbcUpsert, cdcStreamDedup, cdcSchemaEvolve, qStreamTumbling,
     qStreamHopping, qStreamSession, qStreamJoin, cdcStreamEnrich,
-    cdcStreamScd2, cdcStreamRoute, cdcStreamChangelogAgg, qStreamTopk)
+    cdcStreamScd2, cdcStreamRoute, cdcStreamChangelogAgg, qStreamTopk,
+    pipelineCdcStream)
 }
