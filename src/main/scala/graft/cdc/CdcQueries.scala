@@ -203,16 +203,23 @@ object CdcQueries {
             |  'olr.cdc' AS topic, CAST(key % 3 AS INT) AS partition, scn AS offset
             |FROM p ORDER BY scn""".stripMargin))
 
-  /** Avro transport round-trip: typed events -> Avro binary (explicit
-    * schema, the reference's AvroConverter + Schema Registry contract)
-    * -> decode -> flatten. Byte-level wire compatibility with the plain
-    * Avro runtime is pinned by AvroWireSpec; here the decoded feed must
-    * hash-match the same oracle as cdc_parse (the round-trip is
-    * lossless). */
+  /** Avro transport round-trip THROUGH the Confluent wire framing:
+    * typed events -> Avro binary (explicit schema) -> framed value
+    * (magic byte + registered schema id — the envelope the reference's
+    * AvroConverter + Schema Registry stack puts on every Kafka value,
+    * reference README.md:529-530) -> id-resolved decode -> flatten.
+    * Byte-level wire compatibility and the framing failure modes
+    * (unknown id, foreign magic) are pinned by AvroWireSpec; here the
+    * decoded feed must hash-match the same oracle as cdc_parse (the
+    * framed round-trip is lossless). */
   val cdcAvroRoundtrip: Q = Q(
     "cdc_avro_roundtrip",
-    (s, dir) => flatten(graft.sources.AvroWire.decode(
-      graft.sources.AvroWire.encode(parsed(s, dir)))).orderBy("scn"),
+    (s, dir) => {
+      import graft.sources.AvroWire
+      val framed = AvroWire.frame(AvroWire.encode(parsed(s, dir)), schemaId = 1)
+      flatten(AvroWire.decodeFramed(
+        framed, Map(1 -> AvroWire.changeAvroSchema))).orderBy("scn")
+    },
     Some(s"""WITH feed AS ($feedSql)
             |$parsedSql
             |ORDER BY scn""".stripMargin))

@@ -173,6 +173,81 @@ object AvroWire {
     }(Encoders.product[AvroChangeV2]).toDF()
   }
 
+  /** Confluent Schema Registry wire framing: every framed record is
+    * `[0x00 magic][4-byte big-endian schema id][Avro binary payload]`
+    * — the envelope the reference's AvroConverter writes to Kafka
+    * (magic byte + registry schema id; reference README.md:529-530;
+    * the schema-registry compose service README.md:698-716). */
+  val wireMagic: Byte = 0x0
+
+  /** Producer side of the framed contract: stamp the registered
+    * schema's id onto every encoded record. */
+  def frame(wire: Dataset[Array[Byte]], schemaId: Int): Dataset[Array[Byte]] =
+    wire.map { payload =>
+      val out = new Array[Byte](5 + payload.length)
+      out(0) = wireMagic
+      out(1) = ((schemaId >> 24) & 0xff).toByte
+      out(2) = ((schemaId >> 16) & 0xff).toByte
+      out(3) = ((schemaId >> 8) & 0xff).toByte
+      out(4) = (schemaId & 0xff).toByte
+      System.arraycopy(payload, 0, out, 5, payload.length)
+      out
+    }(Encoders.BINARY)
+
+  /** Consumer side of the framed contract: per record, validate the
+    * magic byte, look up the WRITER schema by the stamped id in the
+    * registry, and resolve onto the consumer's evolved reader schema
+    * (v2) — so one consumer reads records produced against DIFFERENT
+    * registered schema generations, each through its own resolution.
+    * The registry is modeled as the id -> schema-JSON map a
+    * `GET /schemas/ids/<id>` lookup returns — the whole consumer
+    * contract without the HTTP service (absent in this container).
+    * Unknown ids and foreign magic bytes fail LOUD: silently skipping
+    * them would be data loss on a transport that guarantees delivery
+    * (the dead-letter row is the place for tolerated corruption). */
+  def decodeFramed(framed: Dataset[Array[Byte]],
+                   registry: Map[Int, String]): DataFrame = {
+    val readerJson = changeAvroSchemaV2
+    framed.mapPartitions { bs =>
+      import org.apache.avro.Schema
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      import org.apache.avro.io.{BinaryDecoder, DecoderFactory}
+      val reader = new Schema.Parser().parse(readerJson)
+      // one resolving reader per writer-schema id, built on first use
+      val readers =
+        scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      def readerFor(id: Int) = readers.getOrElseUpdate(id, {
+        val writerJson = registry.getOrElse(id, sys.error(
+          s"schema id $id is not in the registry " +
+            s"(known ids: ${registry.keys.toSeq.sorted.mkString(", ")})"))
+        new GenericDatumReader[GenericRecord](
+          new Schema.Parser().parse(writerJson), reader)
+      })
+      var dec: BinaryDecoder = null
+      def s(rec: GenericRecord, f: String): Option[String] =
+        Option(rec.get(f)).map(_.toString)
+      def l(rec: GenericRecord, f: String): Option[Long] =
+        Option(rec.get(f)).map(_.asInstanceOf[Long])
+      def image(v: AnyRef): Option[AvroImage] = Option(v).map { o =>
+        val rec = o.asInstanceOf[GenericRecord]
+        AvroImage(l(rec, "id"), l(rec, "cents"), s(rec, "type"))
+      }
+      bs.map { bytes =>
+        if (bytes.length < 5 || bytes(0) != wireMagic)
+          sys.error("not a Confluent-framed record: " +
+            (if (bytes.isEmpty) "empty value"
+             else f"magic byte 0x${bytes(0)}%02x, length ${bytes.length}"))
+        val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+          ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+        dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, dec)
+        val rec = readerFor(id).read(null, dec)
+        AvroChangeV2(l(rec, "scn"), l(rec, "tm"), s(rec, "xid"), s(rec, "op"),
+          l(rec, "key"), image(rec.get("after")), image(rec.get("before")),
+          rec.get("origin").toString)
+      }
+    }(Encoders.product[AvroChangeV2]).toDF()
+  }
+
   /** Consumer side: Avro binary values -> typed change columns (same
     * shape as [[graft.cdc.Cdc.parse]] output). */
   def decode(wire: Dataset[Array[Byte]]): DataFrame = {

@@ -107,6 +107,74 @@ class AvroWireSpec extends SparkSpec {
       "v1 reader must resolve v2 bytes by skipping the added field")
   }
 
+  test("Confluent framing round-trips: magic + id envelope, id-resolved decode") {
+    val framed = AvroWire.frame(AvroWire.encode(parsed), schemaId = 7)
+    // wire shape: every record starts [0x00, 0x00, 0x00, 0x00, 0x07]
+    val one = framed.head()
+    assert(one.take(5).toSeq == Seq[Byte](0, 0, 0, 0, 7))
+    val decoded = AvroWire.decodeFramed(
+      framed, Map(7 -> AvroWire.changeAvroSchema))
+    val n = parsed.count()
+    assert(decoded.count() == n)
+    assert(decoded.filter(col("origin") === "olr").count() == n,
+      "v1-written framed bytes must surface the v2 reader's defaulted field")
+    assert(decoded.select("scn", "key", "op").collect().map(_.toSeq).toSet
+      == parsed.select("scn", "key", "op").collect().map(_.toSeq).toSet)
+  }
+
+  test("framed consumer resolves EACH record through its own stamped schema id") {
+    // two producer generations interleaved on one topic: id 1 wrote v1
+    // bytes, id 2 writes v2 bytes (origin present on the wire) — one
+    // consumer must resolve both, per record
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    import java.io.ByteArrayOutputStream
+    import spark.implicits._
+
+    val v2 = new Schema.Parser().parse(AvroWire.changeAvroSchemaV2)
+    val rec = new GenericData.Record(v2)
+    rec.put("scn", 42L); rec.put("op", "c"); rec.put("key", 7L)
+    rec.put("origin", "oracle19c")
+    val baos = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(baos, null)
+    new GenericDatumWriter[GenericRecord](v2).write(rec, enc)
+    enc.flush()
+
+    val v1Framed = AvroWire.frame(
+      AvroWire.encode(parsed.orderBy("scn").limit(2)), schemaId = 1)
+    val v2Framed = AvroWire.frame(
+      spark.createDataset(Seq(baos.toByteArray)), schemaId = 2)
+    val registry = Map(1 -> AvroWire.changeAvroSchema,
+      2 -> AvroWire.changeAvroSchemaV2)
+    val out = AvroWire.decodeFramed(v1Framed.union(v2Framed), registry)
+      .select("scn", "origin").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.exists(_._2 == "olr") && out.contains((42L, "oracle19c")),
+      s"per-record resolution failed: $out")
+  }
+
+  test("framed decode fails loud on an unknown schema id and on a foreign magic byte") {
+    import spark.implicits._
+    val framed = AvroWire.frame(
+      AvroWire.encode(parsed.limit(1)), schemaId = 99)
+    val unknown = intercept[Exception] {
+      AvroWire.decodeFramed(framed, Map(1 -> AvroWire.changeAvroSchema)).collect()
+    }
+    assert(unknown.getMessage.contains("schema id 99") ||
+      unknown.getCause != null &&
+        unknown.getCause.getMessage.contains("schema id 99"),
+      s"unknown-id error must name the id: ${unknown.getMessage}")
+
+    val garbage = spark.createDataset(Seq(Array[Byte](1, 2, 3, 4, 5, 6)))
+    val foreign = intercept[Exception] {
+      AvroWire.decodeFramed(garbage, Map(1 -> AvroWire.changeAvroSchema)).collect()
+    }
+    val msg = foreign.getMessage +
+      Option(foreign.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("not a Confluent-framed record"), msg)
+  }
+
   test("Spark-native Avro file format round-trips the feed with the explicit schema") {
     // the "avro" shortname registration ships in the external connector
     // module; the file format itself is bundled — address it by class
