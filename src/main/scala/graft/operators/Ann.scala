@@ -727,25 +727,17 @@ object Ann {
         expr(s"${dot("qd", "cd")} / sqrt(qn2 * cn2)").as("c_cos"))
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cid"),
-        first(col("qd")).as("qd")) // constant within the group
+        first(col("qd")).as("qd"), // constant within the group
+        max(col("c_cos")).as("cos")) // the winning cosine, for inertia
 
-  /** One Lloyd stage: seed centroids (vec_id < 16), assignment,
-    * integer-mean centroid update. Returns (codes, a0, c1); a0/c1 are
-    * localCheckpoint-ed — each stage is consumed several ways with
-    * different column pruning, so lineage replay would recompute it
-    * per consumer (the same truncation dedup_clusters applies). */
-  private def kmeansStage(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val codes = kmeansCodes(s, dir)
-    val c0 = codes.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("qd").as("cd"),
-        col("qn2").as("cn2"))
-    val a0 = kmeansAssign(codes, c0).localCheckpoint()
-    val c1 = a0.select(col("cid"), posexplode(col("qd")))
+  /** Integer-mean centroid update from an assignment: per (cluster,
+    * dim) INTEGER sums (order-independent), floor-of-double-div means
+    * (not BIGINT div, whose negative truncation differs between
+    * engines), reassembled into array<double> centroids for graft_dot. */
+  private def kmeansUpdate(a: DataFrame): DataFrame =
+    a.select(col("cid"), posexplode(col("qd")))
       .groupBy("cid", "pos")
       .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
-      // floor of the DOUBLE division (not BIGINT div, whose negative
-      // truncation differs between engines), back to double so cd
-      // stays an array<double> for graft_dot
       .withColumn("m", floor(col("s").cast("double") / col("n")).cast("double"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
@@ -755,7 +747,40 @@ object Ann {
         max("n").as("n_before"))
       .select(col("cid").as("c_id"), col("cd"), col("n_before"),
         expr(s"greatest(${dot("cd", "cd")}, 1e-12)").as("cn2"))
-      .localCheckpoint()
+
+  /** R deterministic Lloyd rounds: seed (vec_id < 16) -> repeat
+    * [assign, integer-mean update] R times. Every round is the same
+    * order-independent arithmetic, so ANY round count stays
+    * oracle-comparable; the registry row runs R=1 (one demonstrated
+    * stage), and the convergence spec runs R>1 and watches the
+    * per-round inertia (sum of 1 − winning cosine, captured on the
+    * assignment each round BEFORE its update) fall. Returns (codes,
+    * last assignment, last centroids, inertia per round). Stages are
+    * localCheckpoint-ed: each is consumed several ways with different
+    * column pruning, so lineage replay would recompute it per consumer
+    * (the same truncation dedup_clusters applies) — and the loop would
+    * otherwise replay all prior rounds per action. */
+  private[graft] def kmeansIterate(s: SparkSession, dir: String, rounds: Int)
+      : (DataFrame, DataFrame, DataFrame, Seq[Double]) = {
+    require(rounds >= 1, "kmeansIterate needs at least one Lloyd round")
+    val codes = kmeansCodes(s, dir).localCheckpoint()
+    var cents = codes.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("qd").as("cd"),
+        col("qn2").as("cn2"))
+    var assign: DataFrame = null
+    val inertias = Seq.newBuilder[Double]
+    (1 to rounds).foreach { _ =>
+      assign = kmeansAssign(codes, cents).localCheckpoint()
+      inertias += assign.agg(sum(lit(1.0) - col("cos"))).head().getDouble(0)
+      cents = kmeansUpdate(assign).localCheckpoint()
+    }
+    (codes, assign, cents, inertias.result())
+  }
+
+  /** One Lloyd stage — [[kmeansIterate]] at R=1 (the oracle-verified
+    * registry configuration). */
+  private def kmeansStage(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val (codes, a0, c1, _) = kmeansIterate(s, dir, rounds = 1)
     (codes, a0, c1)
   }
 

@@ -67,4 +67,23 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(row.getLong(2) == h)
     }
   }
+
+  test("Lloyd convergence: per-round inertia falls, then never rises, over 3 rounds") {
+    // the registry row (cluster_kmeans) is the R=1 configuration of the
+    // same loop; every round is the same order-independent integer
+    // arithmetic, so running more rounds changes convergence, not
+    // determinism. Inertia = sum(1 − winning cosine) captured on each
+    // round's assignment BEFORE its centroid update.
+    val (_, assign, cents, inertias) = Ann.kmeansIterate(spark, sfDir, rounds = 3)
+    assert(inertias.length == 3)
+    assert(inertias.head > 0.0)
+    assert(inertias(1) < inertias(0),
+      s"the first update must strictly improve on the seed: $inertias")
+    assert(inertias.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 },
+      s"inertia must be non-increasing round over round: $inertias")
+    // the loop's outputs stay consistent: every vector assigned, k centroids
+    assert(assign.count() ==
+      graft.sources.Tables(spark, sfDir).embeddings.count())
+    assert(cents.count() == 16)
+  }
 }
