@@ -44,20 +44,68 @@ import org.apache.spark.sql.functions._
   */
 object ChangelogAgg {
 
-  /** Harness synthesis of the full-image wire format: the repo's
-    * synthetic feed carries only one payload per event, so the
-    * before-image is reconstructed here as the key's previous
-    * after-image (NULL across a delete — state did not exist). On a
-    * real OLR feed with supplemental logging both images arrive ON THE
-    * WIRE and this window does not exist; it stands in for the
-    * source-side logging, not for any part of the operator. */
-  def withBeforeImages(parsed: DataFrame): DataFrame = {
-    val w = Window.partitionBy("key").orderBy("scn", "xid")
-    parsed.select(col("key"), col("scn"), col("xid"),
-        col("after.cents").as("a_cents"), col("after.type").as("a_type"))
+  /** Harness synthesis of the full-image WIRE: the synthetic events
+    * table rendered as an OLR-with-supplemental-logging JSON feed —
+    * every event carries BOTH payload images (`ALTER TABLE ... ADD
+    * SUPPLEMENTAL LOG DATA (ALL) COLUMNS`, reference
+    * scripts-db/set-up-orl.sql), the before-image being the key's
+    * previous after-image (absent for inserts and across a delete —
+    * state did not exist). The lag window below is feed GENERATION,
+    * standing in for the source database's supplemental logging; the
+    * OPERATOR consumes the staged wire bytes and is window-free end to
+    * end (plan spec-pinned). */
+  def fullImageFeedFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val e = events
+      .withColumn("op", expr(
+        "CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END"))
+      .withColumn("a_cents", when(col("op") === "d", lit(null))
+        .otherwise(expr("CAST(round(value * 100) AS BIGINT)")))
+      .withColumn("a_type", when(col("op") === "d", lit(null))
+        .otherwise(col("event_type")))
       .withColumn("b_cents", lag("a_cents", 1).over(w))
       .withColumn("b_type", lag("a_type", 1).over(w))
+    def img(name: String, cents: String, typ: String) =
+      when(col(cents).isNotNull, concat(
+        lit(s""","$name":{"id":"""), col("user_id"),
+        lit(",\"cents\":"), col(cents),
+        lit(",\"type\":\""), col(typ), lit("\"}"))).otherwise(lit(""))
+    e.select(col("event_id"), concat(
+      lit("{\"scn\":"), col("event_id"),
+      lit(",\"tm\":"), unix_micros(col("ts")),
+      lit(",\"xid\":\""), col("user_id"), lit("."), col("event_id"),
+      lit("\",\"op\":\""), col("op"),
+      lit("\",\"key\":"), col("user_id"),
+      img("after", "a_cents", "a_type"),
+      img("before", "b_cents", "b_type"),
+      lit("}")).as("json"))
   }
+
+  /** One staged full-image wire directory per (session, source dir),
+    * shared by the batch and streaming registry rows; written as TWO
+    * parquet files so `maxFilesPerTrigger=1` genuinely splits the
+    * bounded feed into two micro-batches. */
+  private val fullFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private[graft] def stagedFullFeed(s: SparkSession, dir: String): String =
+    fullFeedDirs.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), { _ =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_full_feed")
+        graft.sources.Formats.deleteRecursivelyOnExit(tmp)
+        val p = tmp.toString + "/feed"
+        fullImageFeedFrom(graft.sources.Tables(s, dir).events)
+          .repartition(2).write.mode("overwrite").parquet(p)
+        p
+      })
+
+  /** Map-only projection of a parsed full-image event ([[Cdc.parse]]
+    * output — the wire carries both images, so no window, no state,
+    * no shuffle stands between the bytes and [[contributions]]). */
+  def fullImageColumns(parsed: DataFrame): DataFrame =
+    parsed.select(col("key"), col("scn"), col("xid"),
+      col("after.cents").as("a_cents"), col("after.type").as("a_type"),
+      col("before.cents").as("b_cents"), col("before.type").as("b_type"))
 
   /** The operator: full-image change rows -> maintained per-group
     * aggregate. Map-side contribution explode, ONE exchange (the group
@@ -111,8 +159,11 @@ object ChangelogAgg {
     merged.write.mode("overwrite").parquet(aggDir)
   }
 
+  /** The wire-native operator input: staged full-image bytes -> parse
+    * -> flat images. Nothing but map-side work before the delta agg. */
   private def fullImage(s: SparkSession, dir: String): DataFrame =
-    withBeforeImages(Cdc.parse(CdcQueries.feed(s, dir), col("json")))
+    fullImageColumns(Cdc.parse(
+      s.read.parquet(stagedFullFeed(s, dir)), col("json")))
 
   /** The oracle computes the SAME aggregate the other way — materialize
     * the latest row per key, then group — so a hash match proves the

@@ -624,13 +624,6 @@ object Streams {
             |FROM ranked WHERE rn = 1 AND op <> 'd'
             |ORDER BY tbl, key""".stripMargin))
 
-  /** One staged full-image stream directory per (session, source dir),
-    * reused across calls and deleted on JVM exit. Written as TWO
-    * parquet files so `maxFilesPerTrigger=1` genuinely splits the
-    * bounded feed into two micro-batches. */
-  private val changelogStreamDirs =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-
   /** Incrementally-maintained grouped aggregate over the change stream
     * — the ksqlDB `CREATE TABLE AS SELECT sum(...), count(*) GROUP BY`
     * materialized table, as a REAL streaming query. Contributions are
@@ -651,19 +644,15 @@ object Streams {
     "cdc_stream_changelog_agg",
     (s, dir) => {
       import graft.cdc.ChangelogAgg
-      val staged = changelogStreamDirs.computeIfAbsent(
-        (s.sparkContext.applicationId, dir), { _ =>
-          val tmp = java.nio.file.Files.createTempDirectory("graft_chagg_stream")
-          graft.sources.Formats.deleteRecursivelyOnExit(tmp)
-          val p = tmp.toString + "/full"
-          ChangelogAgg.withBeforeImages(
-              Cdc.parse(CdcQueries.feed(s, dir), col("json")))
-            .repartition(2).write.mode("overwrite").parquet(p)
-          p
-        })
+      // the staged feed is the full-image WIRE (both payloads per
+      // event, like OLR with supplemental logging) — the stream parses
+      // bytes and goes straight to map-side deltas; no window anywhere
+      val staged = ChangelogAgg.stagedFullFeed(s, dir)
       val schema = s.read.parquet(staged).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val stream = ChangelogAgg.fullImageColumns(Cdc.parse(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged),
+        col("json")))
       val agg = ChangelogAgg.contributions(stream)
         .groupBy("type")
         .agg(sum("d_cents").as("sum_cents"),

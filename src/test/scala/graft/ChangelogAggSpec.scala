@@ -28,8 +28,9 @@ class ChangelogAggSpec extends AnyFunSuite with SparkSpec {
 
   test("delta aggregate equals snapshot aggregate on the real feed") {
     val delta = ChangelogAgg.aggregateDeltas(
-      ChangelogAgg.withBeforeImages(
-        Cdc.parse(CdcQueries.feed(spark, sfDir), col("json"))))
+      ChangelogAgg.fullImageColumns(Cdc.parse(
+        spark.read.parquet(ChangelogAgg.stagedFullFeed(spark, sfDir)),
+        col("json"))))
       .orderBy("type").collect()
     val snapshot = Cdc.materialize(
         Cdc.parse(CdcQueries.feed(spark, sfDir), col("json")))
@@ -83,6 +84,16 @@ class ChangelogAggSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), p)
     // partial aggregation must happen map-side before the exchange
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("wire-native registry row: ZERO windows anywhere in the plan") {
+    // the before-images arrive ON the staged wire (supplemental-logging
+    // shape), so the whole operator plan — bytes to aggregate — must be
+    // window-free; the lag lives only in feed generation
+    val p = SparkEntry.queries("cdc_changelog_agg")(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
   }
 
   test("streaming: per-group state merges across micro-batches, latest emission wins") {
