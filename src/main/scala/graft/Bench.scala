@@ -38,7 +38,11 @@ object Bench {
         // df.count() would let Catalyst prune the computed columns and
         // under-report map-heavy queries.
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        catch { case t: Throwable =>
+          // a swallowed failure shows up as an absurdly FAST time;
+          // surface it on stderr (stdout stays one parseable line)
+          System.err.println(s"[bench] $name FAILED: ${t.toString.take(300)}")
+          -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

@@ -90,14 +90,28 @@ object Streams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the file source wants a directory of arriving files; expose the
-    // (read-only) test file through a temp dir via symlink — one per
-    // (session, dir), not per call
+    // (read-only) test table through a temp dir via symlinks — one per
+    // (session, dir), not per call. The table may be a single file (the
+    // driver's layout) OR a Spark-written DIRECTORY of part files; a
+    // directory must be symlinked file-by-file, because the file stream
+    // source does not recurse into a nested directory and would
+    // silently stream ZERO rows through a dir-shaped symlink.
     val streamDir = streamDirs.computeIfAbsent((s, dir), { _ =>
+      import scala.jdk.CollectionConverters._
       val d = java.nio.file.Files.createTempDirectory("graft_events_stream")
-      val link = d.resolve("events.parquet")
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-      d.toFile.deleteOnExit(); link.toFile.deleteOnExit()
+      d.toFile.deleteOnExit()
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val files =
+        if (java.nio.file.Files.isDirectory(src))
+          java.nio.file.Files.list(src).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        else Seq(src)
+      require(files.nonEmpty, s"$src contains no parquet files to stream")
+      files.zipWithIndex.foreach { case (p, i) =>
+        val link = d.resolve(f"events_$i%05d.parquet")
+        java.nio.file.Files.createSymbolicLink(link, p)
+        link.toFile.deleteOnExit()
+      }
       d.toString
     })
     s.readStream.schema(schema).parquet(streamDir)
