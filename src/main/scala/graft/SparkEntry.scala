@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Ann, Curation, Dedup, Multimodal, Relational, TextOps}
+import graft.operators.{Ann, Curation, Dedup, IncrementalDedup, Multimodal, Relational, TextOps}
 import graft.cdc.CdcQueries
 import graft.streaming.Streams
 
@@ -11,7 +11,7 @@ object SparkEntry {
   /** All implemented capabilities, one Q per SURVEY.md §2 row. */
   def registry: Seq[Q] =
     Relational.all ++ CdcQueries.all ++ graft.cdc.Router.all ++
-      graft.cdc.ChangelogAgg.all ++ Dedup.all ++
+      graft.cdc.ChangelogAgg.all ++ Dedup.all ++ IncrementalDedup.all ++
       TextOps.all ++ Curation.all ++ Ann.all ++ Multimodal.all ++
       Streams.all ++ graft.sources.Formats.all
 

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Portable._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental (online) corpus deduplication — the operation a
+  * training-data pipeline actually runs every day at 100 TB: new
+  * documents arrive in batches and must be near-dup-checked against
+  * EVERYTHING already seen, without ever recomputing all-pairs over
+  * the corpus. The reference's batch dedup rows (dedup_minhash_lsh)
+  * answer "which pairs exist in this corpus"; this operator answers
+  * "which of today's documents survive against the corpus so far".
+  *
+  * Design — the state is a persistent, bucketed MinHash band index:
+  *
+  *  - `index/bands`: (doc_id, band-key) rows, directory-partitioned by
+  *    `ibkt = pmod(hash(bk), B)`. A batch prunes its read to the ibkts
+  *    its own band keys touch, and the batch side (small) BROADCASTS
+  *    into the join against the index scan — per-batch cost is
+  *    O(batch + touched index buckets), independent of corpus size,
+  *    with no shuffle of the index, ever (the same touched-bucket
+  *    contract as ParquetUpsert, spec-pinned here too).
+  *  - `index/sigs`: (doc_id, 64-lane signature), partitioned by
+  *    `sbkt = pmod(hash(doc_id), B)`; candidate verification reads
+  *    only the id-buckets the candidate pairs touch.
+  *  - `index/rejected`: append-only (doc_id) — the REJECTION log.
+  *
+  * Rejection rule: a document is rejected iff some document with a
+  * SMALLER doc_id shares >= 1 LSH band with it and their signature
+  * est-Jaccard >= [[Tau]]. The rule names the larger id of each pair,
+  * so it is a pure predicate over the corpus — INDEPENDENT of arrival
+  * order and micro-batch split: every qualifying pair is examined
+  * exactly once, in the batch where its later-ARRIVING member shows up
+  * (the earlier one is then in the index, or in the same batch), and
+  * whichever member that is, the larger ID is the one logged. A
+  * smaller-id near-dup arriving LATE therefore retroactively rejects
+  * the already-indexed larger doc — consistent with re-running the
+  * whole pipeline from scratch (spec-pinned; the DuckDB oracle IS the
+  * from-scratch computation). Rejected docs still enter the index:
+  * they were seen, and future arrivals must dedup against them.
+  *
+  * Index entries are append-only and never rewritten; both sub-indexes
+  * compact by plain directory-partitioned rewrite if small-file count
+  * ever matters (same lever as ParquetUpsert.rebucket).
+  */
+object IncrementalDedup {
+
+  /** Directory-partition bucket count for both sub-indexes. */
+  private val B = 32
+  /** est-Jaccard acceptance threshold (k/64 is exact in binary, so the
+    * comparison is engine-deterministic). */
+  val Tau = 0.8
+
+  /** Map-side signatures of a batch: (doc_id, sig). Docs under 3 words
+    * have no shingles, hence no signature — never near-dup anything. */
+  def sigOf(batch: DataFrame): DataFrame = {
+    graft.functions.Native.install(batch.sparkSession) // idempotent
+    batch
+      .withColumn("words", expr(words("text")))
+      .filter(expr("size(words) >= 3"))
+      .withColumn("hashes", expr(shingleHashes("words")))
+      .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
+  }
+
+  /** (doc_id, band key, index bucket) rows of a signature set. */
+  def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(expr(minhashBands("sig"))).as("bk"))
+      .withColumn("ibkt", pmod(hash(col("bk")), lit(B)))
+
+  private def emptyLike(sp: SparkSession, like: DataFrame): DataFrame =
+    sp.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      like.schema)
+
+  private def readOr(sp: SparkSession, path: String, like: DataFrame): DataFrame =
+    try sp.read.parquet(path) catch { case _: Throwable => emptyLike(sp, like) }
+
+  /** Process one arrival batch of (doc_id, text): log rejections
+    * against the index-so-far (and within the batch), then append the
+    * batch's bands and signatures to the index. */
+  def applyBatch(batch: DataFrame, indexRoot: String): Unit = {
+    val sp = batch.sparkSession
+    val sig = sigOf(batch).localCheckpoint(true)
+    val bands = bandsOf(sig).localCheckpoint(true)
+    val touched = bands.select("ibkt").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idxBands = readOr(sp, s"$indexRoot/bands", bands)
+      .filter(col("ibkt").isin(touched.map(Int.box): _*))
+    // partners = earlier arrivals (pruned index scan) + the batch itself;
+    // the batch side broadcasts — the index is never shuffled
+    val partners = idxBands.unionByName(bands)
+      .select(col("doc_id").as("p_id"), col("bk"))
+    val newSide = broadcast(bands.select(col("doc_id").as("n_id"), col("bk")))
+    val cand = partners.join(newSide, "bk")
+      .filter(col("p_id") =!= col("n_id"))
+      .select(least(col("p_id"), col("n_id")).as("da"),
+        greatest(col("p_id"), col("n_id")).as("db"))
+      .distinct().localCheckpoint(true)
+    val sbkts = cand
+      .select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .select(pmod(hash(col("doc_id")), lit(B)).as("sbkt"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val sigLike = sig.withColumn("sbkt", pmod(hash(col("doc_id")), lit(B)))
+    val allSigs =
+      (if (sbkts.isEmpty) emptyLike(sp, sigLike)
+       else readOr(sp, s"$indexRoot/sigs", sigLike)
+         .filter(col("sbkt").isin(sbkts.map(Int.box): _*)))
+        .drop("sbkt").unionByName(sig)
+    val rejected = cand
+      .join(allSigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+      .join(allSigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
+      .filter(expr(minhashEstJaccard("sa", "sb")) >= Tau)
+      .select(col("db").as("doc_id")).distinct()
+    rejected.write.mode("append").parquet(s"$indexRoot/rejected")
+    bands.write.mode("append").partitionBy("ibkt").parquet(s"$indexRoot/bands")
+    sigLike.write.mode("append").partitionBy("sbkt").parquet(s"$indexRoot/sigs")
+  }
+
+  /** Surviving corpus after all arrivals: every doc minus the
+    * rejection log. */
+  def accepted(sp: SparkSession, documents: DataFrame, indexRoot: String): DataFrame = {
+    val rej = readOr(sp, s"$indexRoot/rejected",
+      documents.select(col("doc_id")))
+    documents.join(rej.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+  }
+
+  /** One staged documents directory per (session, source dir) — TWO
+    * parquet files so `maxFilesPerTrigger=1` forces two genuine
+    * arrival batches through the index. */
+  private val stagedDocsDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def stagedDocs(s: SparkSession, dir: String): String =
+    stagedDocsDirs.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), { _ =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_inc_docs")
+        graft.sources.Formats.deleteRecursivelyOnExit(tmp)
+        val p = tmp.toString + "/docs"
+        Tables(s, dir).documents.select("doc_id", "text")
+          .repartition(2).write.mode("overwrite").parquet(p)
+        p
+      })
+
+  /** The registry row: the documents table streamed through the
+    * incremental pipeline in two forced micro-batches; the oracle
+    * recomputes the SAME acceptance predicate from scratch over the
+    * whole corpus, so a hash match proves the incremental path equals
+    * the from-scratch batch path under an arbitrary split. */
+  val dedupIncremental: Q = Q(
+    "dedup_incremental",
+    (s, dir) => {
+      val indexRoot = java.nio.file.Files
+        .createTempDirectory("graft_inc_index").toString
+      val staged = stagedDocs(s, dir)
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          applyBatch(b, indexRoot)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      accepted(s, Tables(s, dir).documents, indexRoot).orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), hs AS (
+            |  SELECT doc_id, ${duckShingleHashes(duckShingles3("words"))} AS hashes
+            |  FROM w WHERE len(words) >= 3
+            |), sig AS (
+            |  SELECT doc_id, ${duckMinhashSig("hashes")} AS sig FROM hs
+            |), bands AS (
+            |  SELECT doc_id, unnest(${duckMinhashBands("sig")}) AS bk FROM sig
+            |), pairs AS (
+            |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            |), rej AS (
+            |  SELECT DISTINCT db FROM pairs
+            |  JOIN sig sa ON da = sa.doc_id
+            |  JOIN sig sb ON db = sb.doc_id
+            |  WHERE ${duckMinhashEstJaccard("sa.sig", "sb.sig")} >= $Tau
+            |)
+            |SELECT doc_id FROM documents
+            |WHERE doc_id NOT IN (SELECT db FROM rej)
+            |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(dedupIncremental)
+}
