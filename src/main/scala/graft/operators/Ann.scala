@@ -123,6 +123,40 @@ object Ann {
             |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
             |FROM ranked WHERE rank <= $K""".stripMargin))
 
+  /** The IVF top-5 search oracle (assign all vectors to nearest of the
+    * 16 fixed centroids, probe searches its own cell, exact rerank) —
+    * shared by ann_ivf (one batch plan) and ann_incremental (the same
+    * result assembled through a streamed, persisted index). */
+  private val ivfTopkOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), c AS (
+       |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+       |), assigned AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT e.vec_id, c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCosine("e.v", "cv")} DESC, c_id) AS rn
+       |    FROM e CROSS JOIN c
+       |  ) WHERE rn = 1
+       |), p AS (
+       |  SELECT vec_id AS probe_id, cell FROM assigned WHERE $ProbeFilter
+       |), cand AS (
+       |  SELECT p.probe_id, a.vec_id AS n_id
+       |  FROM assigned a JOIN p ON a.cell = p.cell AND a.vec_id <> p.probe_id
+       |), scored AS (
+       |  SELECT cand.probe_id, cand.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+       |  FROM cand
+       |  JOIN e ep ON cand.probe_id = ep.vec_id
+       |  JOIN e en ON cand.n_id = en.vec_id
+       |), ranked AS (
+       |  SELECT probe_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
   /** IVF: the 16 vectors with vec_id < 16 act as coarse centroids;
     * every vector is assigned to its nearest centroid via a
     * partial-aggregatable argmax (max_by over a comparable struct —
@@ -159,34 +193,7 @@ object Ann {
         .select(col("probe_id"), col("n_id"), col("rank"),
           round(col("cos"), 6).as("cos_sim"))
     },
-    Some(s"""WITH e AS (
-            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            |), c AS (
-            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
-            |), assigned AS (
-            |  SELECT vec_id, c_id AS cell FROM (
-            |    SELECT e.vec_id, c_id,
-            |      row_number() OVER (PARTITION BY e.vec_id
-            |        ORDER BY ${duckCosine("e.v", "cv")} DESC, c_id) AS rn
-            |    FROM e CROSS JOIN c
-            |  ) WHERE rn = 1
-            |), p AS (
-            |  SELECT vec_id AS probe_id, cell FROM assigned WHERE $ProbeFilter
-            |), cand AS (
-            |  SELECT p.probe_id, a.vec_id AS n_id
-            |  FROM assigned a JOIN p ON a.cell = p.cell AND a.vec_id <> p.probe_id
-            |), scored AS (
-            |  SELECT cand.probe_id, cand.n_id, ${duckCosine("ep.v", "en.v")} AS cos
-            |  FROM cand
-            |  JOIN e ep ON cand.probe_id = ep.vec_id
-            |  JOIN e en ON cand.n_id = en.vec_id
-            |), ranked AS (
-            |  SELECT probe_id, n_id, cos,
-            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
-            |  FROM scored
-            |)
-            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
-            |FROM ranked WHERE rank <= 5""".stripMargin))
+    Some(ivfTopkOracleSql))
 
   /** embedding norm/stats audit per label: a plain partial-agg pass. */
   val vecNorms: Q = Q(
@@ -969,7 +976,88 @@ object Ann {
             |FROM t
             |ORDER BY strategy""".stripMargin))
 
+  /** One staged embeddings directory per (session, source dir) — TWO
+    * parquet files so `maxFilesPerTrigger=1` forces two genuine
+    * ingest batches through the index. */
+  private val annStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Incremental IVF index ingest — the maintenance half of a living
+    * vector-search system (ann_ivf is the one-shot batch build; a real
+    * corpus GROWS): embedding batches stream in, each vector is
+    * assigned map-side to its nearest fixed coarse centroid (broadcast
+    * — the trained quantizer of a production IVF) and APPENDED to a
+    * cell-partitioned lake index carrying (v, n2). Nothing is ever
+    * rewritten or shuffled on ingest; per-batch cost is O(batch).
+    * The search side collects the probes' cell ids (≤ #probes values —
+    * metadata) and scans ONLY those cell directories (literal
+    * partition pruning), exact-reranking inside — at 100 TB a query
+    * reads its probed cells, never the index. The oracle is ann_ivf's
+    * from-scratch SQL verbatim: a hash match proves the streamed,
+    * persisted index answers queries identically to the one-shot
+    * batch build under an arbitrary ingest split (spec also pins the
+    * cell-partitioned append-only layout and the pruned search scan). */
+  val annIncremental: Q = Q(
+    "ann_incremental",
+    (s, dir) => {
+      val indexRoot = java.nio.file.Files
+        .createTempDirectory("graft_ann_index").toString
+      val staged = annStreamDirs.computeIfAbsent(
+        (s.sparkContext.applicationId, dir), { _ =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft_ann_feed")
+          graft.sources.Formats.deleteRecursivelyOnExit(tmp)
+          val p = tmp.toString + "/emb"
+          Tables(s, dir).embeddings.select("vec_id", "embedding")
+            .repartition(2).write.mode("overwrite").parquet(p)
+          p
+        })
+      val cents = emb(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        .localCheckpoint(true)
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val e = batch
+            .select(col("vec_id"), expr(toDouble("embedding")).as("v"))
+            .withColumn("n2", expr(dot("v", "v")))
+          e.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
+              cosWith("v", "n2", "cv", "cn2").as("c_cos"))
+            .groupBy("vec_id")
+            .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"),
+              first(col("v")).as("v"), first(col("n2")).as("n2"))
+            .write.mode("append").partitionBy("cell")
+            .parquet(s"$indexRoot/vectors")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val idx = s.read.parquet(s"$indexRoot/vectors")
+      val probes = idx.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("cell"),
+          col("v").as("pv"), col("n2").as("pn2"))
+        .localCheckpoint(true)
+      // ≤ #probes cell ids — metadata; the literal IN prunes the scan
+      // to the probed cell directories (partition inference types the
+      // directory column as int, hence the Number bridge)
+      val probeCells = probes.select("cell").distinct()
+        .collect().map(_.get(0).asInstanceOf[Number].longValue).sorted
+      idx.filter(col("cell").isin(probeCells.map(Long.box): _*))
+        .join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("n_id"),
+          cosWith("v", "n2", "pv", "pn2").as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(ivfTopkOracleSql))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
-    annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall)
+    annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall,
+    annIncremental)
 }

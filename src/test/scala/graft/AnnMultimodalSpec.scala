@@ -68,6 +68,24 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("incremental IVF index answers queries identically to the one-shot build") {
+    val viaIndex = SparkEntry.queries("ann_incremental")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = SparkEntry.queries("ann_ivf")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex.nonEmpty && viaIndex == oneShot,
+      "the streamed, persisted index must be search-equivalent to the batch build")
+  }
+
+  test("incremental IVF search prunes its scan to the probed cell directories") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val p = SparkEntry.queries("ann_incremental")(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the literal cell IN (...) must reach the scan as a partition
+    // filter — the whole point of a cell-partitioned index
+    assert(p.contains("PartitionFilters: [cell"), p)
+  }
+
   test("Lloyd convergence: per-round inertia falls, then never rises, over 3 rounds") {
     // the registry row (cluster_kmeans) is the R=1 configuration of the
     // same loop; every round is the same order-independent integer
