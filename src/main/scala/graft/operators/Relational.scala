@@ -684,6 +684,48 @@ object Relational {
            |  AND e.us >= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
            |ORDER BY event_id""".stripMargin))
 
+  /** FORWARD as-of through the same native operator: for every event,
+    * the customer's FIRST order at or after the event time ("next
+    * action after the touchpoint" — lead-time analysis, the mirror of
+    * q_asof_native's "state as of the event"). Identical plan shape —
+    * two key exchanges + sorts + one merge scan — and the forward scan
+    * needs NO buffered candidate at all: the un-consumed right head is
+    * the match for every left row it satisfies. Oracle is DuckDB's own
+    * ASOF LEFT JOIN with the inequality flipped (`e.us <= r.time`). */
+  val qAsofForward: Q = Q(
+    "q_asof_forward",
+    (s, dir) => {
+      val tb = t(s, dir)
+      val ord = tb.orders
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("order_key"))
+        .select(col("o_custkey").as("rk"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("rtu"),
+          col("order_key"))
+      val ev = tb.events
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tu"))
+      graft.plans.AsOf.joinForward(ev, ord,
+          ev("user_id"), ev("tu"), ord("rk"), ord("rtu"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("order_key"), lit(-1L)).as("next_key"),
+          coalesce(col("rtu"), lit(-1L)).as("next_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ord AS (
+           |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS order_key
+           |  FROM orders GROUP BY 1, 2
+           |), e AS (
+           |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events
+           |)
+           |SELECT e.event_id, e.user_id,
+           |  coalesce(o.order_key, -1) AS next_key,
+           |  coalesce(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)), -1) AS next_us
+           |FROM e ASOF LEFT JOIN ord o
+           |  ON e.user_id = o.o_custkey
+           |  AND e.us <= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+           |ORDER BY event_id""".stripMargin))
+
   /** banded range join: facts land in value bands via a range
     * condition against a tiny band dimension. The band table is
     * BROADCAST, so the range condition is evaluated map-side
@@ -1094,5 +1136,5 @@ object Relational {
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
     qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
     qSessionizeSkew, qFullOuter, qCorrelated, qUnpivot, qWindowFrames,
-    qTopkAgg, qAsofNative, qRollup)
+    qTopkAgg, qAsofNative, qAsofForward, qRollup)
 }

@@ -48,7 +48,8 @@ case class AsOfJoin(
     leftKey: Expression,
     leftTime: Expression,
     rightKey: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -61,19 +62,26 @@ case class AsOfJoin(
   * (`injectPlannerStrategy`) or lazily by [[AsOf.join]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, fwd) :: Nil
     case _ => Nil
   }
 }
 
+/** `forward = false`: latest right time <= left time (state AS OF the
+  * event — the default backward as-of). `forward = true`: EARLIEST
+  * right time >= left time (the next state AFTER the event — lead-time
+  * joins, "first response after the alert"). Both are one merge scan;
+  * forward needs no buffered candidate at all (the un-consumed right
+  * head IS the candidate, shared by every left row it satisfies). */
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     leftKey: Expression,
     leftTime: Expression,
     rightKey: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -127,7 +135,40 @@ case class AsOfJoinExec(
       var candidate: InternalRow = null
       var candidateKey: Any = null
 
-      lIter.map { lRow =>
+      if (forward) {
+        lIter.map { lRow =>
+          val k = lk.eval(lRow)
+          if (k == null) {
+            proj(joined(lRow, nullRight))
+          } else {
+            val t = lt.eval(lRow)
+            // discard right rows that can never match this or any later
+            // left row: smaller keys, and same-key rows strictly before t
+            // (later lefts have times >= t)
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val head = rBuf.head
+              val hk = rk.eval(head)
+              if (hk == null) { rBuf.next(); () }
+              else {
+                val c = keyOrd.compare(hk, k)
+                if (c < 0 || (c == 0 && timeOrd.lt(rt.eval(head), t))) {
+                  rBuf.next(); ()
+                } else advance = false
+              }
+            }
+            // the un-consumed head is the earliest same-key row at or
+            // after t — the match, shared with any later left rows it
+            // also satisfies (evaluated per row; nothing retained across
+            // iterations, so no defensive copy is needed)
+            val ok = rBuf.hasNext && {
+              val hk = rk.eval(rBuf.head)
+              hk != null && keyOrd.compare(hk, k) == 0
+            }
+            proj(joined(lRow, if (ok) rBuf.head else nullRight))
+          }
+        }
+      } else lIter.map { lRow =>
         val k = lk.eval(lRow)
         if (k == null) {
           proj(joined(lRow, nullRight))
@@ -171,28 +212,41 @@ object AsOf {
     * suffixed only through normal Spark resolution, so project/alias
     * the sides before joining if names collide. */
   def join(leftDf: DataFrame, rightDf: DataFrame,
-      keyCol: String, timeCol: String): DataFrame = {
-    val spark = leftDf.sparkSession
-    install(spark)
-    val plan = AsOfJoin(
-      leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
-      GraftSqlShim.expression(leftDf(keyCol)),
-      GraftSqlShim.expression(leftDf(timeCol)),
-      GraftSqlShim.expression(rightDf(keyCol)),
-      GraftSqlShim.expression(rightDf(timeCol)))
-    org.apache.spark.sql.GraftSqlShim.ofRows(spark, plan)
-  }
+      keyCol: String, timeCol: String): DataFrame =
+    join(leftDf, rightDf, leftDf(keyCol), leftDf(timeCol),
+      rightDf(keyCol), rightDf(timeCol))
 
   /** Column-expression variant for pre-resolved keys. */
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: Column, leftTime: Column,
-      rightKey: Column, rightTime: Column): DataFrame = {
+      rightKey: Column, rightTime: Column): DataFrame =
+    build(leftDf, rightDf, leftKey, leftTime, rightKey, rightTime,
+      forward = false)
+
+  /** FORWARD as-of: for every left row, the single right row with the
+    * SMALLEST `rightTime >= leftTime` on the same key (the next state
+    * after the event). Same exchanges, same one-pass merge scan. */
+  def joinForward(leftDf: DataFrame, rightDf: DataFrame,
+      keyCol: String, timeCol: String): DataFrame =
+    build(leftDf, rightDf, leftDf(keyCol), leftDf(timeCol),
+      rightDf(keyCol), rightDf(timeCol), forward = true)
+
+  def joinForward(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: Column, leftTime: Column,
+      rightKey: Column, rightTime: Column): DataFrame =
+    build(leftDf, rightDf, leftKey, leftTime, rightKey, rightTime,
+      forward = true)
+
+  private def build(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: Column, leftTime: Column,
+      rightKey: Column, rightTime: Column, forward: Boolean): DataFrame = {
     val spark = leftDf.sparkSession
     install(spark)
     val plan = AsOfJoin(
       leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
       GraftSqlShim.expression(leftKey), GraftSqlShim.expression(leftTime),
-      GraftSqlShim.expression(rightKey), GraftSqlShim.expression(rightTime))
+      GraftSqlShim.expression(rightKey), GraftSqlShim.expression(rightTime),
+      forward)
     org.apache.spark.sql.GraftSqlShim.ofRows(spark, plan)
   }
 

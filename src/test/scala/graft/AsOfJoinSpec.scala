@@ -50,6 +50,53 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq((1L, 11L), (2L, -1L), (3L, 33L)))
   }
 
+  test("forward direction: equal time matches, earlier rows don't, shared head serves many lefts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 12L, 101L), (1L, 15L, 102L),
+        (1L, 30L, 103L), (2L, 5L, 104L), (3L, 7L, 105L))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 8L, 900L), (1L, 15L, 901L), (1L, 25L, 902L),
+        (2L, 3L, 903L))
+      .toDF("rk", "rt", "state")
+    val out = AsOf.joinForward(left, right, left("k"), left("t"),
+        right("rk"), right("rt"))
+      .select(col("ev"), coalesce(col("state"), lit(-1L)).as("state"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // ev 100 (t=10): earliest rt >= 10 is 15 (901) — rt=8 must NOT match;
+    // ev 101 (t=12): same head 901 serves a second left row;
+    // ev 102 (t=15): EQUAL time matches (901);
+    // ev 103 (t=30): nothing at/after 30 -> null;
+    // ev 104 (k=2, t=5): only rt=3 < 5 -> null;
+    // ev 105 (k=3): no right rows -> null
+    assert(out == Seq((100L, 901L), (101L, 901L), (102L, 901L),
+      (103L, -1L), (104L, -1L), (105L, -1L)))
+  }
+
+  test("forward direction agrees with a window-composed formulation on real data") {
+    val native = SparkEntry.queries("q_asof_forward")(spark, sfDir)
+    // independent composition: min-by (rtu, order_key) over all
+    // at-or-after orders per event, via a plain join + aggregation
+    import graft.sources.Tables
+    val tb = Tables(spark, sfDir)
+    val ord = tb.orders.groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("order_key"))
+      .select(col("o_custkey").as("rk"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("rtu"),
+        col("order_key"))
+    val ev = tb.events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tu"))
+    val composed = ev.join(ord,
+        ev("user_id") === ord("rk") && ev("tu") <= ord("rtu"), "left")
+      .groupBy("event_id", "user_id")
+      .agg(min_by(struct(col("order_key"), col("rtu")), col("rtu")).as("w"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("w.order_key"), lit(-1L)).as("next_key"),
+        coalesce(col("w.rtu"), lit(-1L)).as("next_us"))
+      .orderBy("event_id")
+    assert(native.collect().map(_.toSeq).toSeq ==
+      composed.collect().map(_.toSeq).toSeq)
+  }
+
   test("buffer-backed (string) keys: candidate key survives scan-buffer reuse") {
     import spark.implicits._
     // Many keys per partition forces the merge scan to advance through
