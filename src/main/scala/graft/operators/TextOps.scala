@@ -234,6 +234,78 @@ object TextOps {
             |  (n_grams - n_distinct) * 100 // n_grams AS dup_gram_pct
             |FROM r ORDER BY doc_id""".stripMargin))
 
+  /** Cross-document repeated-segment removal — the C4/RefinedWeb
+    * boilerplate-stripping step: any 8-word segment that occurs in
+    * >= 2 DISTINCT documents is boilerplate (navigation chrome, legal
+    * footers, templated spans) and is dropped from every document that
+    * carries it; the rest of each document survives in order.
+    *
+    * Output per doc: segment counts before/after plus an ORDER-
+    * SENSITIVE digest of the kept segment hashes (the same fold shape
+    * as sigDigest) — so the oracle pins not just how many segments
+    * survive but exactly WHICH, in WHAT order, without shipping
+    * reassembled text through the hash compare.
+    *
+    * Scale: segmentation and hashing are map-side column expressions;
+    * the boilerplate set is one (hash → distinct-doc count) aggregate
+    * — 8-byte keys, partial-aggregated — and its qualifying hashes are
+    * a SMALL set (boilerplate is by definition repeated, not the
+    * corpus), broadcast into a map-side LEFT ANTI join; the per-doc
+    * reassembly groups on doc_id. Two real exchanges end to end
+    * (hash agg, doc regroup), nothing quadratic anywhere. */
+  val textLineDedup: Q = Q(
+    "text_line_dedup",
+    (s, dir) => {
+      val segs = docs(s, dir)
+        .withColumn("ws", expr(words("text")))
+        .filter(expr("size(ws) >= 1"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST(ceil(size(ws) / 8.0) AS INT) - 1), " +
+            "i -> concat_ws(' ', slice(ws, i * 8 + 1, 8)))")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          expr(fp60(normText("col"))).as("h"))
+      val boilerplate = segs.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val kept = segs.join(broadcast(boilerplate), Seq("h"), "left_anti")
+      segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+        .join(kept.groupBy("doc_id").agg(count(lit(1)).as("k"),
+          expr("aggregate(transform(array_sort(collect_list(struct(pos, h))), " +
+            "x -> x.h), CAST(0 AS BIGINT), " +
+            "(acc, v) -> (acc * 1000003 + v) % 2147483647)").as("d")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("k"), lit(0L)).as("n_kept"),
+          coalesce(col("d"), lit(0L)).as("kept_digest"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS ws FROM documents
+            |  WHERE len(${duckWords("text")}) >= 1
+            |), segs AS (
+            |  SELECT doc_id, t.x AS pos,
+            |    ${duckFp60(duckNormText(
+                  "array_to_string(list_slice(ws, t.x * 8 + 1, t.x * 8 + 8), ' ')"))} AS h
+            |  FROM w, unnest([i
+            |    FOR i IN range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))]) AS t(x)
+            |), boilerplate AS (
+            |  SELECT h FROM segs GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+            |), kept AS (
+            |  SELECT * FROM segs WHERE h NOT IN (SELECT h FROM boilerplate)
+            |), agg AS (
+            |  SELECT doc_id, count(*) AS k,
+            |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+            |      (acc, v) -> (acc * 1000003 + v) % 2147483647) AS d
+            |  FROM kept GROUP BY doc_id
+            |)
+            |SELECT s.doc_id, count(*) AS n_segs,
+            |  coalesce(max(agg.k), 0) AS n_kept,
+            |  coalesce(max(agg.d), 0) AS kept_digest
+            |FROM segs s LEFT JOIN agg ON s.doc_id = agg.doc_id
+            |GROUP BY s.doc_id
+            |ORDER BY s.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(textTokens, textLangid, textQuality,
-    textFingerprint, textNgramFreq, textPiiRedact, textRepetition)
+    textFingerprint, textNgramFreq, textPiiRedact, textRepetition,
+    textLineDedup)
 }

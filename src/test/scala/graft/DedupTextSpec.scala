@@ -62,4 +62,22 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
   }
+
+  test("text_line_dedup: boilerplate set broadcasts into a left-anti join; counts cohere") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val df = TextOps.textLineDedup.run(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k, d) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k >= 0 && k <= n, s"kept must be within [0, n_segs]: $r")
+      assert(k > 0 || d == 0L, s"empty keep-set must digest to 0: $r")
+    }
+    // boilerplate exists in the corpus, and removal is not total
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
+    assert(rows.exists(r => r.getLong(2) > 0))
+  }
 }
