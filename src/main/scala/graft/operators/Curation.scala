@@ -338,6 +338,101 @@ object Curation {
               |ORDER BY lang, rn""".stripMargin))
   }
 
+  /** One staged documents directory (doc_id, text, lang) per (session,
+    * source dir) — TWO parquet files so `maxFilesPerTrigger=1` forces
+    * two genuine arrival batches. */
+  private val curateStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** The curation topology as ONE live streaming query — the
+    * training-data twin of pipeline_cdc_stream: document batches
+    * stream in, each batch is quality-gated map-side (the same three
+    * Gopher-style gates as pipeline_curate), the survivors pass
+    * through the PERSISTENT incremental near-dup index
+    * ([[IncrementalDedup.applyBatch]] — O(batch + touched index
+    * buckets) per batch, arrival-order independent), and the gated
+    * rows land in a curated staging area. The final corpus report —
+    * per-language doc and token counts of everything that survived
+    * both gates — must hash-match an oracle that recomputes the whole
+    * thing from scratch in one pass: proof the streamed curation
+    * equals the batch curation under an arbitrary split. */
+  val pipelineCurateStream: Q = Q(
+    "pipeline_curate_stream",
+    (s, dir) => {
+      val staged = curateStreamDirs.computeIfAbsent(
+        (s.sparkContext.applicationId, dir), { _ =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft_curate_feed")
+          graft.sources.Formats.deleteRecursivelyOnExit(tmp)
+          val p = tmp.toString + "/docs"
+          Tables(s, dir).documents.select("doc_id", "text", "lang")
+            .repartition(2).write.mode("overwrite").parquet(p)
+          p
+        })
+      val indexRoot = java.nio.file.Files
+        .createTempDirectory("graft_curate_index").toString
+      val curatedDir = java.nio.file.Files
+        .createTempDirectory("graft_curated").toString + "/rows"
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val gated = batch
+            .withColumn("words", expr(words("text")))
+            .withColumn("n_words", expr("size(words)"))
+            .filter(col("n_words") >= 5)
+            .filter(expr(
+              "regexp_count(text, '[^A-Za-z0-9 ]') * 10 <= length(text) * 3"))
+            .filter(expr("size(array_distinct(words)) * 10 >= n_words * 3"))
+            .localCheckpoint(true)
+          IncrementalDedup.applyBatch(gated.select("doc_id", "text"), indexRoot)
+          gated.select("doc_id", "lang", "n_words")
+            .write.mode("append").parquet(curatedDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val curated = s.read.parquet(curatedDir)
+      IncrementalDedup.accepted(s, curated, indexRoot)
+        .join(curated, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words").cast("long")).as("sum_words"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH w0 AS (
+            |  SELECT doc_id, lang, text, ${duckWords("text")} AS words
+            |  FROM documents
+            |), gated AS (
+            |  SELECT * FROM w0
+            |  WHERE len(words) >= 5
+            |    AND len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 10 <= length(text) * 3
+            |    AND len(list_distinct(words)) * 10 >= len(words) * 3
+            |), hs AS (
+            |  SELECT doc_id, ${duckShingleHashes(duckShingles3("words"))} AS hashes
+            |  FROM gated WHERE len(words) >= 3
+            |), sig AS (
+            |  SELECT doc_id, ${duckMinhashSig("hashes")} AS sig FROM hs
+            |), bands AS (
+            |  SELECT doc_id, unnest(${duckMinhashBands("sig")}) AS bk FROM sig
+            |), pairs AS (
+            |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            |), rej AS (
+            |  SELECT DISTINCT db FROM pairs
+            |  JOIN sig sa ON da = sa.doc_id
+            |  JOIN sig sb ON db = sb.doc_id
+            |  WHERE ${duckMinhashEstJaccard("sa.sig", "sb.sig")} >= ${IncrementalDedup.Tau}
+            |)
+            |SELECT lang, count(*) AS n_docs,
+            |  CAST(sum(len(words)) AS BIGINT) AS sum_words,
+            |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            |FROM gated
+            |WHERE doc_id NOT IN (SELECT db FROM rej)
+            |GROUP BY lang
+            |ORDER BY lang""".stripMargin))
+
   val all: Seq[Q] = Seq(textContamination, sampleStratified, pipelineCurate,
-    pipelinePack, sampleMix, corpusStats, samplePerGroup)
+    pipelinePack, sampleMix, corpusStats, samplePerGroup,
+    pipelineCurateStream)
 }

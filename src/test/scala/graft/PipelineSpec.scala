@@ -78,6 +78,29 @@ class PipelineSpec extends SparkSpec {
     assert(ParquetUpsert.pointLookup(spark, s"$lakeRoot/ORDERS", 2L).collect().isEmpty)
   }
 
+  test("streamed curation equals one-shot curation (gates + index in a single batch)") {
+    val viaStream = SparkEntry.queries("pipeline_curate_stream")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val gated = graft.sources.Tables(spark, sfDir).documents
+      .withColumn("words", expr(graft.functions.Portable.words("text")))
+      .withColumn("n_words", expr("size(words)"))
+      .filter(col("n_words") >= 5)
+      .filter(expr("regexp_count(text, '[^A-Za-z0-9 ]') * 10 <= length(text) * 3"))
+      .filter(expr("size(array_distinct(words)) * 10 >= n_words * 3"))
+      .select("doc_id", "text", "lang", "n_words")
+    val root = Files.createTempDirectory("graft_curate_oneshot").toString
+    graft.operators.IncrementalDedup.applyBatch(gated.select("doc_id", "text"), root)
+    val oneShot = graft.operators.IncrementalDedup.accepted(spark, gated, root)
+      .join(gated, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("sum_words"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang")
+      .collect().map(_.toSeq).toSeq
+    assert(viaStream.nonEmpty && viaStream == oneShot)
+  }
+
   test("the pipeline stream parses the feed exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
