@@ -1000,8 +1000,7 @@ object Ann {
   val annIncremental: Q = Q(
     "ann_incremental",
     (s, dir) => {
-      val indexRoot = java.nio.file.Files
-        .createTempDirectory("graft_ann_index").toString
+      val indexRoot = graft.sources.Formats.scratchDir("graft_ann_index")
       val staged = annStreamDirs.computeIfAbsent(
         (s.sparkContext.applicationId, dir), { _ =>
           val tmp = java.nio.file.Files.createTempDirectory("graft_ann_feed")

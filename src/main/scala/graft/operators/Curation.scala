@@ -368,10 +368,8 @@ object Curation {
             .repartition(2).write.mode("overwrite").parquet(p)
           p
         })
-      val indexRoot = java.nio.file.Files
-        .createTempDirectory("graft_curate_index").toString
-      val curatedDir = java.nio.file.Files
-        .createTempDirectory("graft_curated").toString + "/rows"
+      val indexRoot = graft.sources.Formats.scratchDir("graft_curate_index")
+      val curatedDir = graft.sources.Formats.scratchDir("graft_curated") + "/rows"
       val schema = s.read.parquet(staged).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)

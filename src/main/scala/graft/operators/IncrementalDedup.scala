@@ -152,8 +152,7 @@ object IncrementalDedup {
   val dedupIncremental: Q = Q(
     "dedup_incremental",
     (s, dir) => {
-      val indexRoot = java.nio.file.Files
-        .createTempDirectory("graft_inc_index").toString
+      val indexRoot = graft.sources.Formats.scratchDir("graft_inc_index")
       val staged = stagedDocs(s, dir)
       val schema = s.read.parquet(staged).schema
       val stream = s.readStream.schema(schema)

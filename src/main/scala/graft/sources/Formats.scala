@@ -73,6 +73,16 @@ object Formats {
       }
     }
 
+  /** Fresh temp directory registered for JVM-exit cleanup — for
+    * per-invocation scratch targets (lake/index/agg dirs of the
+    * streamed registry rows), so repeated Verify/Bench runs in one
+    * JVM don't accumulate abandoned copies past exit. */
+  private[graft] def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    deleteRecursivelyOnExit(p)
+    p.toString
+  }
+
   private def roundtrip(s: SparkSession, dir: String, format: String): DataFrame = {
     val src = Tables(s, dir).orders.select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),

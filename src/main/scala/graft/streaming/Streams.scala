@@ -589,8 +589,7 @@ object Streams {
     "cdc_stream_route",
     (s, dir) => {
       import graft.cdc.Router
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_route_lake").toString
+      val root = graft.sources.Formats.scratchDir("graft_route_lake")
       val routed = Router.parseRouted(
           Router.routedFeedFrom(eventsStream(s, dir)), col("json"))
         .select(col("tbl"), col("key"), col("scn"), col("xid"), col("op"),
@@ -735,10 +734,8 @@ object Streams {
           when(col("op") === "d", col("before.id")).otherwise(col("after.id")).as("id"),
           when(col("op") === "d", col("before.cents")).otherwise(col("after.cents")).as("cents"),
           when(col("op") === "d", col("before.type")).otherwise(col("after.type")).as("typ"))
-      val lakeRoot = java.nio.file.Files
-        .createTempDirectory("graft_pipe_lake").toString
-      val aggRoot = java.nio.file.Files
-        .createTempDirectory("graft_pipe_agg").toString
+      val lakeRoot = graft.sources.Formats.scratchDir("graft_pipe_lake")
+      val aggRoot = graft.sources.Formats.scratchDir("graft_pipe_agg")
       val q = routed.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           Router.foreachTableSlice(batch, parallelism = 4) { (t, slice) =>
