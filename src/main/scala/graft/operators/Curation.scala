@@ -382,10 +382,12 @@ object Curation {
             .filter(expr(
               "regexp_count(text, '[^A-Za-z0-9 ]') * 10 <= length(text) * 3"))
             .filter(expr("size(array_distinct(words)) * 10 >= n_words * 3"))
-            .localCheckpoint(true)
-          IncrementalDedup.applyBatch(gated.select("doc_id", "text"), indexRoot)
-          gated.select("doc_id", "lang", "n_words")
-            .write.mode("append").parquet(curatedDir)
+            .persist() // batch-scoped; released below, not left to GC
+          try {
+            IncrementalDedup.applyBatch(gated.select("doc_id", "text"), indexRoot)
+            gated.select("doc_id", "lang", "n_words")
+              .write.mode("append").parquet(curatedDir)
+          } finally { gated.unpersist(); () }
         }
         .start()
       try q.processAllAvailable() finally q.stop()

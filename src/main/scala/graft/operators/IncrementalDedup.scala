@@ -82,40 +82,50 @@ object IncrementalDedup {
     * batch's bands and signatures to the index. */
   def applyBatch(batch: DataFrame, indexRoot: String): Unit = {
     val sp = batch.sparkSession
-    val sig = sigOf(batch).localCheckpoint(true)
-    val bands = bandsOf(sig).localCheckpoint(true)
-    val touched = bands.select("ibkt").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val idxBands = readOr(sp, s"$indexRoot/bands", bands)
-      .filter(col("ibkt").isin(touched.map(Int.box): _*))
-    // partners = earlier arrivals (pruned index scan) + the batch itself;
-    // the batch side broadcasts — the index is never shuffled
-    val partners = idxBands.unionByName(bands)
-      .select(col("doc_id").as("p_id"), col("bk"))
-    val newSide = broadcast(bands.select(col("doc_id").as("n_id"), col("bk")))
-    val cand = partners.join(newSide, "bk")
-      .filter(col("p_id") =!= col("n_id"))
-      .select(least(col("p_id"), col("n_id")).as("da"),
-        greatest(col("p_id"), col("n_id")).as("db"))
-      .distinct().localCheckpoint(true)
-    val sbkts = cand
-      .select(explode(array(col("da"), col("db"))).as("doc_id"))
-      .select(pmod(hash(col("doc_id")), lit(B)).as("sbkt"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val sigLike = sig.withColumn("sbkt", pmod(hash(col("doc_id")), lit(B)))
-    val allSigs =
-      (if (sbkts.isEmpty) emptyLike(sp, sigLike)
-       else readOr(sp, s"$indexRoot/sigs", sigLike)
-         .filter(col("sbkt").isin(sbkts.map(Int.box): _*)))
-        .drop("sbkt").unionByName(sig)
-    val rejected = cand
-      .join(allSigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
-      .join(allSigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
-      .filter(expr(minhashEstJaccard("sa", "sb")) >= Tau)
-      .select(col("db").as("doc_id")).distinct()
-    rejected.write.mode("append").parquet(s"$indexRoot/rejected")
-    bands.write.mode("append").partitionBy("ibkt").parquet(s"$indexRoot/bands")
-    sigLike.write.mode("append").partitionBy("sbkt").parquet(s"$indexRoot/sigs")
+    // batch-scoped persist, released in the finally: a signature set is
+    // the batch's largest intermediate (64 longs/doc), and blocks that
+    // linger past the batch (as localCheckpoint's would, until GC)
+    // starve later queries' execution memory in a shared JVM
+    val sig = sigOf(batch).persist()
+    val bands = bandsOf(sig).persist()
+    val cand = {
+      val touched = bands.select("ibkt").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val idxBands = readOr(sp, s"$indexRoot/bands", bands)
+        .filter(col("ibkt").isin(touched.map(Int.box): _*))
+      // partners = earlier arrivals (pruned index scan) + the batch
+      // itself; the batch side broadcasts — the index is never shuffled
+      val partners = idxBands.unionByName(bands)
+        .select(col("doc_id").as("p_id"), col("bk"))
+      val newSide = broadcast(bands.select(col("doc_id").as("n_id"), col("bk")))
+      partners.join(newSide, "bk")
+        .filter(col("p_id") =!= col("n_id"))
+        .select(least(col("p_id"), col("n_id")).as("da"),
+          greatest(col("p_id"), col("n_id")).as("db"))
+        .distinct().persist()
+    }
+    try {
+      val sbkts = cand
+        .select(explode(array(col("da"), col("db"))).as("doc_id"))
+        .select(pmod(hash(col("doc_id")), lit(B)).as("sbkt"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val sigLike = sig.withColumn("sbkt", pmod(hash(col("doc_id")), lit(B)))
+      val allSigs =
+        (if (sbkts.isEmpty) emptyLike(sp, sigLike)
+         else readOr(sp, s"$indexRoot/sigs", sigLike)
+           .filter(col("sbkt").isin(sbkts.map(Int.box): _*)))
+          .drop("sbkt").unionByName(sig)
+      val rejected = cand
+        .join(allSigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+        .join(allSigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
+        .filter(expr(minhashEstJaccard("sa", "sb")) >= Tau)
+        .select(col("db").as("doc_id")).distinct()
+      rejected.write.mode("append").parquet(s"$indexRoot/rejected")
+      bands.write.mode("append").partitionBy("ibkt").parquet(s"$indexRoot/bands")
+      sigLike.write.mode("append").partitionBy("sbkt").parquet(s"$indexRoot/sigs")
+    } finally {
+      cand.unpersist(); bands.unpersist(); sig.unpersist(); ()
+    }
   }
 
   /** Surviving corpus after all arrivals: every doc minus the
