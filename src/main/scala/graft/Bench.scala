@@ -37,17 +37,22 @@ object Bench {
         // toRdd.count() forces every output column to be evaluated;
         // df.count() would let Catalyst prune the computed columns and
         // under-report map-heavy queries.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case t: Throwable =>
-          // a swallowed failure shows up as an absurdly FAST time;
-          // surface it on stderr (stdout stays one parseable line)
-          System.err.println(s"[bench] $name FAILED: ${t.toString.take(300)}")
-          -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${t.toString.take(300)}")
+            false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      // a failed iteration must NOT yield a normal-looking elapsed time
+      // — time-to-failure is indistinguishable from a fast success in
+      // the emitted JSON. Any failure marks the row with sentinel -1.0
+      // (impossible as a real duration) so downstream BENCH readers
+      // can't mistake a broken row for a fast one.
+      name -> (if (times.exists(_.isEmpty)) -1.0 else times.flatten.min)
     }
-    val total = results.map(_._2).sum
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.map(_._2).filter(_ >= 0).sum
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // Full per-query detail goes to a file (committed per round); the
     // stdout line keeps only the slowest 30 so the whole line stays well
@@ -55,8 +60,9 @@ object Bench {
     // queries at full precision and the driver never managed to parse it.
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$detail,"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$detail,"failed":$failedJson,"iters":$iters,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson + "\n")
     catch { case _: Throwable => () }
@@ -67,6 +73,6 @@ object Bench {
     spark.stop()
     // printed LAST (after spark.stop) so no Spark WARN line can land
     // between this and the end of the driver's captured tail
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top,"iters":$iters,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$top,"failed":$failedJson,"iters":$iters,"sf":"$sfName"}""")
   }
 }

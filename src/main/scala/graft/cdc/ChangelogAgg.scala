@@ -148,10 +148,9 @@ object ChangelogAgg {
     * [[aggregateDeltas]]'s live-group semantics. */
   def mergeDeltaTable(delta: DataFrame, aggDir: String): Unit = {
     val sp = delta.sparkSession
-    val existing =
-      try sp.read.parquet(aggDir)
-      catch { case _: Throwable => sp.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), delta.schema) }
+    // first batch bootstraps from empty; a corrupt stored table must
+    // fail loud, not silently reset the running totals to this delta
+    val existing = graft.sources.Tables.readOrEmpty(sp, aggDir, delta.schema)
     val merged = existing.unionByName(delta)
       .groupBy("type")
       .agg(sum("d_cents").as("d_cents"), sum("d_rows").as("d_rows"))

@@ -177,10 +177,17 @@ object Router {
           import scala.concurrent.{Await, ExecutionContext, Future}
           implicit val ec: ExecutionContext =
             ExecutionContext.fromExecutor(pool)
-          Await.result(
-            Future.sequence(tables.toSeq.map(t => Future(run(t)))),
+          // lift each merge to a Try so the Await returns only after
+          // EVERY in-flight merge has quiesced — failing the batch on
+          // the first error while siblings still write would let a
+          // stream retry of the same batch interleave with those
+          // still-running writes against the same lake targets
+          val outcomes = Await.result(
+            Future.sequence(tables.toSeq.map(t =>
+              Future(run(t)).transform(scala.util.Success(_)))),
             scala.concurrent.duration.Duration.Inf)
-          ()
+          outcomes.collectFirst { case scala.util.Failure(e) => e }
+            .foreach(throw _)
         } finally { pool.shutdown(); () }
       }
     } finally { batch.unpersist(); () }

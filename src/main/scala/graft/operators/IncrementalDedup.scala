@@ -74,8 +74,11 @@ object IncrementalDedup {
     sp.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       like.schema)
 
+  /** Not-yet-created index parts read as empty; a DAMAGED index fails
+    * loud (see [[graft.sources.Tables.readOrEmpty]]) — swallowing a
+    * corrupt-parquet error here would silently accept every doc. */
   private def readOr(sp: SparkSession, path: String, like: DataFrame): DataFrame =
-    try sp.read.parquet(path) catch { case _: Throwable => emptyLike(sp, like) }
+    graft.sources.Tables.readOrEmpty(sp, path, like.schema)
 
   /** Process one arrival batch of (doc_id, text): log rejections
     * against the index-so-far (and within the batch), then append the

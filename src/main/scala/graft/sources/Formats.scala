@@ -64,12 +64,27 @@ object Formats {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
 
+  /** Files.list/walk return streams backed by an OPEN directory handle
+    * that terminal ops do NOT close — materialize + close here so call
+    * sites can't leak one fd per listing. */
+  private[graft] def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private[graft] def walkDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private[graft] def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
     sys.addShutdownHook {
       import java.nio.file._
       if (Files.exists(root)) {
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
+        walkDir(root).sortBy(_.toString)(Ordering[String].reverse)
+          .foreach(p => Files.deleteIfExists(p))
       }
     }
 

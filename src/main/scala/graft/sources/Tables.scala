@@ -33,3 +33,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
 }
+
+object Tables {
+  /** Read a lake table, or return an empty frame with `schema` ONLY
+    * when the path does not exist yet (the bootstrap case for an
+    * incrementally-maintained table). Any other failure — corrupt
+    * footer, truncated file, IO/permission error — propagates: the
+    * callers' contract is provable equivalence to a from-scratch run,
+    * and silently treating a damaged index as empty is data
+    * corruption, not recovery. */
+  def readOrEmpty(sp: SparkSession, path: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      sp.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else sp.read.parquet(path)
+  }
+}

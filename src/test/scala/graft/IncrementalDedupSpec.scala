@@ -66,14 +66,16 @@ class IncrementalDedupSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val root = Files.createTempDirectory("graft_inc_spec3").toString
     IncrementalDedup.applyBatch(docsDf(1L -> base), root)
-    val dirs = Files.list(java.nio.file.Paths.get(s"$root/bands"))
-      .iterator().asScala.filter(Files.isDirectory(_))
+    val dirs = graft.sources.Formats.listDir(
+        java.nio.file.Paths.get(s"$root/bands"))
+      .filter(Files.isDirectory(_))
       .map(_.getFileName.toString).toSet
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("ibkt=")),
       s"band index must be directory-partitioned by ibkt: $dirs")
     // a second batch only APPENDS: no pre-existing data file is touched
-    val before = Files.walk(java.nio.file.Paths.get(s"$root/bands"))
-      .iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+    val before = graft.sources.Formats.walkDir(
+        java.nio.file.Paths.get(s"$root/bands"))
+      .filter(p => p.toString.endsWith(".parquet"))
       .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
     IncrementalDedup.applyBatch(docsDf(2L -> other), root)
     before.foreach { case (p, t) =>
@@ -94,5 +96,20 @@ class IncrementalDedupSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(viaStream == oneShot)
     assert(viaStream.nonEmpty)
+  }
+
+  test("a corrupt index fails loud instead of silently accepting everything") {
+    // contract: only path-not-found bootstraps to an empty index; a
+    // damaged parquet (truncated footer, bad magic) must propagate —
+    // treating it as empty would dedup the batch against nothing
+    val root = Files.createTempDirectory("graft_inc_spec5").toString
+    IncrementalDedup.applyBatch(docsDf(1L -> base), root)
+    // clobber every band-index data file with non-parquet bytes
+    graft.sources.Formats.walkDir(java.nio.file.Paths.get(s"$root/bands"))
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach(p => Files.write(p, "not a parquet file".getBytes("UTF-8")))
+    intercept[Exception] {
+      IncrementalDedup.applyBatch(docsDf(2L -> base), root)
+    }
   }
 }

@@ -30,11 +30,11 @@ class ParquetUpsertSpec extends SparkSpec {
   /** (file name -> last-modified) for every data file, keyed by bucket dir. */
   private def fileState(target: String): Map[String, Map[String, Long]] = {
     val root = Paths.get(target)
-    Files.list(root).iterator().asScala
+    graft.sources.Formats.listDir(root)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("bucket="))
       .map { dir =>
         dir.getFileName.toString ->
-          Files.list(dir).iterator().asScala
+          graft.sources.Formats.listDir(dir)
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f).toMillis)
             .toMap
@@ -166,7 +166,7 @@ class ParquetUpsertSpec extends SparkSpec {
     // a later writer passing a DIFFERENT count must follow the table's
     // layout (8), not fragment it into a second hashing scheme
     ParquetUpsert.applyBatch(toBatch(Seq(upd(5, 100, 555))), target, numBuckets = 16)
-    val dirs = Files.list(Paths.get(target)).iterator().asScala
+    val dirs = graft.sources.Formats.listDir(Paths.get(target))
       .map(_.getFileName.toString).filter(_.startsWith("bucket=")).toSeq
     assert(dirs.forall(_.stripPrefix("bucket=").toInt < 8),
       s"writer ignored the table's bucket count: $dirs")

@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
 class RouterSpec extends SparkSpec {
 
   private def listDirs(root: String): Set[String] =
-    Files.list(java.nio.file.Paths.get(root)).iterator().asScala
+    graft.sources.Formats.listDir(java.nio.file.Paths.get(root))
       .filter(Files.isDirectory(_))
       .map(_.getFileName.toString).filter(_.startsWith("tbl=")).toSet
 
@@ -73,7 +73,7 @@ class RouterSpec extends SparkSpec {
     Router.applyRoutedBatch(batch, parRoot, parallelism = 4)
 
     def tables(root: String): Set[String] =
-      Files.list(java.nio.file.Paths.get(root)).iterator().asScala
+      graft.sources.Formats.listDir(java.nio.file.Paths.get(root))
         .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
     assert(tables(serialRoot) == tables(parRoot) && tables(parRoot).nonEmpty)
     tables(parRoot).foreach { t =>
