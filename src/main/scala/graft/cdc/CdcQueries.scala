@@ -215,10 +215,13 @@ object CdcQueries {
   val cdcAvroRoundtrip: Q = Q(
     "cdc_avro_roundtrip",
     (s, dir) => {
-      import graft.sources.AvroWire
-      val framed = AvroWire.frame(AvroWire.encode(parsed(s, dir)), schemaId = 1)
-      flatten(AvroWire.decodeFramed(
-        framed, Map(1 -> AvroWire.changeAvroSchema))).orderBy("scn")
+      import graft.sources.{AvroWire, SchemaRegistry}
+      // the id comes from an actual registration (which enforces the
+      // subject's BACKWARD mode), not a hand-picked constant
+      val registry = new SchemaRegistry
+      val id = registry.register(AvroWire.changeAvroSchema)
+      val framed = AvroWire.frame(AvroWire.encode(parsed(s, dir)), schemaId = id)
+      flatten(AvroWire.decodeFramed(framed, registry.byId)).orderBy("scn")
     },
     Some(s"""WITH feed AS ($feedSql)
             |$parsedSql

@@ -356,6 +356,53 @@ object Curation {
     * both gates — must hash-match an oracle that recomputes the whole
     * thing from scratch in one pass: proof the streamed curation
     * equals the batch curation under an arbitrary split. */
+  /** Start the streamed curation topology (map-side quality gates ->
+    * persistent incremental near-dup index -> curated staging) over a
+    * staged documents directory. Caller owns the query lifecycle;
+    * a durable `checkpoint` makes the run restartable — PipelineSpec
+    * proves stop/restart equals the uninterrupted run. */
+  private[graft] def startCurateTopology(
+      s: org.apache.spark.sql.SparkSession, staged: String,
+      indexRoot: String, curatedDir: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = s.read.parquet(staged).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val writer = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val gated = batch
+          .withColumn("words", expr(words("text")))
+          .withColumn("n_words", expr("size(words)"))
+          .filter(col("n_words") >= 5)
+          .filter(expr(
+            "regexp_count(text, '[^A-Za-z0-9 ]') * 10 <= length(text) * 3"))
+          .filter(expr("size(array_distinct(words)) * 10 >= n_words * 3"))
+          .persist() // batch-scoped; released below, not left to GC
+        try {
+          IncrementalDedup.applyBatch(gated.select("doc_id", "text"), indexRoot)
+          gated.select("doc_id", "lang", "n_words")
+            .write.mode("append").parquet(curatedDir)
+        } finally { gated.unpersist(); () }
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+
+  /** The curation topology's queryable output: the per-language corpus
+    * report over everything that survived both gates. */
+  private[graft] def curateTopologyResult(
+      s: org.apache.spark.sql.SparkSession, indexRoot: String,
+      curatedDir: String): org.apache.spark.sql.DataFrame = {
+    val curated = s.read.parquet(curatedDir)
+    IncrementalDedup.accepted(s, curated, indexRoot)
+      .join(curated, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("sum_words"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang")
+  }
+
   val pipelineCurateStream: Q = Q(
     "pipeline_curate_stream",
     (s, dir) => {
@@ -370,35 +417,9 @@ object Curation {
         })
       val indexRoot = graft.sources.Formats.scratchDir("graft_curate_index")
       val curatedDir = graft.sources.Formats.scratchDir("graft_curated") + "/rows"
-      val schema = s.read.parquet(staged).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged)
-      val q = stream.writeStream.outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val gated = batch
-            .withColumn("words", expr(words("text")))
-            .withColumn("n_words", expr("size(words)"))
-            .filter(col("n_words") >= 5)
-            .filter(expr(
-              "regexp_count(text, '[^A-Za-z0-9 ]') * 10 <= length(text) * 3"))
-            .filter(expr("size(array_distinct(words)) * 10 >= n_words * 3"))
-            .persist() // batch-scoped; released below, not left to GC
-          try {
-            IncrementalDedup.applyBatch(gated.select("doc_id", "text"), indexRoot)
-            gated.select("doc_id", "lang", "n_words")
-              .write.mode("append").parquet(curatedDir)
-          } finally { gated.unpersist(); () }
-        }
-        .start()
+      val q = startCurateTopology(s, staged, indexRoot, curatedDir)
       try q.processAllAvailable() finally q.stop()
-      val curated = s.read.parquet(curatedDir)
-      IncrementalDedup.accepted(s, curated, indexRoot)
-        .join(curated, "doc_id")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_words").cast("long")).as("sum_words"),
-          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-        .orderBy("lang")
+      curateTopologyResult(s, indexRoot, curatedDir)
     },
     Some(s"""WITH w0 AS (
             |  SELECT doc_id, lang, text, ${duckWords("text")} AS words

@@ -248,11 +248,19 @@ object TextOps {
     *
     * Scale: segmentation and hashing are map-side column expressions;
     * the boilerplate set is one (hash → distinct-doc count) aggregate
-    * — 8-byte keys, partial-aggregated — and its qualifying hashes are
-    * a SMALL set (boilerplate is by definition repeated, not the
-    * corpus), broadcast into a map-side LEFT ANTI join; the per-doc
-    * reassembly groups on doc_id. Two real exchanges end to end
-    * (hash agg, doc regroup), nothing quadratic anywhere. */
+    * — 8-byte keys, partial-aggregated. The anti-join side is NOT
+    * broadcast: at web-corpus scale the qualifying-hash set is
+    * billions of rows (duplicated boilerplate is WHY these pipelines
+    * exist), so a broadcast would run to tens of GB and kill the job —
+    * and the static planner's size ESTIMATE of an aggregate's output
+    * cannot be trusted to catch that (it happily picks broadcast from
+    * a guess). The merge hint pins a sort-merge anti-join partitioned
+    * on `h` — the agg output is already exchange-partitioned on `h`,
+    * so its side shuffles zero extra bytes, and SMJ spills instead of
+    * OOMing if a partition runs hot; AQE remains free to demote it to
+    * a broadcast at runtime from the MEASURED size when the set is
+    * genuinely small. Per-doc reassembly groups on doc_id. Bounded
+    * exchanges end to end, nothing quadratic. */
   val textLineDedup: Q = Q(
     "text_line_dedup",
     (s, dir) => {
@@ -267,7 +275,7 @@ object TextOps {
       val boilerplate = segs.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("h")
-      val kept = segs.join(broadcast(boilerplate), Seq("h"), "left_anti")
+      val kept = segs.join(boilerplate.hint("merge"), Seq("h"), "left_anti")
       segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
         .join(kept.groupBy("doc_id").agg(count(lit(1)).as("k"),
           expr("aggregate(transform(array_sort(collect_list(struct(pos, h))), " +

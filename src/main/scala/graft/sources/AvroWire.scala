@@ -47,6 +47,48 @@ final case class AvroChangeV2(
   * any reference consumer would — and (c) the Spark-native Avro file
   * format round-trip with this explicit schema.
   */
+/** The Schema Registry SUBJECT model with register-time compatibility
+  * enforcement — the contract the reference's registry service applies
+  * (reference README.md:698-716: the compose stack runs a real
+  * Confluent Schema Registry, which REJECTS a registration that breaks
+  * the subject's compatibility mode, BACKWARD by default).
+  *
+  * BACKWARD means: a consumer holding the NEW schema must be able to
+  * read every byte producers wrote with the PREVIOUS schema — i.e.
+  * Avro reader/writer resolution (new = reader, previous = writer)
+  * must succeed. The check runs at REGISTER time, so an incompatible
+  * producer deploy fails before a single bad byte reaches the wire;
+  * decode-time resolution ([[AvroWire.decodeFramed]]) then can't meet
+  * a generation gap it cannot bridge. Ids are assigned sequentially
+  * like the service does; [[byId]] is the `GET /schemas/ids/<id>` view
+  * that [[AvroWire.decodeFramed]] consumes. */
+final class SchemaRegistry {
+  private var versions = Vector.empty[(Int, String)]
+
+  /** Register the subject's next schema version; returns its id.
+    * Throws (loud, nothing registered) if the schema is malformed or
+    * not BACKWARD-compatible with the latest registered version. */
+  def register(schemaJson: String): Int = synchronized {
+    import org.apache.avro.{Schema, SchemaCompatibility}
+    val reader = new Schema.Parser().parse(schemaJson)
+    versions.lastOption.foreach { case (prevId, prevJson) =>
+      val writer = new Schema.Parser().parse(prevJson)
+      val result =
+        SchemaCompatibility.checkReaderWriterCompatibility(reader, writer)
+      if (result.getType !=
+          SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE)
+        sys.error(s"schema rejected: not BACKWARD-compatible with " +
+          s"version id $prevId — ${result.getResult.getIncompatibilities}")
+    }
+    val id = versions.size + 1
+    versions :+= (id -> schemaJson)
+    id
+  }
+
+  /** The id -> writer-schema lookup a framed consumer resolves through. */
+  def byId: Map[Int, String] = synchronized { versions.toMap }
+}
+
 object AvroWire {
 
   /** Explicit Avro schema of one change event (the Schema-Registry

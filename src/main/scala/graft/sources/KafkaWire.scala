@@ -42,6 +42,36 @@ object KafkaWire {
     StructField("timestamp", TimestampType),
     StructField("timestampType", IntegerType)))
 
+  /** Build the wire-record STREAM, flag-gated on the deployment:
+    * when `SPARK_GRAFT_KAFKA=host:port` is set (or a bootstrap string
+    * is passed explicitly), the stream comes from a REAL broker via
+    * Spark's Kafka source — the reference's actual transport
+    * (README.md:623-696, kafka-1..3) — and everything downstream
+    * (`.transform(parse)` and the whole CDC chain behind it) runs
+    * unchanged, because both branches emit EXACTLY [[wireSchema]].
+    * Without the flag, the stream is staged wire records (parquet
+    * files in [[wireSchema]] shape), the in-container test transport.
+    *
+    * The broker branch cannot be integration-tested here — this
+    * container ships no broker and no spark-sql-kafka connector jar —
+    * so KafkaWireSpec pins (a) the staged branch's schema is exactly
+    * [[wireSchema]] and (b) the broker branch is genuinely selected by
+    * the flag (its failure in-container is the missing connector, not
+    * a code path that silently fell back to files). */
+  def stream(s: org.apache.spark.sql.SparkSession, topic: String,
+             stagedDir: String,
+             bootstrap: Option[String] = sys.env.get("SPARK_GRAFT_KAFKA")): DataFrame =
+    bootstrap match {
+      case Some(servers) =>
+        s.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", servers)
+          .option("subscribe", topic)
+          .option("startingOffsets", "earliest")
+          .load()
+      case None =>
+        s.readStream.schema(wireSchema).parquet(stagedDir)
+    }
+
   /** Wrap an OLR JSON feed (columns event_id, json — see
     * CdcQueries.feedFrom) into Kafka wire records, the way the
     * reference's Kafka writer produces them: key = the row key (OLR

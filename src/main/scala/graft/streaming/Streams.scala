@@ -103,8 +103,8 @@ object Streams {
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       val files =
         if (java.nio.file.Files.isDirectory(src))
-          java.nio.file.Files.list(src).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          graft.sources.Formats.listDir(src)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
         else Seq(src)
       require(files.nonEmpty, s"$src contains no parquet files to stream")
       files.zipWithIndex.foreach { case (p, i) =>
@@ -713,10 +713,58 @@ object Streams {
     * aggregate the DuckDB oracle computes from scratch. PipelineSpec
     * pins the cross-batch maintenance (group-moving update, delete,
     * mid-stream table discovery) and the single parse. */
+  /** Start the composed CDC topology (parse once -> per-table fan-out
+    * -> bucket-scoped lake upserts + maintained aggregate tables) over
+    * the staged feed directory. The caller owns the query lifecycle;
+    * `checkpoint` = a DURABLE location makes the run restartable — the
+    * deployed shape (the reference's pipeline survives connector
+    * restarts on Kafka Connect offset durability; README.md
+    * "Verification"). PipelineSpec proves stop-after-batch-1 /
+    * restart / finish equals the uninterrupted run. */
+  private[graft] def startCdcTopology(
+      s: SparkSession, staged: String, lakeRoot: String, aggRoot: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.cdc.{ChangelogAgg, Router}
+    val schema = s.read.parquet(staged).schema
+    val feed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val routed = Router.parseRouted(feed, col("json"))
+      .select(col("tbl"), col("key"), col("scn"), col("xid"), col("op"),
+        when(col("op") === "d", col("before.id")).otherwise(col("after.id")).as("id"),
+        when(col("op") === "d", col("before.cents")).otherwise(col("after.cents")).as("cents"),
+        when(col("op") === "d", col("before.type")).otherwise(col("after.type")).as("typ"))
+    val writer = routed.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Router.foreachTableSlice(batch, parallelism = 4) { (t, slice) =>
+          val delta = graft.sinks.ParquetUpsert
+            .applyBatchWithDeltas(slice, s"$lakeRoot/$t")
+          ChangelogAgg.mergeDeltaTable(delta, s"$aggRoot/$t")
+        }
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+
+  /** The topology's queryable output: every maintained aggregate table
+    * under `aggRoot`, labeled and filtered to live groups. */
+  private[graft] def cdcTopologyResult(s: SparkSession, aggRoot: String): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(aggRoot)
+    val hfs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tables = hfs.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+    tables.map { t =>
+      s.read.parquet(s"$aggRoot/$t")
+        .select(lit(t).as("tbl"), col("type"),
+          col("d_cents").as("sum_cents"), col("d_rows").as("live_rows"))
+    }.reduce(_.unionByName(_))
+      .filter(col("live_rows") > 0)
+      .orderBy("tbl", "type")
+  }
+
   val pipelineCdcStream: Q = Q(
     "pipeline_cdc_stream",
     (s, dir) => {
-      import graft.cdc.{ChangelogAgg, Router}
+      import graft.cdc.Router
       val staged = pipelineStreamDirs.computeIfAbsent(
         (s.sparkContext.applicationId, dir), { _ =>
           val tmp = java.nio.file.Files.createTempDirectory("graft_pipe_feed")
@@ -726,37 +774,11 @@ object Streams {
             .write.mode("overwrite").parquet(p)
           p
         })
-      val schema = s.read.parquet(staged).schema
-      val feed = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged)
-      val routed = Router.parseRouted(feed, col("json"))
-        .select(col("tbl"), col("key"), col("scn"), col("xid"), col("op"),
-          when(col("op") === "d", col("before.id")).otherwise(col("after.id")).as("id"),
-          when(col("op") === "d", col("before.cents")).otherwise(col("after.cents")).as("cents"),
-          when(col("op") === "d", col("before.type")).otherwise(col("after.type")).as("typ"))
       val lakeRoot = graft.sources.Formats.scratchDir("graft_pipe_lake")
       val aggRoot = graft.sources.Formats.scratchDir("graft_pipe_agg")
-      val q = routed.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          Router.foreachTableSlice(batch, parallelism = 4) { (t, slice) =>
-            val delta = graft.sinks.ParquetUpsert
-              .applyBatchWithDeltas(slice, s"$lakeRoot/$t")
-            ChangelogAgg.mergeDeltaTable(delta, s"$aggRoot/$t")
-          }
-        }
-        .start()
+      val q = startCdcTopology(s, staged, lakeRoot, aggRoot)
       try q.processAllAvailable() finally q.stop()
-      val rootPath = new org.apache.hadoop.fs.Path(aggRoot)
-      val hfs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val tables = hfs.listStatus(rootPath).filter(_.isDirectory)
-        .map(_.getPath.getName).sorted
-      tables.map { t =>
-        s.read.parquet(s"$aggRoot/$t")
-          .select(lit(t).as("tbl"), col("type"),
-            col("d_cents").as("sum_cents"), col("d_rows").as("live_rows"))
-      }.reduce(_.unionByName(_))
-        .filter(col("live_rows") > 0)
-        .orderBy("tbl", "type")
+      cdcTopologyResult(s, aggRoot)
     },
     Some(s"""WITH feed AS (${graft.cdc.Router.routedFeedSql}), p AS (
             |  SELECT

@@ -141,17 +141,39 @@ class AvroWireSpec extends SparkSpec {
     new GenericDatumWriter[GenericRecord](v2).write(rec, enc)
     enc.flush()
 
+    // both generations registered through the subject model: v2's
+    // registration IS the BACKWARD-accept case (adds a defaulted field)
+    val registry = new graft.sources.SchemaRegistry
+    val id1 = registry.register(AvroWire.changeAvroSchema)
+    val id2 = registry.register(AvroWire.changeAvroSchemaV2)
     val v1Framed = AvroWire.frame(
-      AvroWire.encode(parsed.orderBy("scn").limit(2)), schemaId = 1)
+      AvroWire.encode(parsed.orderBy("scn").limit(2)), schemaId = id1)
     val v2Framed = AvroWire.frame(
-      spark.createDataset(Seq(baos.toByteArray)), schemaId = 2)
-    val registry = Map(1 -> AvroWire.changeAvroSchema,
-      2 -> AvroWire.changeAvroSchemaV2)
-    val out = AvroWire.decodeFramed(v1Framed.union(v2Framed), registry)
+      spark.createDataset(Seq(baos.toByteArray)), schemaId = id2)
+    val out = AvroWire.decodeFramed(v1Framed.union(v2Framed), registry.byId)
       .select("scn", "origin").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out.exists(_._2 == "olr") && out.contains((42L, "oracle19c")),
       s"per-record resolution failed: $out")
+  }
+
+  test("registry REJECTS a registration that is not BACKWARD-compatible") {
+    // the reference's Schema Registry enforces this at register time
+    // (README.md:698-716): a consumer on the new schema must still read
+    // every byte written with the previous one. Renaming a field with
+    // no default breaks that — old bytes have no value for it.
+    val registry = new graft.sources.SchemaRegistry
+    registry.register(AvroWire.changeAvroSchema)
+    val incompatible = AvroWire.changeAvroSchema.replace(
+      "{\"name\": \"scn\", \"type\": [\"null\", \"long\"], \"default\": null}",
+      "{\"name\": \"scn_renamed\", \"type\": \"long\"}")
+    assert(incompatible != AvroWire.changeAvroSchema)
+    val ex = intercept[Exception] { registry.register(incompatible) }
+    assert(ex.getMessage.contains("BACKWARD"), ex.getMessage)
+    // the failed attempt registered nothing: the subject still serves
+    // exactly one version, and a compatible evolve still lands as id 2
+    assert(registry.byId.keySet == Set(1))
+    assert(registry.register(AvroWire.changeAvroSchemaV2) == 2)
   }
 
   test("framed decode fails loud on an unknown schema id and on a foreign magic byte") {

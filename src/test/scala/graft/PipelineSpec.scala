@@ -150,4 +150,97 @@ class PipelineSpec extends SparkSpec {
     assert(once == summed, "delta sums must be independent of the batch split")
     assert(fromLake == summed, "deltas must telescope to the lake's live state")
   }
+
+  /** Stage the sf feed as two parquet files and return their paths —
+    * the raw material for controlled stop/restart runs. */
+  private def stageTwoFiles(df: DataFrame, prefix: String): (String, Seq[java.nio.file.Path]) = {
+    val all = Files.createTempDirectory(prefix).toString + "/all"
+    df.repartition(2).write.mode("overwrite").parquet(all)
+    val parts = graft.sources.Formats
+      .listDir(java.nio.file.Paths.get(all))
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    assert(parts.size == 2, s"expected 2 staged files, got ${parts.size}")
+    (all, parts)
+  }
+
+  private def copyIn(feedDir: String, part: java.nio.file.Path, name: String): Unit =
+    Files.copy(part, java.nio.file.Paths.get(feedDir).resolve(name))
+
+  test("pipeline_cdc_stream: kill/restart on a durable checkpoint equals the uninterrupted run") {
+    // the reference's deployed pipeline survives connector restarts on
+    // durable offsets (README.md "Verification"); prove the composed
+    // topology does too: batch 1, STOP, restart from the checkpoint,
+    // batch 2 — final aggregate tables must equal a never-stopped run,
+    // and the restarted query must NOT reprocess batch 1's file
+    val (_, parts) = stageTwoFiles(
+      Router.routedFeed(spark, sfDir).select("json"), "graft_restart_feed")
+    val feedDir = Files.createTempDirectory("graft_restart_in").toString
+    val lake = Files.createTempDirectory("graft_restart_lake").toString
+    val agg = Files.createTempDirectory("graft_restart_agg").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+
+    copyIn(feedDir, parts(0), "f0.parquet")
+    val q1 = graft.streaming.Streams
+      .startCdcTopology(spark, feedDir, lake, agg, Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+
+    copyIn(feedDir, parts(1), "f1.parquet")
+    val q2 = graft.streaming.Streams
+      .startCdcTopology(spark, feedDir, lake, agg, Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+    val restarted = graft.streaming.Streams.cdcTopologyResult(spark, agg)
+      .collect().map(_.toSeq).toSeq
+    // offset durability: the restarted query consumed ONLY the new file
+    val replayed = q2.recentProgress.map(_.numInputRows).sum
+    val batch2Rows = spark.read.parquet(parts(1).toString).count()
+    assert(replayed == batch2Rows,
+      s"restart must resume after batch 1: reprocessed $replayed rows, " +
+        s"batch 2 alone is $batch2Rows")
+
+    val lakeU = Files.createTempDirectory("graft_restart_lake_u").toString
+    val aggU = Files.createTempDirectory("graft_restart_agg_u").toString
+    val qU = graft.streaming.Streams
+      .startCdcTopology(spark, feedDir, lakeU, aggU)
+    try qU.processAllAvailable() finally qU.stop()
+    val uninterrupted = graft.streaming.Streams.cdcTopologyResult(spark, aggU)
+      .collect().map(_.toSeq).toSeq
+    assert(restarted.nonEmpty && restarted == uninterrupted)
+  }
+
+  test("pipeline_curate_stream: kill/restart on a durable checkpoint equals the uninterrupted run") {
+    val (_, parts) = stageTwoFiles(
+      graft.sources.Tables(spark, sfDir).documents
+        .select("doc_id", "text", "lang"), "graft_restart_docs")
+    val feedDir = Files.createTempDirectory("graft_restart_din").toString
+    val index = Files.createTempDirectory("graft_restart_idx").toString
+    val curated = Files.createTempDirectory("graft_restart_cur").toString + "/rows"
+    val ckpt = Files.createTempDirectory("graft_restart_cckpt").toString
+
+    copyIn(feedDir, parts(0), "d0.parquet")
+    val q1 = graft.operators.Curation
+      .startCurateTopology(spark, feedDir, index, curated, Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+
+    copyIn(feedDir, parts(1), "d1.parquet")
+    val q2 = graft.operators.Curation
+      .startCurateTopology(spark, feedDir, index, curated, Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+    val restarted = graft.operators.Curation
+      .curateTopologyResult(spark, index, curated)
+      .collect().map(_.toSeq).toSeq
+    val replayed = q2.recentProgress.map(_.numInputRows).sum
+    val batch2Rows = spark.read.parquet(parts(1).toString).count()
+    assert(replayed == batch2Rows,
+      s"restart must resume after batch 1: reprocessed $replayed rows")
+
+    val indexU = Files.createTempDirectory("graft_restart_idx_u").toString
+    val curatedU = Files.createTempDirectory("graft_restart_cur_u").toString + "/rows"
+    val qU = graft.operators.Curation
+      .startCurateTopology(spark, feedDir, indexU, curatedU)
+    try qU.processAllAvailable() finally qU.stop()
+    val uninterrupted = graft.operators.Curation
+      .curateTopologyResult(spark, indexU, curatedU)
+      .collect().map(_.toSeq).toSeq
+    assert(restarted.nonEmpty && restarted == uninterrupted)
+  }
 }
