@@ -30,6 +30,32 @@ object Dedup {
     * and dropped from pair enumeration (see dedup_minhash_lsh). */
   private val MaxBucket = 1000
 
+  /** max docs sharing one shingle before that shingle's block is
+    * dropped from pair enumeration. A block of m docs yields m^2/2
+    * candidate pairs, so ONE degenerate shingle (a boilerplate header
+    * repeated across a web corpus) makes the whole join quadratic;
+    * past this size the shingle is so common it carries no dedup
+    * signal — exactly the LSH MaxBucket argument, applied to the
+    * shingle-block join. The guard is a count window partitioned on
+    * the join key itself, so it rides the exchange the self-join
+    * needs anyway: zero extra shuffles (PlanAuditSpec pins this).
+    * Every oracle applies the identical cap. */
+  private val MaxShingleBlock = 1000
+
+  /** Shingle rows bounded by [[MaxShingleBlock]] — the pair-generator
+    * input. NOT used for the per-doc shingle counts (the Jaccard
+    * denominator), which stay exact over all shingles. */
+  private def boundedBlocks(sh: DataFrame): DataFrame = sh
+    .withColumn("bn", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+    .filter(col("bn") <= MaxShingleBlock)
+    .drop("bn")
+
+  /** The capped blocking CTE for the DuckDB oracles — must mirror
+    * [[boundedBlocks]] exactly (cnt stays on the UNCAPPED sh). */
+  private def duckBoundedBlocks: String =
+    s"SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= $MaxShingleBlock"
+
   /** exact dedup: one representative (min doc_id) per distinct text.
     * The groupBy key at scale should be fp60(text), not the raw text —
     * demonstrated in dedup_exact_norm; here we keep the semantic
@@ -60,7 +86,9 @@ object Dedup {
   /** word-3-gram Jaccard >= 0.8 duplicate pairs. Candidates are
     * blocked by shared shingle (the self-join key), so cost is
     * sum(block^2) over shingle blocks — bounded because natural-text
-    * shingles are rare; never an O(n^2) cross join. The join key is
+    * shingles are rare AND because degenerate blocks (web boilerplate
+    * shared by >MaxShingleBlock docs) are dropped before enumeration;
+    * never an O(n^2) cross join. The join key is
     * the 60-bit shingle hash, not the shingle string: an 8-byte
     * shuffle key instead of ~25 bytes of text, and the oracle blocks
     * on the same hash so any collision affects both sides equally. */
@@ -84,7 +112,10 @@ object Dedup {
   /** word-3-gram Jaccard >= 0.8 duplicate pairs (da < db, jac). */
   private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
     val base = shingleArrays(s, dir)
-    val sh = base.select(col("doc_id"), explode(col("hs")).as("sh"))
+    // hot-shingle guard: see MaxShingleBlock — degenerate blocks are
+    // dropped BEFORE pair enumeration, the denominator counts are not
+    val sh = boundedBlocks(
+      base.select(col("doc_id"), explode(col("hs")).as("sh")))
     // row-local count — no aggregation, no exchange
     val cnt = base.select(col("doc_id"), expr("size(hs)").as("n"))
     val pairs = sh.as("a")
@@ -109,9 +140,11 @@ object Dedup {
             |  FROM w WHERE len(words) >= 3
             |), cnt AS (
             |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            |), shb AS (
+            |  $duckBoundedBlocks
             |), pairs AS (
             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  FROM shb a JOIN shb b ON a.sh = b.sh AND a.doc_id < b.doc_id
             |  GROUP BY 1, 2
             |)
             |SELECT da, db, round(inter*1.0 / (ca.n + cb.n - inter), 6) AS jaccard
@@ -294,15 +327,26 @@ object Dedup {
             |)
             |SELECT va, vb, round(cos, 6) AS cos_sim FROM cand WHERE cos >= 0.4""".stripMargin))
 
-  /** Iterative min-label-propagation connected components over an edge
-    * list (columns a, b). Labels start as the vertex id; each round
-    * every vertex takes the min of its own and its neighbors' labels;
-    * convergence in O(cluster diameter) rounds (near-dup clusters are
-    * shallow — at 100 TB with adversarial chains, alternate large-star/
-    * small-star for O(log n)). All data-sized work is joins/aggregates;
-    * the only driver-side value per round is the scalar changed-count
-    * (the standard Pregel convergence check), and localCheckpoint
-    * truncates the iterative lineage. */
+  /** Iterative min-label connected components over an edge list
+    * (columns a, b). Each round does TWO label moves:
+    *
+    *  1. propagate — every vertex takes the min of its own and its
+    *     neighbors' labels (the Pregel step; alone it needs
+    *     O(cluster diameter) rounds, which stalls on chain-shaped
+    *     clusters);
+    *  2. shortcut — every vertex then jumps to its label's label
+    *     (classic Shiloach–Vishkin pointer doubling).
+    *
+    * The shortcut roughly doubles how far the component min has
+    * traveled per round, so convergence is O(log diameter) — on a
+    * 256-vertex path: 9 rounds instead of 255 (CurationSpec pins
+    * this worst case). The invariant label(u) <= u (labels start as
+    * the vertex id and only min-decrease) makes the jump safe, and a
+    * combined-step fixpoint implies a propagate fixpoint, so the
+    * stop condition is unchanged. All data-sized work is joins and
+    * aggregates keyed on id/label; the only driver-side value per
+    * round is the scalar changed-count, and localCheckpoint truncates
+    * the iterative lineage (established dedup_clusters pattern). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -314,8 +358,18 @@ object Dedup {
     while (!done && i < maxIter) {
       val msgs = sym.join(labels, sym("a") === labels("id"))
         .select(sym("b").as("id"), labels("label"))
-      val next = labels.union(msgs)
+      val prop = labels.union(msgs)
         .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true) // consumed twice below (both jump sides)
+      // the jump side is prop itself; checkpointing the aliased
+      // projection gives it independent attribute ids, so the
+      // self-join can't trip Catalyst's self-join/union rewrites
+      val jump = prop.select(col("id").as("pid"), col("label").as("plabel"))
+        .localCheckpoint(true)
+      val next = prop
+        .join(jump, col("label") === col("pid"), "left")
+        .select(col("id"),
+          coalesce(col("plabel"), col("label")).as("label"))
         .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
@@ -345,9 +399,11 @@ object Dedup {
             |  FROM w WHERE len(words) >= 3
             |), cnt AS (
             |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            |), shb AS (
+            |  $duckBoundedBlocks
             |), pairs AS (
             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  FROM shb a JOIN shb b ON a.sh = b.sh AND a.doc_id < b.doc_id
             |  GROUP BY 1, 2
             |), dup AS (
             |  SELECT da, db FROM pairs
@@ -375,7 +431,8 @@ object Dedup {
     "dedup_minhash_quality",
     (s, dir) => {
       val base = shingleArrays(s, dir)
-      val sh = base.select(col("doc_id"), explode(col("hs")).as("sh"))
+      val sh = boundedBlocks(
+        base.select(col("doc_id"), explode(col("hs")).as("sh")))
       val cnt = base.select(col("doc_id"), expr("size(hs)").as("n"))
       val pairs = sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -410,9 +467,11 @@ object Dedup {
             |  FROM base
             |), cnt AS (
             |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            |), shb AS (
+            |  $duckBoundedBlocks
             |), pairs AS (
             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  FROM shb a JOIN shb b ON a.sh = b.sh AND a.doc_id < b.doc_id
             |  GROUP BY 1, 2
             |), tp AS (
             |  SELECT da, db, inter * 100 // (ca.n + cb.n - inter) AS true_pct

@@ -20,6 +20,22 @@ class CurationSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents: a 256-vertex path converges in O(log n) rounds") {
+    import spark.implicits._
+    // the adversarial shape for plain label propagation: a chain needs
+    // O(n) propagate-only rounds (the min travels one hop per round),
+    // so capping at 12 rounds FAILS without the pointer-jumping
+    // shortcut — and passes with it (doubling reach: ~9 rounds for 255
+    // hops). This is the worst case the operator doc claims to handle.
+    val n = 256L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, maxIter = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L),
+      s"chain not fully labeled in 12 rounds: ${got.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
   test("dedup_clusters labels every endpoint of every duplicate pair consistently") {
     val clusters = SparkEntry.queries("dedup_clusters")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

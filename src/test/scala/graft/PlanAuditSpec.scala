@@ -167,6 +167,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "hot key must be split by time bucket before any per-user work\n" + p)
   }
 
+  test("text_line_dedup anti-join is NOT an unconditional broadcast of the boilerplate side") {
+    // the boilerplate-hash set is output of a full-corpus aggregate; at
+    // web scale it is billions of rows, so the static plan must leave
+    // the anti-join free to shuffle on h (reusing the agg partitioning)
+    // — only AQE, with a measured size, may demote it to a broadcast
+    val p = plan("text_line_dedup")
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).mkString
+    assert(anti.nonEmpty, "expected a LeftAnti join\n" + p)
+    assert(!anti.contains("BroadcastHashJoin"),
+      "boilerplate side must not be statically broadcast\n" + p)
+    // both anti-join inputs already partition on h: no third exchange
+    // beyond (hash agg on h, doc regroup, presentation sort)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("shingle-block hot-bucket cap rides the self-join's own exchange (zero extra shuffles)") {
+    // the guard is count() OVER (PARTITION BY sh) — partitioned on the
+    // pair self-join's equi key, so the join reuses the window's
+    // exchange: capping degenerate blocks must cost no new shuffle.
+    // Census: sh exchange (+reuse on the other side), pair groupBy
+    // (da,db), and the two denominator-count attach joins
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("Window"), "hot-shingle guard missing\n" + p)
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(exchanges <= 4, s"guard added an exchange ($exchanges)\n" + p)
+  }
+
   test("two-phase sessionize shuffles raw events on (user, bucket), never on user alone") {
     val p = plan(Relational.qSessionize2Phase.name)
     // exactly two hash exchanges: phase A on (user_id, bucket) — the

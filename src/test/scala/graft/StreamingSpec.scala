@@ -300,6 +300,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful registry rows produce identical results on the RocksDB provider") {
+    // beyond the materializeStream pin above: run full REGISTRY rows —
+    // SCD2 keyed state and the TypedImperativeAggregate top-k buffers —
+    // under RocksDB and require bit-identical output vs the default
+    // HDFS-backed provider. This is the provider a 1000-executor
+    // deployment runs, so the rows' state must round-trip its
+    // serialization, not just the in-memory map's.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val rows = Seq("cdc_stream_scd2", "q_stream_topk")
+    def run(name: String): Seq[Seq[Any]] =
+      SparkEntry.queries(name)(spark, sfDir).collect().map(_.toSeq).toSeq
+    val expected = rows.map(n => n -> run(n)).toMap
+    assert(expected.values.forall(_.nonEmpty))
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try rows.foreach { n =>
+      assert(run(n) == expected(n), s"$n diverged on RocksDB")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("bounded streaming queries agree with their batch equivalents") {
     // tumbling-window streaming agg == batch tumbling agg at sf0.001
     val streamed = Streams.qStreamTumbling.run(spark, sfDir)
