@@ -371,13 +371,22 @@ object Dedup {
         .select(col("id"),
           coalesce(col("plabel"), col("label")).as("label"))
         .localCheckpoint(true)
+      // localCheckpoint(true) is eager, so prop/jump are baked into
+      // `next` already — release their storage blocks NOW: three
+      // checkpoints per round left to GC starve execution memory for
+      // every row that runs after this one in a whole-registry pass
+      // (the established lingering-block pitfall at 10x data)
+      prop.unpersist(false)
+      jump.unpersist(false)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist(false) // superseded; `changed` is materialized
       labels = next
       done = changed == 0
       i += 1
     }
+    sym.unpersist(false)
     labels
   }
 

@@ -92,11 +92,13 @@ object ParquetUpsert {
       "bucket", pmod(hash(col("key")), lit(b)))
     val touched = bucketed.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
-    val existing =
-      try sp.read.parquet(target)
-        .filter(col("bucket").isin(touched.map(Int.box): _*))
-      catch { case _: Throwable => sp.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), bucketed.schema) }
+    // first batch bootstraps from empty ONLY when the target doesn't
+    // exist; a corrupt/unreadable lake table must fail loud — merging
+    // against a silently-empty "existing" would truncate every
+    // untouched key in the touched buckets on the next overwrite
+    val existing = graft.sources.Tables
+      .readOrEmpty(sp, target, bucketed.schema)
+      .filter(col("bucket").isin(touched.map(Int.box): _*))
     val w = Window.partitionBy("key").orderBy(col("scn").desc, col("xid").desc)
     val merged = existing.unionByName(bucketed)
       .withColumn("rn", row_number().over(w))

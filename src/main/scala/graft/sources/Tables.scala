@@ -36,17 +36,23 @@ final case class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   /** Read a lake table, or return an empty frame with `schema` ONLY
-    * when the path does not exist yet (the bootstrap case for an
-    * incrementally-maintained table). Any other failure — corrupt
-    * footer, truncated file, IO/permission error — propagates: the
-    * callers' contract is provable equivalence to a from-scratch run,
-    * and silently treating a damaged index as empty is data
-    * corruption, not recovery. */
+    * when the table does not exist yet — path missing, or a directory
+    * holding nothing but hidden metadata (`_`/`.`-prefixed), which is
+    * what a writer crash between its metadata write and first data
+    * write leaves behind (documented-harmless in ParquetUpsert). Any
+    * other failure — corrupt footer, truncated file, IO/permission
+    * error — propagates: the callers' contract is provable
+    * equivalence to a from-scratch run, and silently treating a
+    * damaged index as empty is data corruption, not recovery. */
   def readOrEmpty(sp: SparkSession, path: String,
                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    val exists = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!exists)
       sp.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     else sp.read.parquet(path)
   }

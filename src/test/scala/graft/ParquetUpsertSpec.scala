@@ -218,6 +218,30 @@ class ParquetUpsertSpec extends SparkSpec {
       .select("cents").collect().map(_.getLong(0)).toSeq == Seq(555L))
   }
 
+  test("a corrupt bucket data file fails the merge loudly; a metadata-only dir bootstraps") {
+    // two sides of the same contract. (1) a DAMAGED lake table must
+    // propagate: merging against a silently-empty "existing" would
+    // truncate every untouched key in the touched buckets on the next
+    // dynamic overwrite. (2) the documented-harmless crash window —
+    // metadata written, no data yet — must still bootstrap as a new
+    // table, not fail forever.
+    val target = newTarget()
+    ParquetUpsert.applyBatch(toBatch(Seq(ins(1, 10, 100))), target)
+    val dataFiles = graft.sources.Formats.walkDir(Paths.get(target))
+      .filter(_.toString.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(p => Files.write(p, "not a parquet file".getBytes("UTF-8")))
+    intercept[Exception] {
+      ParquetUpsert.applyBatch(toBatch(Seq(upd(1, 20, 200))), target)
+    }
+    // (2) metadata-only dir = the crash-between-writes leftover
+    val fresh = newTarget()
+    Files.createDirectories(Paths.get(fresh))
+    Files.write(Paths.get(fresh, "_graft_buckets"), "8".getBytes("UTF-8"))
+    ParquetUpsert.applyBatch(toBatch(Seq(ins(2, 30, 300))), fresh)
+    assert(snapshot(fresh) == Seq((2L, 300L, 30L)))
+  }
+
   test("corrupt (empty) bucket metadata fails loudly, never falls back to a guess") {
     val target = newTarget()
     ParquetUpsert.applyBatch(toBatch(Seq(ins(1, 10, 100))), target)
