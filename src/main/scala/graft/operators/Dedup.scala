@@ -109,23 +109,26 @@ object Dedup {
   private[operators] def shingleRows(s: SparkSession, dir: String): DataFrame =
     shingleArrays(s, dir).select(col("doc_id"), explode(col("hs")).as("sh"))
 
-  /** word-3-gram Jaccard >= 0.8 duplicate pairs (da < db, jac). */
+  /** word-3-gram Jaccard >= 0.8 duplicate pairs (da < db, jac).
+    *
+    * The per-doc shingle count (the Jaccard denominator) rides the
+    * exploded rows as a constant-per-doc column instead of being
+    * re-derived in a separate scan and attached through two joins:
+    * one corpus scan and two shuffles fewer, for 8 bytes/row on the
+    * self-join. min() in the aggregate just picks the constant. */
   private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
     val base = shingleArrays(s, dir)
     // hot-shingle guard: see MaxShingleBlock — degenerate blocks are
     // dropped BEFORE pair enumeration, the denominator counts are not
     val sh = boundedBlocks(
-      base.select(col("doc_id"), explode(col("hs")).as("sh")))
-    // row-local count — no aggregation, no exchange
-    val cnt = base.select(col("doc_id"), expr("size(hs)").as("n"))
-    val pairs = sh.as("a")
+      base.select(col("doc_id"), expr("size(hs)").as("n"),
+        explode(col("hs")).as("sh")))
+    sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
-      .withColumn("jac", col("inter") / (col("ca.n") + col("cb.n") - col("inter")))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+      .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= 0.8)
   }
 
@@ -348,9 +351,15 @@ object Dedup {
     * round is the scalar changed-count, and localCheckpoint truncates
     * the iterative lineage (established dedup_clusters pattern). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // checkpoint the edge list BEFORE the symmetric union: both union
+    // branches consume it, and an expensive edge generator (the
+    // ngram-pair join for dedup_clusters) must run once, not once per
+    // branch — physical exchange reuse only dedups up to the last
+    // exchange, re-running everything above it
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
+    e.unpersist(false)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var i = 0
@@ -440,17 +449,18 @@ object Dedup {
     "dedup_minhash_quality",
     (s, dir) => {
       val base = shingleArrays(s, dir)
+      // denominator counts ride the exploded rows (see ngramPairs):
+      // one scan + the self-join, no separate count-attach joins
       val sh = boundedBlocks(
-        base.select(col("doc_id"), explode(col("hs")).as("sh")))
-      val cnt = base.select(col("doc_id"), expr("size(hs)").as("n"))
+        base.select(col("doc_id"), expr("size(hs)").as("n"),
+          explode(col("hs")).as("sh")))
       val pairs = sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter"))
-        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+        .agg(count(lit(1)).as("inter"),
+          min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
         .withColumn("true_pct",
-          expr("inter * 100 div (ca.n + cb.n - inter)"))
+          expr("inter * 100 div (na + nb - inter)"))
         .filter(col("true_pct") >= 80)
         .select("da", "db", "true_pct")
       val sig = base
