@@ -463,6 +463,12 @@ object Dedup {
           expr("inter * 100 div (na + nb - inter)"))
         .filter(col("true_pct") >= 80)
         .select("da", "db", "true_pct")
+      // full-corpus signature pass, deliberately: at scale, MinHash
+      // signatures are a one-pass map job materialized once and shared
+      // with LSH — and semi-filtering to pair participants would
+      // re-consume `pairs`, triplicating its subtree in the static
+      // plan (runtime AQE stage reuse would dedupe, but the registry's
+      // static 8-exchange contract is the stronger guarantee).
       val sig = base
         .withColumn("hashes", expr(shingleHashes("words")))
         .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
