@@ -120,13 +120,22 @@ object CdcQueries {
             |  CASE WHEN op='d' THEN 'true' ELSE 'false' END AS __deleted
             |FROM p ORDER BY scn""".stripMargin))
 
+  /** Duplicate every 10th event (scn % 10 == 0) — the at-least-once
+    * redelivery simulation. Emitted by exploding a per-row copy array
+    * off a SINGLE pass, not by unioning the feed with a filtered copy
+    * of itself: the union form evaluates the JSON-parse-heavy source
+    * subtree once per branch in the static plan, doubling the scan. */
+  private[cdc] def redeliver(p: DataFrame): DataFrame = p
+    .withColumn("__copy", explode(when(col("scn") % 10 === 0,
+      typedLit(Seq(0, 1))).otherwise(typedLit(Seq(0)))))
+    .drop("__copy")
+
   /** Redelivery simulation: every 10th event is delivered twice, then
     * deduped back to exactly-once. */
   val cdcDedupEvents: Q = Q(
     "cdc_dedup_events",
     (s, dir) => {
-      val p = flatten(parsed(s, dir))
-      val redelivered = p.union(p.filter(col("scn") % 10 === 0))
+      val redelivered = redeliver(flatten(parsed(s, dir)))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("key", "scn").orderBy(col("xid").asc)
       redelivered.withColumn("rn", row_number().over(w))
@@ -426,8 +435,7 @@ object CdcQueries {
   val pipelineCdc: Q = Q(
     "pipeline_cdc",
     (s, dir) => {
-      val p = parsed(s, dir)
-      val redelivered = p.union(p.filter(col("scn") % 10 === 0))
+      val redelivered = redeliver(parsed(s, dir))
       val snap = Cdc.materialize(Cdc.dedup(redelivered))
       val cust = Tables(s, dir).customer
         .select(col("c_custkey"), col("c_nationkey"))

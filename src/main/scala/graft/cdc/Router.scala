@@ -247,7 +247,8 @@ object Router {
         // event time is otherwise monotone with scn
         .withColumn("tm", when(col("scn") % 13 === 0,
           col("tm") - 3600000000L).otherwise(col("tm")))
-      val redelivered = parsed.union(parsed.filter(col("scn") % 10 === 0))
+      // single-pass duplicate generation — see CdcQueries.redeliver
+      val redelivered = graft.cdc.CdcQueries.redeliver(parsed)
       // (owner, tbl, key) — the full entity identity: two owners can
       // legitimately carry the same table name, and a lag window crossing
       // owner boundaries would mis-attribute tm regressions between them
