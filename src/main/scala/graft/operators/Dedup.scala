@@ -42,19 +42,24 @@ object Dedup {
     * Every oracle applies the identical cap. */
   private val MaxShingleBlock = 1000
 
-  /** Shingle rows bounded by [[MaxShingleBlock]] — the pair-generator
-    * input. NOT used for the per-doc shingle counts (the Jaccard
+  /** Shingle rows bounded to blocks of 2..[[MaxShingleBlock]] docs —
+    * the pair-generator input. The lower bound is free pruning, not a
+    * semantic change: a singleton block (a shingle unique to one doc —
+    * MOST shingles in natural text) can never produce a pair, yet
+    * without the filter every such row is sorted and probed by the
+    * self-join. NOT used for the per-doc shingle counts (the Jaccard
     * denominator), which stay exact over all shingles. */
   private def boundedBlocks(sh: DataFrame): DataFrame = sh
     .withColumn("bn", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-    .filter(col("bn") <= MaxShingleBlock)
+    .filter(col("bn").between(2, MaxShingleBlock))
     .drop("bn")
 
-  /** The capped blocking CTE for the DuckDB oracles — must mirror
-    * [[boundedBlocks]] exactly (cnt stays on the UNCAPPED sh). */
+  /** The capped blocking CTE for the DuckDB oracles — mirrors
+    * [[boundedBlocks]] (cnt stays on the UNCAPPED sh). */
   private def duckBoundedBlocks: String =
-    s"SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= $MaxShingleBlock"
+    "SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY sh) " +
+      s"BETWEEN 2 AND $MaxShingleBlock"
 
   /** exact dedup: one representative (min doc_id) per distinct text.
     * The groupBy key at scale should be fp60(text), not the raw text —
@@ -218,11 +223,13 @@ object Dedup {
       // noise, not dedup signal. The oracle applies the same cap. A
       // window (not agg+join) computes the size: it hash-partitions on
       // bk, and the self-join below reuses that exact partitioning, so
-      // the guard costs zero extra shuffles.
+      // the guard costs zero extra shuffles. The >=2 bound is free
+      // pruning (a singleton bucket can never produce a pair), not a
+      // semantic change.
       val bounded = bands
         .withColumn("bn", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("bk")))
-        .filter(col("bn") <= MaxBucket)
+        .filter(col("bn").between(2, MaxBucket))
         .drop("bn")
       val cand = bounded.as("a")
         .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -244,7 +251,8 @@ object Dedup {
             |), bands AS (
             |  SELECT doc_id, sig, unnest(${duckMinhashBands("sig")}) AS bk FROM sig
             |), ok AS (
-            |  SELECT bk FROM bands GROUP BY bk HAVING count(*) <= $MaxBucket
+            |  SELECT bk FROM bands GROUP BY bk
+            |  HAVING count(*) BETWEEN 2 AND $MaxBucket
             |), bounded AS (
             |  SELECT bands.* FROM bands JOIN ok USING (bk)
             |)
