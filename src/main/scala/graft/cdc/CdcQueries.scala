@@ -125,7 +125,7 @@ object CdcQueries {
     * off a SINGLE pass, not by unioning the feed with a filtered copy
     * of itself: the union form evaluates the JSON-parse-heavy source
     * subtree once per branch in the static plan, doubling the scan. */
-  private[cdc] def redeliver(p: DataFrame): DataFrame = p
+  private[graft] def redeliver(p: DataFrame): DataFrame = p
     .withColumn("__copy", explode(when(col("scn") % 10 === 0,
       typedLit(Seq(0, 1))).otherwise(typedLit(Seq(0)))))
     .drop("__copy")

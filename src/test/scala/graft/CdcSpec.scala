@@ -51,6 +51,19 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.dedup(doubled).count() == parsed.count())
   }
 
+  test("single-pass redeliver emits the exact multiset of the union-with-filtered-self form") {
+    // the explode-a-copy-array rewrite (one scan) must be row-for-row
+    // equivalent to the naive self-union (two scans) it replaced
+    val p = CdcQueries.flatten(parsed)
+    val viaExplode = CdcQueries.redeliver(p)
+    val viaUnion = p.union(p.filter(col("scn") % 10 === 0))
+    assert(viaExplode.count() == viaUnion.count())
+    assert(viaExplode.exceptAll(viaUnion).isEmpty &&
+      viaUnion.exceptAll(viaExplode).isEmpty)
+    // and it genuinely duplicates: strictly more rows than the feed
+    assert(viaExplode.count() > p.count())
+  }
+
   test("bootstrap: changed keys take events, untouched keys keep seeds, deletes win") {
     val snap = SparkEntry.queries("cdc_bootstrap")(spark, sfDir)
     val seeds = snap.filter(col("type") === "seed")
