@@ -903,25 +903,42 @@ object Ann {
             |SELECT va, vb, round(cos, 6) AS cos_sim
             |FROM scored WHERE cos >= 0.4""".stripMargin))
 
+  /** Anchors for the blocking-recall ground truth: exact recall needs
+    * an all-pairs baseline, which is quadratic and impossible at
+    * corpus scale — so the harness estimates it on a deterministic
+    * anchor sample instead, the way production eval harnesses do.
+    * A pair (va < vb) is evaluated iff va ≡ 0 (mod S); S grows with
+    * the corpus so truth work is N × (N/S) ≈ N × AnchorCap — LINEAR
+    * in N. Since va is uniform over ids this keeps a 1/S uniform
+    * sample of true pairs, an unbiased recall estimator. At the
+    * oracle/verify SFs (≤ AnchorCap vectors) S = 1 and the estimate
+    * IS the exact all-pairs recall. */
+  private val AnchorCap = 2048L
+
   /** Blocking-recall harness for near-dup detection: BOTH blocking
     * strategies (random-hyperplane LSH = dedup_embedding's, learned
-    * k-means clusters = dedup_semantic's) measured against the exact
-    * all-pairs ground truth at the same 0.4 threshold — the evidence
-    * that justifies trusting a blocked pipeline's pair coverage before
-    * pointing it at a corpus where all-pairs is impossible. The truth
-    * side broadcasts one copy of the (small) vector table under a
-    * BroadcastNestedLoopJoin — an explicit eval-only baseline exactly
-    * like ann_bruteforce, not a scale path. */
+    * k-means clusters = dedup_semantic's) measured against the
+    * anchor-sampled exact ground truth at the same 0.4 threshold —
+    * the evidence that justifies trusting a blocked pipeline's pair
+    * coverage before pointing it at a corpus where all-pairs is
+    * impossible. The truth pass broadcasts only the ≤ AnchorCap
+    * anchor vectors under a BroadcastNestedLoopJoin (each input row
+    * scans the anchor set once), and the recall join shuffles on the
+    * sampled pair keys — no data-dependent set is ever hinted
+    * broadcast. e.count() is bounded driver metadata (one scalar). */
   val dedupBlockingRecall: Q = Q(
     "dedup_blocking_recall",
     (s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("v"), col("n2"))
-      val truth = e.as("a")
-        .join(broadcast(e.select(col("vec_id").as("b_id"), col("v").as("bv"),
-          col("n2").as("bn2"))), col("vec_id") < col("b_id"))
-        .withColumn("cos", expr(s"${dot("v", "bv")} / sqrt(n2 * bn2)"))
+      val sMod = math.max(1L, (e.count() + AnchorCap - 1L) / AnchorCap)
+      val anchors = e.filter(col("vec_id") % sMod === 0L)
+        .select(col("vec_id").as("a_id"), col("v").as("av"),
+          col("n2").as("an2"))
+      val truth = e.as("b")
+        .join(broadcast(anchors), col("a_id") < col("vec_id"))
+        .withColumn("cos", expr(s"${dot("av", "v")} / sqrt(an2 * n2)"))
         .filter(col("cos") >= 0.4)
-        .select(col("vec_id").as("va"), col("b_id").as("vb"))
+        .select(col("a_id").as("va"), col("vec_id").as("vb"))
         .localCheckpoint()
       val nTrue = truth.count()
       // guard the ratio at tiny SFs where the truth set can be empty
@@ -929,8 +946,12 @@ object Ann {
       val denom = math.max(nTrue, 1L)
 
       def recallOf(found: DataFrame, strategy: String): DataFrame = {
-        val f = found.select(col("va").as("f_va"), col("vb").as("f_vb"))
-        truth.join(broadcast(f),
+        // restrict the found side to anchor pairs first (a no-op for
+        // the join result — every truth row has va ≡ 0 mod S — but it
+        // shrinks the join input by the sample factor)
+        val f = found.filter(col("va") % sMod === 0L)
+          .select(col("va").as("f_va"), col("vb").as("f_vb"))
+        truth.join(f,
             col("va") === col("f_va") && col("vb") === col("f_vb"), "left")
           .agg(count(col("f_va")).as("n_found"))
           .select(lit(strategy).as("strategy"), col("n_found"),
@@ -944,10 +965,15 @@ object Ann {
         .orderBy("strategy")
     },
     Some(s"""WITH $kmeansOracleCtes,
-            |truth AS (
+            |params AS (
+            |  SELECT greatest(1, CAST(ceil(count(*) / 2048.0) AS BIGINT)) AS s
+            |  FROM e
+            |), truth AS (
             |  SELECT a.vec_id AS va, b.vec_id AS vb
-            |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-            |  WHERE ${duckCosine("a.v", "b.v")} >= 0.4
+            |  FROM e a CROSS JOIN params p
+            |  JOIN e b ON a.vec_id < b.vec_id
+            |  WHERE a.vec_id % p.s = 0
+            |    AND ${duckCosine("a.v", "b.v")} >= 0.4
             |), keys AS (
             |  SELECT vec_id, v, unnest(${duckHyperplaneKeys("v")}) AS bk FROM e
             |), hp AS (
