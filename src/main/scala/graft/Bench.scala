@@ -49,6 +49,16 @@ object Bench {
       // the emitted JSON. Any failure marks the row with sentinel -1.0
       // (impossible as a real duration) so downstream BENCH readers
       // can't mistake a broken row for a fast one.
+      //
+      // Between rows, drop every still-persisted RDD (localCheckpoint
+      // pins from the finished row's internals — kmeans stages, lake
+      // merges). Rows are independent, so this is always safe here; a
+      // real deployment runs one query per driver and never sees the
+      // accumulation, but 123 heterogeneous rows in one JVM pinned
+      // enough storage (un-evictable below spark.memory.storageFraction)
+      // to starve execution at 30x data and cascade-fail the remainder
+      // of the run. Outside the timed region by construction.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> (if (times.exists(_.isEmpty)) -1.0 else times.flatten.min)
     }
     val failed = results.filter(_._2 < 0).map(_._1)

@@ -155,7 +155,10 @@ object ChangelogAgg {
       .groupBy("type")
       .agg(sum("d_cents").as("d_cents"), sum("d_rows").as("d_rows"))
       .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(aggDir)
+    // release the pin once the overwrite lands — one leaked block per
+    // micro-batch adds up over a long-running stream
+    try merged.write.mode("overwrite").parquet(aggDir)
+    finally { merged.unpersist(false); () }
   }
 
   /** The wire-native operator input: staged full-image bytes -> parse

@@ -74,6 +74,11 @@ object JdbcUpsert {
     }
   }
 
+  /** Rows batched per transaction: bounds executor memory for the
+    * replay buffer and keeps Derby's per-transaction lock count below
+    * its table-lock escalation threshold under concurrent writers. */
+  private val ChunkRows = 1000
+
   private def applyRows(conn: Connection, table: String, rows: Iterator[Row]): Unit = {
     conn.setAutoCommit(false)
     // Derby MERGE (SQL:2003): matched rows update only when the incoming
@@ -87,30 +92,59 @@ object JdbcUpsert {
          |  VALUES (?, ?, ?, ?, ?)""".stripMargin)
     val delete = conn.prepareStatement(
       s"DELETE FROM $table WHERE k = ? AND last_scn <= ?")
-    try {
-      rows.foreach { r =>
-        val (key, scn, op) = (r.getLong(0), r.getLong(1), r.getString(2))
-        if (op == "d") {
-          delete.setLong(1, key); delete.setLong(2, scn)
-          delete.addBatch()
-        } else {
-          merge.setLong(1, key); merge.setLong(2, scn)
-          merge.setLong(3, if (r.isNullAt(3)) -1L else r.getLong(3))
-          merge.setLong(4, if (r.isNullAt(4)) -1L else r.getLong(4))
-          merge.setString(5, if (r.isNullAt(5)) "" else r.getString(5))
-          merge.setLong(6, scn)
-          merge.setLong(7, key)
-          merge.setLong(8, if (r.isNullAt(3)) -1L else r.getLong(3))
-          merge.setLong(9, if (r.isNullAt(4)) -1L else r.getLong(4))
-          merge.setString(10, if (r.isNullAt(5)) "" else r.getString(5))
-          merge.setLong(11, scn)
-          merge.addBatch()
+
+    def bindMerge(r: Row): Unit = {
+      val (key, scn) = (r.getLong(0), r.getLong(1))
+      merge.setLong(1, key); merge.setLong(2, scn)
+      merge.setLong(3, if (r.isNullAt(3)) -1L else r.getLong(3))
+      merge.setLong(4, if (r.isNullAt(4)) -1L else r.getLong(4))
+      merge.setString(5, if (r.isNullAt(5)) "" else r.getString(5))
+      merge.setLong(6, scn)
+      merge.setLong(7, key)
+      merge.setLong(8, if (r.isNullAt(3)) -1L else r.getLong(3))
+      merge.setLong(9, if (r.isNullAt(4)) -1L else r.getLong(4))
+      merge.setString(10, if (r.isNullAt(5)) "" else r.getString(5))
+      merge.setLong(11, scn)
+    }
+
+    // One chunk = one transaction. The batch path is the fast path for
+    // any real JDBC target; embedded Derby has an internal defect in
+    // batched MERGE at volume (executeLargeBatch NPEs on "_actionRS is
+    // null" once partitions carry thousands of rows — first seen at 30x
+    // data, deterministic). On that failure the chunk's transaction is
+    // rolled back and the SAME buffered rows are replayed one statement
+    // at a time — semantically identical (each key appears once per
+    // micro-batch after the max_by reduction, so intra-chunk order is
+    // immaterial) and idempotent across the rollback boundary via the
+    // monotonic-scn guard. Buffering is O(ChunkRows), never the
+    // partition.
+    def applyChunk(chunk: Seq[Row]): Unit = {
+      try {
+        chunk.foreach { r =>
+          if (r.getString(2) == "d") {
+            delete.setLong(1, r.getLong(0)); delete.setLong(2, r.getLong(1))
+            delete.addBatch()
+          } else { bindMerge(r); merge.addBatch() }
         }
+        merge.executeBatch()
+        delete.executeBatch()
+        conn.commit()
+      } catch {
+        case e: java.sql.SQLException =>
+          conn.rollback()
+          merge.clearBatch(); delete.clearBatch()
+          chunk.foreach { r =>
+            if (r.getString(2) == "d") {
+              delete.setLong(1, r.getLong(0)); delete.setLong(2, r.getLong(1))
+              delete.executeUpdate()
+            } else { bindMerge(r); merge.executeUpdate() }
+          }
+          conn.commit()
       }
-      merge.executeBatch()
-      delete.executeBatch()
-      conn.commit()
-    } finally { merge.close(); delete.close() }
+    }
+
+    try rows.grouped(ChunkRows).foreach(c => applyChunk(c.toSeq))
+    finally { merge.close(); delete.close() }
   }
 
   /** Read the materialized table back as a DataFrame (via the standard

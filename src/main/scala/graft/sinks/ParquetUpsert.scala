@@ -116,9 +116,15 @@ object ParquetUpsert {
   }
 
   /** Merge one micro-batch of parsed change rows (columns key, scn,
-    * xid, op, id, cents, typ) into the bucketed parquet target. */
-  def applyBatch(batch: DataFrame, target: String, numBuckets: Int = 16): Unit =
-    mergeBatch(batch, target, numBuckets).commit()
+    * xid, op, id, cents, typ) into the bucketed parquet target.
+    * The checkpointed merge is released as soon as the commit lands —
+    * a long-running stream would otherwise pin one batch's worth of
+    * storage blocks per micro-batch until driver GC, starving
+    * execution memory over thousands of batches. */
+  def applyBatch(batch: DataFrame, target: String, numBuckets: Int = 16): Unit = {
+    val m = mergeBatch(batch, target, numBuckets)
+    try m.commit() finally { m.merged.unpersist(false); () }
+  }
 
   /** [[applyBatch]] that ALSO returns the batch's per-group live-state
     * delta — the aggregate-maintenance feed of the streaming pipeline
@@ -142,7 +148,14 @@ object ParquetUpsert {
     // prior reads the very files commit() replaces — pin it first
     val prior = live(m.existing, -1).localCheckpoint(true)
     m.commit()
-    live(m.merged, 1).unionByName(prior)
+    // reduce to the #groups-row delta eagerly so the batch-sized merge
+    // and the prior snapshot can be released NOW instead of lingering
+    // per micro-batch until driver GC (the returned frame pins only a
+    // handful of group rows)
+    val delta = live(m.merged, 1).unionByName(prior).localCheckpoint(true)
+    m.merged.unpersist(false)
+    prior.unpersist(false)
+    delta
   }
 
   /** Re-hash the whole table into `newB` buckets — the lever for a table
@@ -173,6 +186,7 @@ object ParquetUpsert {
       fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true)
     }
     writeBucketCount(sp, target, newB)
+    all.unpersist(false); ()
   }
 
   /** Tombstone compaction: once every replica/consumer has passed
@@ -201,6 +215,7 @@ object ParquetUpsert {
     affected.filterNot(keptBuckets).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true)
     }
+    kept.unpersist(false); ()
   }
 
   /** ksqlDB-style "pull query": the current state of ONE key, served
