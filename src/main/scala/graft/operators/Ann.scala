@@ -879,9 +879,24 @@ object Ann {
     (s, dir) => {
       val (codes, _, c1) = kmeansStage(s, dir)
       val a1 = kmeansAssign(codes, c1).select(col("vec_id"), col("cid"))
+      // k is fixed (16), so cluster occupancy grows ~N/k and the
+      // in-cluster pair join is quadratic in N — the same fixed-keyspace
+      // hazard as the hyperplane buckets (at 30x data this row ran
+      // 315 s). Same bounded-block cure: keep a deterministic
+      // LCG-uniform sample of MaxEmbBucket members per cluster, so
+      // candidates are <= k * cap^2 / 2 at any corpus size (at the
+      // oracle/verify SFs every cluster is under the cap — unchanged).
+      // The production-scale lever remains k ∝ N (doc above); the cap
+      // is the guard that makes a lagging k degrade recall instead of
+      // exploding the plan.
+      val bounded = a1
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cid")
+            .orderBy(expr(Dedup.embPriority("vec_id")), col("vec_id"))))
+        .filter(col("rn") <= Dedup.MaxEmbBucket).drop("rn")
       val e = emb(s, dir).select(col("vec_id"), col("v"), col("n2"))
-      val cand = a1.as("a")
-        .join(a1.as("b"),
+      val cand = bounded.as("a")
+        .join(bounded.as("b"),
           col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       cand
@@ -892,9 +907,14 @@ object Ann {
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
     },
     Some(s"""WITH $kmeansOracleCtes,
+            |ab AS (
+            |  SELECT vec_id, cid FROM a1
+            |  QUALIFY row_number() OVER (PARTITION BY cid
+            |    ORDER BY ${Dedup.embPriority("vec_id")}, vec_id)
+            |    <= ${Dedup.MaxEmbBucket}),
             |pairs AS (
             |  SELECT a.vec_id AS va, b.vec_id AS vb
-            |  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+            |  FROM ab a JOIN ab b ON a.cid = b.cid AND a.vec_id < b.vec_id),
             |scored AS (
             |  SELECT va, vb, ${duckCosine("ea.v", "eb.v")} AS cos
             |  FROM pairs
@@ -976,13 +996,26 @@ object Ann {
             |    AND ${duckCosine("a.v", "b.v")} >= 0.4
             |), keys AS (
             |  SELECT vec_id, v, unnest(${duckHyperplaneKeys("v")}) AS bk FROM e
+            |), kb AS (
+            |  SELECT vec_id, v, bk FROM keys
+            |  QUALIFY row_number() OVER (PARTITION BY bk
+            |    ORDER BY ${Dedup.embPriority("vec_id")}, vec_id)
+            |    <= ${Dedup.MaxEmbBucket}
             |), hp AS (
             |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-            |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id
+            |  FROM kb a JOIN kb b ON a.bk = b.bk AND a.vec_id < b.vec_id
             |  WHERE ${duckCosine("a.v", "b.v")} >= 0.4
             |), km AS (
             |  SELECT a.vec_id AS va, b.vec_id AS vb
-            |  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            |  FROM (SELECT vec_id, cid FROM a1
+            |        QUALIFY row_number() OVER (PARTITION BY cid
+            |          ORDER BY ${Dedup.embPriority("vec_id")}, vec_id)
+            |          <= ${Dedup.MaxEmbBucket}) a
+            |  JOIN (SELECT vec_id, cid FROM a1
+            |        QUALIFY row_number() OVER (PARTITION BY cid
+            |          ORDER BY ${Dedup.embPriority("vec_id")}, vec_id)
+            |          <= ${Dedup.MaxEmbBucket}) b
+            |    ON a.cid = b.cid AND a.vec_id < b.vec_id
             |  JOIN e ea ON a.vec_id = ea.vec_id
             |  JOIN e eb ON b.vec_id = eb.vec_id
             |  WHERE ${duckCosine("ea.v", "eb.v")} >= 0.4

@@ -4,6 +4,7 @@ import graft.Q
 import graft.functions.Portable._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite over the `documents` table — the operators an
@@ -301,7 +302,27 @@ object Dedup {
             |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
             |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin))
 
-  /** embedding near-dup: random-hyperplane LSH buckets (4 tables x 4
+  /** Hyperplane-LSH buckets have a FIXED keyspace (4 tables x 6 bits
+    * = 256 values), so bucket occupancy grows ~N/256 and the in-bucket
+    * self-join is quadratic in N at ANY scale — at 30x data the
+    * candidate set hit ~10^8 pairs and OOM'd. Same cure as the shingle
+    * blocks (MaxShingleBlock): bound every bucket, here by KEEPING a
+    * deterministic sample of MaxEmbBucket members (dropping whole hot
+    * buckets, the minhash-LSH guard, would empty the operator at scale
+    * because EVERY bucket is hot when the keyspace is 256). Priority is
+    * a portable LCG over vec_id — id-uniform, so the kept members are
+    * an unbiased sample and the measured recall (dedup_blocking_recall)
+    * honestly reflects the capped pipeline. Candidates are then
+    * <= 256 * MaxEmbBucket^2 / 2 regardless of corpus size. */
+  val MaxEmbBucket = 512
+
+  /** Portable deterministic bucket priority: same arithmetic in Spark
+    * and DuckDB, mod-first so BIGINT multiplication cannot overflow
+    * DuckDB's checked 64-bit range for any id. */
+  private[operators] def embPriority(id: String): String =
+    s"(($id % 2147483648) * 1103515245 + 12345) % 2147483648"
+
+  /** embedding near-dup: random-hyperplane LSH buckets (4 tables x 6
     * bits, deterministic LCG hyperplanes) generate candidates; exact
     * left-fold cosine >= 0.4 verifies inside buckets. Both the bucket
     * keys and the cosine are bit-identical across engines, so the
@@ -316,8 +337,15 @@ object Dedup {
         .withColumn("n2", expr(dot("v", "v")))
       val keys = e.select(col("vec_id"),
         explode(expr(hyperplaneKeys("v"))).as("bk"))
-      val cand = keys.as("a")
-        .join(keys.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      // per-bucket truncation window partitions on the join key, so it
+      // rides the join's own exchange — zero extra shuffles
+      val bounded = keys
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bk")
+            .orderBy(expr(embPriority("vec_id")), col("vec_id"))))
+        .filter(col("rn") <= MaxEmbBucket).drop("rn")
+      val cand = bounded.as("a")
+        .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
         .distinct()
       cand
@@ -331,10 +359,14 @@ object Dedup {
             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             |), keys AS (
             |  SELECT vec_id, v, unnest(${duckHyperplaneKeys("v")}) AS bk FROM e
+            |), bounded AS (
+            |  SELECT vec_id, v, bk FROM keys
+            |  QUALIFY row_number() OVER (PARTITION BY bk
+            |    ORDER BY ${embPriority("vec_id")}, vec_id) <= $MaxEmbBucket
             |), cand AS (
             |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
             |    ${duckCosine("a.v", "b.v")} AS cos
-            |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id
+            |  FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.vec_id < b.vec_id
             |)
             |SELECT va, vb, round(cos, 6) AS cos_sim FROM cand WHERE cos >= 0.4""".stripMargin))
 

@@ -20,13 +20,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // regression net for accidental shuffle explosions: the measured
     // census tops out at 7 (the ANN recall harnesses, which embed two
     // full search paths); anything above 8 means a new operator
-    // re-exchanges something it should have reused
+    // re-exchanges something it should have reused.
+    // One documented exception: dedup_blocking_recall composes BOTH
+    // candidate pipelines (hyperplane + kmeans) AND the anchored truth
+    // join in a single plan. Its per-bucket cap windows hash-partition
+    // on the pair-join keys (bk / cid) — the same exchange the
+    // self-join needs at scale — but at spec-SF stats the uncapped
+    // self-joins had planned as broadcasts (0 static exchanges), so
+    // the capped static count is 10. Each constituent stays well under
+    // the ceiling (dedup_embedding 3, dedup_semantic 4).
+    val ceiling = Map("dedup_blocking_recall" -> 10).withDefaultValue(8)
     val streaming = graft.streaming.Streams.all.map(_.name).toSet
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(streaming.contains)
       .map(n => n -> "hashpartitioning\\(".r.findAllIn(plan(n)).size)
-      .filter(_._2 > 8)
+      .filter { case (n, c) => c > ceiling(n) }
     assert(offenders.isEmpty, s"shuffle ceiling exceeded: $offenders")
+  }
+
+  test("embedding-bucket caps partition on the pair-join key (no stray exchange)") {
+    // the MaxEmbBucket truncation windows must ride the candidate
+    // join's own hash exchange: every Window in these plans partitions
+    // by the join key (bk for hyperplane buckets, cid for kmeans
+    // clusters), executing as a WindowGroupLimit (top-k per key, no
+    // full sort buffer)
+    for ((name, key) <- Seq("dedup_embedding" -> "bk", "dedup_semantic" -> "cid")) {
+      val p = plan(name)
+      assert(p.contains("WindowGroupLimit"), s"$name lost its bucket cap\n$p")
+      val parts = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(parts == Set(key), s"$name window keys $parts != {$key}\n$p")
+    }
   }
 
   test("no query plan contains a cartesian product") {
