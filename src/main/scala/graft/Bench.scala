@@ -9,9 +9,17 @@ object Bench {
     // GraftSession configs cost ~10% here — AQE's stage-wise
     // materialization and eager broadcasts only pay off at real data
     // sizes on a real cluster.
+    // Shuffle partitions default to cores (right at the driver's sf0.1);
+    // scale runs override via SPARK_GRAFT_SHUFFLE_PARTITIONS — the same
+    // knob a cluster submit sizes to the input (brief: partitions must
+    // fit executor memory at the target SF). At 30x data the pair-graph
+    // joins put ~1e9 intermediate rows through the shuffle; 32 static
+    // partitions made single tasks carry tens of millions of rows.
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

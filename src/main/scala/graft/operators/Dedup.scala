@@ -105,25 +105,65 @@ object Dedup {
     * distinct-as-aggregation formulation costs an extra exchange of
     * every (doc, shingle) row. */
   private[operators] def shingleArrays(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("words", expr(words("text")))
-      .filter(expr("size(words) >= 3"))
-      .withColumn("hs", expr(s"array_distinct(${shingleHashes60("words")})"))
+    shingleArraysOf(docs(s, dir))
+
+  /** Same, over an arbitrary (doc_id, text) frame — the pair
+    * generators run this on exact-dup-group REPRESENTATIVES only. */
+  private[operators] def shingleArraysOf(d: DataFrame): DataFrame = d
+    .withColumn("words", expr(words("text")))
+    .filter(expr("size(words) >= 3"))
+    .withColumn("hs", expr(s"array_distinct(${shingleHashes60("words")})"))
 
   /** (doc_id, shingle-hash) rows, unique — the blocking base for the
     * Jaccard pair generator and the contamination check. */
   private[operators] def shingleRows(s: SparkSession, dir: String): DataFrame =
     shingleArrays(s, dir).select(col("doc_id"), explode(col("hs")).as("sh"))
 
-  /** word-3-gram Jaccard >= 0.8 duplicate pairs (da < db, jac).
+  /** Exact-duplicate text groups: every doc tagged with `gid` (the min
+    * doc_id among byte-identical texts — the group representative) and
+    * `gn` (the group size). ONE exchange, keyed on the text itself
+    * (the dedup_exact precedent; at 100 TB the key would be a 128-bit
+    * content hash — dedup_exact_norm demonstrates the fingerprint
+    * variant). Checkpointed because members and representatives are
+    * both consumed downstream and the window must run once.
     *
-    * The per-doc shingle count (the Jaccard denominator) rides the
-    * exploded rows as a constant-per-doc column instead of being
-    * re-derived in a separate scan and attached through two joins:
-    * one corpus scan and two shuffles fewer, for 8 bytes/row on the
-    * self-join. min() in the aggregate just picks the constant. */
-  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = shingleArrays(s, dir)
+    * This is the standard production pipeline order (exact dedup
+    * FIRST, near-dup on distinct texts): pair-generation cost is
+    * quadratic in block sizes, and byte-identical copies inflate every
+    * shingle block by the duplication factor — running the pair join
+    * on one representative per text makes generation scale with
+    * DISTINCT texts while the copy fan-out moves to the expansion
+    * joins, which scale with OUTPUT pairs. At 30x replica data (every
+    * text x30) the direct join ran 609 s and OOM'd under ensemble
+    * memory pressure; the rep form does the identical-result join on
+    * 1/30th the docs. */
+  private[operators] def textGroups(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("gid", min("doc_id").over(Window.partitionBy("text")))
+      .withColumn("gn", count(lit(1)).over(Window.partitionBy("text")))
+      .localCheckpoint(true)
+
+  /** Members eligible for pair expansion: groups over MaxShingleBlock
+    * are dropped wholesale — the direct formulation dropped their
+    * every shingle block as degenerate (a >1000-copy text saturates
+    * all its blocks), so they produced no pairs there either; a
+    * mega-dup group's pair list is exact-dedup noise, its docs are
+    * handled by the one-representative contract. */
+  private def groupMembers(g: DataFrame): DataFrame =
+    g.filter(col("gn") <= MaxShingleBlock)
+
+  /** One (doc_id, text) row per group representative. */
+  private def groupReps(g: DataFrame): DataFrame =
+    groupMembers(g).filter(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("text"))
+
+  /** Bounded-shingle-block pair stats over representatives:
+    * (ga, gb, inter, na, nb) with ga < gb, inter the shared-shingle
+    * count, na/nb the per-rep distinct-shingle counts. The
+    * denominator counts ride the exploded rows as constants (one
+    * corpus scan, no separate count-attach joins). */
+  private def repPairStats(reps: DataFrame): DataFrame = {
+    val base = shingleArraysOf(reps)
     // hot-shingle guard: see MaxShingleBlock — degenerate blocks are
     // dropped BEFORE pair enumeration, the denominator counts are not
     val sh = boundedBlocks(
@@ -131,36 +171,92 @@ object Dedup {
         explode(col("hs")).as("sh")))
     sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .groupBy(col("a.doc_id").as("ga"), col("b.doc_id").as("gb"))
       .agg(count(lit(1)).as("inter"),
         min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+  }
+
+  /** Groups whose representative has >= 3 words (shorter texts have no
+    * 3-gram shingles and can never pair — in the direct formulation
+    * they simply never reach the join). */
+  private def eligibleGids(reps: DataFrame): DataFrame =
+    shingleArraysOf(reps).select(col("doc_id").as("egid"))
+
+  /** word-3-gram Jaccard >= 0.8 duplicate pairs (da < db, jac),
+    * via [[textGroups]]: the quadratic join runs on representatives,
+    * then pairs expand to members — cross-group pairs inherit the rep
+    * pair's Jaccard (identical texts have identical shingle sets, so
+    * the value is bit-identical to the direct computation), intra-group
+    * pairs are exactly 1.0. */
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+    val g = textGroups(s, dir)
+    val m = groupMembers(g).select(col("doc_id"), col("gid"))
+    val reps = groupReps(g)
+    val rp = repPairStats(reps)
       .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= 0.8)
+    val cross = rp
+      .join(m.as("x"), col("ga") === col("x.gid"))
+      .join(m.as("y"), col("gb") === col("y.gid"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("da"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("db"),
+        col("jac"))
+    val intra = m.as("x")
+      .join(m.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .join(eligibleGids(reps), col("x.gid") === col("egid"), "left_semi")
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        lit(1.0).as("jac"))
+    cross.unionByName(intra)
   }
+
+  /** The rep-grouping CTEs shared by the pair-generating oracles —
+    * mirrors [[textGroups]]/[[groupMembers]]/[[groupReps]] exactly. */
+  private def duckGroupCtes: String =
+    s"""g AS (
+       |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS gid,
+       |    count(*) OVER (PARTITION BY text) AS gn
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, gid, gn FROM g WHERE gn <= $MaxShingleBlock
+       |), reps AS (
+       |  SELECT doc_id, text FROM g WHERE doc_id = gid AND gn <= $MaxShingleBlock
+       |), w AS (
+       |  SELECT doc_id, ${duckWords("text")} AS words FROM reps
+       |), elig AS (
+       |  SELECT doc_id AS egid FROM w WHERE len(words) >= 3
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${duckShingleHashes60(duckShingles3("words"))}) AS sh
+       |  FROM w WHERE len(words) >= 3
+       |), cnt AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), shb AS (
+       |  $duckBoundedBlocks
+       |), rpairs AS (
+       |  SELECT a.doc_id AS ga, b.doc_id AS gb, count(*) AS inter
+       |  FROM shb a JOIN shb b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
 
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
     (s, dir) => ngramPairs(s, dir)
       .select(col("da"), col("db"), round(col("jac"), 6).as("jaccard")),
-    Some(s"""WITH w AS (
-            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
-            |), sh AS (
-            |  SELECT DISTINCT doc_id, unnest(${duckShingleHashes60(duckShingles3("words"))}) AS sh
-            |  FROM w WHERE len(words) >= 3
-            |), cnt AS (
-            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-            |), shb AS (
-            |  $duckBoundedBlocks
-            |), pairs AS (
-            |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-            |  FROM shb a JOIN shb b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            |  GROUP BY 1, 2
+    Some(s"""WITH $duckGroupCtes,
+            |rp AS (
+            |  SELECT ga, gb, inter*1.0 / (ca.n + cb.n - inter) AS jac
+            |  FROM rpairs
+            |  JOIN cnt ca ON ga = ca.doc_id
+            |  JOIN cnt cb ON gb = cb.doc_id
+            |  WHERE inter*1.0 / (ca.n + cb.n - inter) >= 0.8
             |)
-            |SELECT da, db, round(inter*1.0 / (ca.n + cb.n - inter), 6) AS jaccard
-            |FROM pairs
-            |JOIN cnt ca ON da = ca.doc_id
-            |JOIN cnt cb ON db = cb.doc_id
-            |WHERE inter*1.0 / (ca.n + cb.n - inter) >= 0.8""".stripMargin))
+            |SELECT least(x.doc_id, y.doc_id) AS da,
+            |  greatest(x.doc_id, y.doc_id) AS db, round(jac, 6) AS jaccard
+            |FROM rp JOIN m x ON x.gid = rp.ga JOIN m y ON y.gid = rp.gb
+            |UNION ALL
+            |SELECT x.doc_id AS da, y.doc_id AS db, CAST(1.0 AS DOUBLE) AS jaccard
+            |FROM m x JOIN m y ON x.gid = y.gid AND x.doc_id < y.doc_id
+            |JOIN elig ON x.gid = egid""".stripMargin))
 
   /** 64-permutation MinHash signatures, one row per doc. Computed as a
     * single fold per document (no 64x explode); at scale this is a
@@ -269,7 +365,17 @@ object Dedup {
     * corpus with a shared vocabulary, word-level fingerprints collapse
     * onto a few values and every band bucket goes hot; shingle-level
     * features keep non-dup fingerprints uniform so bucket sizes stay
-    * ~n/2^15 per band. */
+    * ~n/2^15 per band. That ratio is still linear in n — the band
+    * keyspace is FIXED (4 bands x 2^15 values), so past ~32M docs the
+    * AVERAGE bucket exceeds any drop-cap and dropping hot buckets
+    * (the minhash-LSH guard) would empty the operator. Same bound as
+    * the embedding buckets instead: keep a deterministic LCG-uniform
+    * sample of [[MaxEmbBucket]] members per bucket, so candidates are
+    * <= 4 * 2^15 * cap^2 / 2 at any corpus size and recall degrades
+    * gracefully rather than the plan exploding. The window partitions
+    * on the join key and runs as a WindowGroupLimit, riding the
+    * self-join's own exchange; at oracle SFs every bucket is under
+    * the cap (no-op). */
   val dedupSimhash: Q = Q(
     "dedup_simhash",
     (s, dir) => {
@@ -280,6 +386,10 @@ object Dedup {
         .select(col("doc_id"), expr(simhash60("hashes")).as("fp"))
       val bands = fp.select(col("doc_id"), col("fp"),
         explode(expr(simhashBands("fp"))).as("bk"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bk")
+            .orderBy(expr(embPriority("doc_id")), col("doc_id"))))
+        .filter(col("rn") <= MaxEmbBucket).drop("rn")
       bands.as("a")
         .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -294,8 +404,12 @@ object Dedup {
             |  FROM w WHERE len(words) >= 3
             |), fp AS (
             |  SELECT doc_id, ${duckSimhash60("hashes")} AS fp FROM hs
-            |), bands AS (
+            |), bands0 AS (
             |  SELECT doc_id, fp, unnest(${duckSimhashBands("fp")}) AS bk FROM fp
+            |), bands AS (
+            |  SELECT doc_id, fp, bk FROM bands0
+            |  QUALIFY row_number() OVER (PARTITION BY bk
+            |    ORDER BY ${embPriority("doc_id")}, doc_id) <= $MaxEmbBucket
             |)
             |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
             |  bit_count(xor(a.fp, b.fp)) AS hamming
@@ -446,36 +560,54 @@ object Dedup {
     * The oracle replays the same closure with a recursive CTE. */
   val dedupClusters: Q = Q(
     "dedup_clusters",
-    (s, dir) => connectedComponents(
-      ngramPairs(s, dir).select(col("da").as("a"), col("db").as("b")))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id"),
-    Some(s"""WITH RECURSIVE w AS (
-            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
-            |), sh AS (
-            |  SELECT DISTINCT doc_id, unnest(${duckShingleHashes60(duckShingles3("words"))}) AS sh
-            |  FROM w WHERE len(words) >= 3
-            |), cnt AS (
-            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-            |), shb AS (
-            |  $duckBoundedBlocks
-            |), pairs AS (
-            |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-            |  FROM shb a JOIN shb b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            |  GROUP BY 1, 2
-            |), dup AS (
-            |  SELECT da, db FROM pairs
-            |  JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+    (s, dir) => {
+      // cluster labels distribute over exact-dup groups: the full
+      // pair graph is the rep graph with each rep blown up into a
+      // clique of its members, and cliques are connected — so the
+      // full-graph component of a member IS its rep's component, and
+      // the component min over docs IS the min over gids (gid = min
+      // of its group). CC therefore runs on the REP graph (distinct
+      // texts — the sf-independent small graph) and labels join back:
+      // members of an edged rep take the rep's CC label; members of a
+      // group with >= 2 eligible copies but no rep edge form their own
+      // cluster labeled gid; everything else is in no pair and absent.
+      val g = textGroups(s, dir)
+      val m = groupMembers(g).select(col("doc_id"), col("gid"), col("gn"))
+      val reps = groupReps(g)
+      val edges = repPairStats(reps)
+        .withColumn("jac", col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("ga").as("a"), col("gb").as("b"))
+      val labels = connectedComponents(edges)
+        .select(col("id").as("lgid"), col("label"))
+      val elig = eligibleGids(reps).withColumn("has3", lit(true))
+      m.join(labels, col("gid") === col("lgid"), "left")
+        .join(elig, col("gid") === col("egid"), "left")
+        .filter(col("label").isNotNull ||
+          (col("gn") >= 2 && col("has3").isNotNull))
+        .select(col("doc_id"),
+          coalesce(col("label"), col("gid")).as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $duckGroupCtes,
+            |dup AS (
+            |  SELECT ga, gb FROM rpairs
+            |  JOIN cnt ca ON ga = ca.doc_id JOIN cnt cb ON gb = cb.doc_id
             |  WHERE inter*1.0 / (ca.n + cb.n - inter) >= 0.8
             |), edges AS (
-            |  SELECT da AS a, db AS b FROM dup UNION SELECT db AS a, da AS b FROM dup
+            |  SELECT ga AS a, gb AS b FROM dup UNION SELECT gb AS a, ga AS b FROM dup
             |), reach(a, b) AS (
             |  SELECT a, b FROM (SELECT a, b FROM edges UNION SELECT a, a AS b FROM edges)
             |  UNION
             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            |), replab AS (
+            |  SELECT a AS lgid, min(b) AS label FROM reach GROUP BY a
             |)
-            |SELECT a AS doc_id, min(b) AS cluster_id
-            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin))
+            |SELECT m.doc_id AS doc_id, coalesce(r.label, m.gid) AS cluster_id
+            |FROM m LEFT JOIN replab r ON m.gid = r.lgid
+            |LEFT JOIN elig e ON m.gid = e.egid
+            |WHERE r.label IS NOT NULL OR (m.gn >= 2 AND e.egid IS NOT NULL)
+            |ORDER BY doc_id""".stripMargin))
 
   /** MinHash estimator quality audit: for every true near-dup pair
     * (word-3-gram Jaccard >= 0.8), how far is the signature's
@@ -488,79 +620,89 @@ object Dedup {
   val dedupMinhashQuality: Q = Q(
     "dedup_minhash_quality",
     (s, dir) => {
-      val base = shingleArrays(s, dir)
-      // denominator counts ride the exploded rows (see ngramPairs):
-      // one scan + the self-join, no separate count-attach joins
+      // rep form (see ngramPairs): identical texts have identical
+      // shingle sets AND identical signatures, so every member pair's
+      // (true_pct, est_pct, err_pct) equals its rep pair's — and an
+      // intra-group pair is (100, 100, 0) by definition. Signatures
+      // are computed on DISTINCT texts only, which is also how a
+      // production pipeline materializes them.
+      val g = textGroups(s, dir)
+      val m = groupMembers(g).select(col("doc_id"), col("gid"))
+      val reps = groupReps(g)
+      val base = shingleArraysOf(reps)
       val sh = boundedBlocks(
         base.select(col("doc_id"), expr("size(hs)").as("n"),
           explode(col("hs")).as("sh")))
       val pairs = sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .groupBy(col("a.doc_id").as("ga"), col("b.doc_id").as("gb"))
         .agg(count(lit(1)).as("inter"),
           min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
         .withColumn("true_pct",
           expr("inter * 100 div (na + nb - inter)"))
         .filter(col("true_pct") >= 80)
-        .select("da", "db", "true_pct")
-      // full-corpus signature pass, deliberately: at scale, MinHash
-      // signatures are a one-pass map job materialized once and shared
-      // with LSH — and semi-filtering to pair participants would
-      // re-consume `pairs`, triplicating its subtree in the static
-      // plan (runtime AQE stage reuse would dedupe, but the registry's
-      // static 8-exchange contract is the stronger guarantee).
+        .select("ga", "gb", "true_pct")
       val sig = base
         .withColumn("hashes", expr(shingleHashes("words")))
         .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
-      pairs
-        .join(sig.select(col("doc_id"), col("sig").as("siga")), col("da") === col("doc_id"))
+      val repRows = pairs
+        .join(sig.select(col("doc_id"), col("sig").as("siga")), col("ga") === col("doc_id"))
         .drop("doc_id")
-        .join(sig.select(col("doc_id"), col("sig").as("sigb")), col("db") === col("doc_id"))
+        .join(sig.select(col("doc_id"), col("sig").as("sigb")), col("gb") === col("doc_id"))
         .withColumn("agree_lanes", expr(
           "aggregate(zip_with(siga, sigb, (x, y) -> CASE WHEN x = y THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .select(col("da"), col("db"), col("true_pct"),
+        .select(col("ga"), col("gb"), col("true_pct"),
           expr("agree_lanes * 100 div 64").as("est_pct"),
           expr("abs(agree_lanes * 100 div 64 - true_pct)").as("err_pct"))
-        .orderBy("da", "db")
+      val cross = repRows
+        .join(m.as("x"), col("ga") === col("x.gid"))
+        .join(m.as("y"), col("gb") === col("y.gid"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("da"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("db"),
+          col("true_pct"), col("est_pct"), col("err_pct"))
+      val intra = m.as("x")
+        .join(m.as("y"),
+          col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+        .join(eligibleGids(reps), col("x.gid") === col("egid"), "left_semi")
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          lit(100L).as("true_pct"), lit(100L).as("est_pct"),
+          lit(0L).as("err_pct"))
+      cross.unionByName(intra).orderBy("da", "db")
     },
-    Some(s"""WITH w AS (
-            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
-            |), base AS (
-            |  SELECT doc_id, words FROM w WHERE len(words) >= 3
-            |), sh AS (
-            |  SELECT DISTINCT doc_id, unnest(${duckShingleHashes60(duckShingles3("words"))}) AS sh
-            |  FROM base
-            |), cnt AS (
-            |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-            |), shb AS (
-            |  $duckBoundedBlocks
-            |), pairs AS (
-            |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-            |  FROM shb a JOIN shb b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            |  GROUP BY 1, 2
-            |), tp AS (
-            |  SELECT da, db, inter * 100 // (ca.n + cb.n - inter) AS true_pct
-            |  FROM pairs
-            |  JOIN cnt ca ON da = ca.doc_id
-            |  JOIN cnt cb ON db = cb.doc_id
+    Some(s"""WITH $duckGroupCtes,
+            |tp AS (
+            |  SELECT ga, gb, inter * 100 // (ca.n + cb.n - inter) AS true_pct
+            |  FROM rpairs
+            |  JOIN cnt ca ON ga = ca.doc_id
+            |  JOIN cnt cb ON gb = cb.doc_id
             |  WHERE inter * 100 // (ca.n + cb.n - inter) >= 80
             |), hsx AS (
             |  SELECT doc_id, ${duckShingleHashes(duckShingles3("words"))} AS hashes
-            |  FROM base
+            |  FROM w WHERE len(words) >= 3
             |), sig AS (
             |  SELECT doc_id, ${duckMinhashSig("hashes")} AS sig FROM hsx
             |), est AS (
-            |  SELECT da, db, true_pct,
+            |  SELECT ga, gb, true_pct,
             |    CAST(list_sum(list_transform(range(1, 65),
             |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS agree_lanes
             |  FROM tp
-            |  JOIN sig sa ON da = sa.doc_id
-            |  JOIN sig sb ON db = sb.doc_id
+            |  JOIN sig sa ON ga = sa.doc_id
+            |  JOIN sig sb ON gb = sb.doc_id
+            |), reprows AS (
+            |  SELECT ga, gb, true_pct,
+            |    agree_lanes * 100 // 64 AS est_pct,
+            |    abs(agree_lanes * 100 // 64 - true_pct) AS err_pct
+            |  FROM est
             |)
-            |SELECT da, db, true_pct,
-            |  agree_lanes * 100 // 64 AS est_pct,
-            |  abs(agree_lanes * 100 // 64 - true_pct) AS err_pct
-            |FROM est ORDER BY da, db""".stripMargin))
+            |SELECT least(x.doc_id, y.doc_id) AS da,
+            |  greatest(x.doc_id, y.doc_id) AS db, true_pct, est_pct, err_pct
+            |FROM reprows JOIN m x ON x.gid = ga JOIN m y ON y.gid = gb
+            |UNION ALL
+            |SELECT x.doc_id AS da, y.doc_id AS db, CAST(100 AS BIGINT),
+            |  CAST(100 AS BIGINT), CAST(0 AS BIGINT)
+            |FROM m x JOIN m y ON x.gid = y.gid AND x.doc_id < y.doc_id
+            |JOIN elig ON x.gid = egid
+            |ORDER BY da, db""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupNgramJaccard,
     dedupMinhash, dedupMinhashLsh, dedupSimhash, dedupEmbedding,

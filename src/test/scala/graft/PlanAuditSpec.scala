@@ -41,10 +41,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("embedding-bucket caps partition on the pair-join key (no stray exchange)") {
     // the MaxEmbBucket truncation windows must ride the candidate
     // join's own hash exchange: every Window in these plans partitions
-    // by the join key (bk for hyperplane buckets, cid for kmeans
-    // clusters), executing as a WindowGroupLimit (top-k per key, no
-    // full sort buffer)
-    for ((name, key) <- Seq("dedup_embedding" -> "bk", "dedup_semantic" -> "cid")) {
+    // by the join key (bk for hyperplane/simhash-band buckets, cid for
+    // kmeans clusters), executing as a WindowGroupLimit (top-k per
+    // key, no full sort buffer)
+    for ((name, key) <- Seq("dedup_embedding" -> "bk", "dedup_semantic" -> "cid",
+                            "dedup_simhash" -> "bk")) {
       val p = plan(name)
       assert(p.contains("WindowGroupLimit"), s"$name lost its bucket cap\n$p")
       val parts = "windowspecdefinition\\((\\w+)#".r
