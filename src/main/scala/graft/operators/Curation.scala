@@ -3,54 +3,128 @@ package graft.operators
 import graft.Q
 import graft.functions.Portable._
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators over the `documents` table — the
   * selection/decontamination stages that sit between dedup and
   * training in an LLM data pipeline.
   *
-  * Scale design: the benchmark set in the contamination check is tiny
-  * by construction, so its shingles broadcast and the probe is a
-  * map-side hash join against the corpus scan (the only shuffle is the
-  * per-(doc, benchmark) overlap count). Sampling/splitting is pure
-  * per-row hash arithmetic fused into the scan — deterministic, so
-  * re-running the pipeline reproduces the exact same train/val/test
-  * membership without storing any assignment table.
+  * Scale design: the contamination check NEVER broadcasts the
+  * benchmark side — a real eval-suite's shingle rows are not provably
+  * broadcast-sized, and a web corpus' duplicated shingles are
+  * definitely not. Instead it follows the exact-dedup-first pair
+  * order (the [[Dedup.textGroups]] precedent): the quadratic
+  * shingle-block join runs on one representative per distinct text
+  * with hot blocks capped, then matches expand back to members with
+  * output-sized joins. Sampling/splitting is pure per-row hash
+  * arithmetic fused into the scan — deterministic, so re-running the
+  * pipeline reproduces the exact same train/val/test membership
+  * without storing any assignment table.
   */
 object Curation {
 
+  /** Rep-level contamination machinery shared by text_contamination
+    * and pipeline_curate. Exact-dedup-first (the [[Dedup.textGroups]]
+    * precedent): the shingle-overlap join — quadratic in block sizes,
+    * inflated by byte-identical copies on BOTH its sides — runs on one
+    * representative per distinct text, with degenerate shingle blocks
+    * capped ([[Dedup.MaxShingleBlock]]) exactly like the pair
+    * generators. Cross-text overlap counts depend only on the texts,
+    * so member pairs inherit the rep pair's count bit-identically;
+    * same-text contamination (a corpus doc whose exact text also
+    * appears in the benchmark set) shares its FULL shingle set, so its
+    * count is the rep's uncapped distinct-shingle count.
+    *
+    * Returns (corpus members (doc_id, gid), bench members (doc_id,
+    * gid), directed rep pairs (cg, bg, inter >= 5) — one explode pass,
+    * no union-of-branches re-evaluation — and self-eligible reps
+    * (sgid, self_n >= 5)). */
+  private def contamParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val g = Dedup.textGroups(s, dir)
+    val m = Dedup.groupMembers(g).select(col("doc_id"), col("gid"))
+    val cm = m.filter(col("doc_id") % 20 =!= 0)
+    val bm = m.filter(col("doc_id") % 20 === 0)
+    val base = Dedup.shingleArraysOf(Dedup.groupReps(g))
+    // hot-shingle guard rides the self-join's own exchange (see
+    // boundedBlocks); singleton blocks are free pruning
+    val sh = Dedup.boundedBlocks(
+      base.select(col("doc_id"), explode(col("hs")).as("sh")))
+    val rp = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ga"), col("b.doc_id").as("gb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= 5)
+    // both directions in ONE pass over rp: corpus role on either side
+    val dir2 = rp.select(explode(array(
+        struct(col("ga").as("cg"), col("gb").as("bg"), col("inter")),
+        struct(col("gb").as("cg"), col("ga").as("bg"), col("inter")))).as("p"))
+      .select(col("p.cg").as("cg"), col("p.bg").as("bg"),
+        col("p.inter").as("inter"))
+    val selfC = base
+      .select(col("doc_id").as("sgid"),
+        expr("size(hs)").cast("long").as("self_n"))
+      .filter(col("self_n") >= 5)
+    (cm, bm, dir2, selfC)
+  }
+
+  /** The rep-level contamination CTEs for the DuckDB oracles — extends
+    * [[Dedup.duckGroupCtes]] (g/m/reps/sh/cnt/shb/rpairs) and mirrors
+    * [[contamParts]] exactly. */
+  private def duckContamCtes: String =
+    s"""${Dedup.duckGroupCtes},
+       |rp5 AS (
+       |  SELECT ga, gb, inter FROM rpairs WHERE inter >= 5
+       |), dir2 AS (
+       |  SELECT ga AS cg, gb AS bg, inter FROM rp5
+       |  UNION ALL SELECT gb AS cg, ga AS bg, inter FROM rp5
+       |), cm AS (
+       |  SELECT doc_id, gid FROM m WHERE doc_id % 20 <> 0
+       |), bm AS (
+       |  SELECT doc_id, gid FROM m WHERE doc_id % 20 = 0
+       |), selfc AS (
+       |  SELECT doc_id AS sgid, n AS self_n FROM cnt WHERE n >= 5
+       |)""".stripMargin
+
   /** Benchmark-contamination check: which corpus documents share >= 5
     * word-3-gram shingles with a "benchmark" document (stand-in set:
-    * every 20th doc). Blocking key is the 60-bit shingle hash; the
-    * benchmark side is broadcast. A real pipeline points `bench` at its
+    * every 20th doc), and how many. Runs rep-level via [[contamParts]]
+    * and expands matches back to members — generation cost scales with
+    * DISTINCT texts, the copy fan-out lives in output-sized joins, and
+    * nothing is ever statically broadcast (a real eval suite's shingle
+    * rows are not provably broadcast-sized; AQE may still demote from
+    * measured sizes). A real pipeline points the bench side at its
     * eval-suite corpus and drops/flags the hits before training. */
   val textContamination: Q = Q(
     "text_contamination",
     (s, dir) => {
-      val sh = Dedup.shingleRows(s, dir)
-      val bench = sh.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("bench_id"), col("sh"))
-      val corpus = sh.filter(col("doc_id") % 20 =!= 0)
-      corpus.join(broadcast(bench), "sh")
-        .groupBy("doc_id", "bench_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 5)
-        .orderBy("doc_id", "bench_id")
+      val (cm, bm, dir2, selfC) = contamParts(s, dir)
+      val cross = dir2
+        .join(cm.as("x"), col("cg") === col("x.gid"))
+        .join(bm.as("y"), col("bg") === col("y.gid"))
+        .select(col("x.doc_id").as("doc_id"),
+          col("y.doc_id").as("bench_id"), col("inter").as("n_shared"))
+      val intra = cm.as("x")
+        .join(bm.as("y"), col("x.gid") === col("y.gid"))
+        .join(selfC, col("x.gid") === col("sgid"))
+        .select(col("x.doc_id").as("doc_id"),
+          col("y.doc_id").as("bench_id"), col("self_n").as("n_shared"))
+      cross.unionByName(intra).orderBy("doc_id", "bench_id")
     },
-    Some(s"""WITH w AS (
-            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
-            |), sh AS (
-            |  SELECT DISTINCT doc_id, unnest(${duckShingleHashes60(duckShingles3("words"))}) AS sh
-            |  FROM w WHERE len(words) >= 3
-            |), bench AS (
-            |  SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 20 = 0
-            |), corpus AS (
-            |  SELECT * FROM sh WHERE doc_id % 20 <> 0
-            |)
-            |SELECT c.doc_id AS doc_id, bench_id, count(*) AS n_shared
-            |FROM corpus c JOIN bench b ON c.sh = b.sh
-            |GROUP BY 1, 2 HAVING count(*) >= 5
-            |ORDER BY doc_id, bench_id""".stripMargin))
+    Some(s"""WITH $duckContamCtes
+            |SELECT doc_id, bench_id, n_shared FROM (
+            |  SELECT x.doc_id AS doc_id, y.doc_id AS bench_id,
+            |    d.inter AS n_shared
+            |  FROM dir2 d JOIN cm x ON d.cg = x.gid
+            |  JOIN bm y ON d.bg = y.gid
+            |  UNION ALL
+            |  SELECT x.doc_id, y.doc_id, s.self_n
+            |  FROM cm x JOIN bm y ON x.gid = y.gid
+            |  JOIN selfc s ON x.gid = s.sgid
+            |) ORDER BY doc_id, bench_id""".stripMargin))
 
   /** Deterministic stratified sampling + train/val/test split: keep
     * 10% of English docs and 50% of every other language (re-balancing
@@ -87,13 +161,15 @@ object Curation {
     * content dedup (keep min doc_id per normalized fingerprint) →
     * benchmark decontamination → stratified sample + train/val/test
     * split. Every stage is the same logic as its standalone registry
-    * row; Catalyst fuses the per-row stages into the scan, pushes the
-    * benchmark/corpus filters below the shingle distinct, broadcasts
-    * the benchmark and contaminated sets, and reuses the fingerprint
-    * exchange between the keep-min aggregate and its probe — every
-    * shuffle that remains is on a real reduction key. Quality gates are
-    * pure INTEGER cross-multiplications (punct*10 <= len*3 etc.) so no
-    * float boundary can diverge between engines. */
+    * row; Catalyst fuses the per-row stages into the scan and reuses
+    * the fingerprint exchange between the keep-min aggregate and its
+    * probe — every shuffle that remains is on a real reduction key.
+    * Decontamination runs at the text-group level ([[contamParts]]):
+    * nothing is statically broadcast and no pair-sized intermediate
+    * exists, so the stage survives benchmark sets and duplication
+    * factors of any size. Quality gates are pure INTEGER
+    * cross-multiplications (punct*10 <= len*3 etc.) so no float
+    * boundary can diverge between engines. */
   val pipelineCurate: Q = Q(
     "pipeline_curate",
     (s, dir) => {
@@ -112,15 +188,22 @@ object Curation {
       val deduped = gated.join(keep, "fp")
         .filter(col("doc_id") === col("keep_id"))
       // benchmark decontamination: drop eval docs AND anything sharing
-      // >= 5 shingles with one (same semantics as text_contamination)
-      val sh = Dedup.shingleRows(s, dir)
-      val bench = sh.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("bench_id"), col("sh"))
-      val contaminated = sh.filter(col("doc_id") % 20 =!= 0)
-        .join(broadcast(bench), "sh")
-        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 5)
-        .select("doc_id").distinct()
+      // >= 5 shingles with one (same semantics as text_contamination).
+      // Only the contaminated SET is needed here, so matches stay at
+      // the text-group level (semi-joins) until the final member
+      // expansion — no pair-sized intermediate even under heavy
+      // duplication.
+      val (cm, bm, dir2, selfC) = contamParts(s, dir)
+      val benchG = bm.select(col("gid").as("bgid")).distinct()
+      val crossG = dir2
+        .join(benchG, col("bg") === col("bgid"), "left_semi")
+        .select(col("cg").as("xgid"))
+      val selfG = selfC.select(col("sgid").as("xgid"))
+        .join(benchG, col("xgid") === col("bgid"), "left_semi")
+      val contamG = crossG.unionByName(selfG).distinct()
+      val contaminated = cm
+        .join(contamG, col("gid") === col("xgid"), "left_semi")
+        .select("doc_id")
       deduped
         .filter(col("doc_id") % 20 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
@@ -137,10 +220,11 @@ object Curation {
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")
     },
-    Some(s"""WITH w AS (
+    Some(s"""WITH $duckContamCtes,
+            |w0 AS (
             |  SELECT doc_id, lang, text, ${duckWords("text")} AS words FROM documents
             |), gated AS (
-            |  SELECT * FROM w
+            |  SELECT * FROM w0
             |  WHERE len(words) >= 5
             |    AND len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 10 <= length(text) * 3
             |    AND len(list_distinct(words)) * 10 >= len(words) * 3
@@ -151,17 +235,12 @@ object Curation {
             |), deduped AS (
             |  SELECT f.doc_id, f.lang FROM fp f
             |  JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id
-            |), sh AS (
-            |  SELECT DISTINCT doc_id, unnest(${duckShingleHashes60(duckShingles3("words"))}) AS sh
-            |  FROM w WHERE len(words) >= 3
-            |), overlap AS (
-            |  SELECT c.doc_id, b.bench_id, count(*) AS n
-            |  FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) c
-            |  JOIN (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 20 = 0) b
-            |    ON c.sh = b.sh
-            |  GROUP BY 1, 2
+            |), contam_g AS (
+            |  SELECT cg AS gid FROM dir2 WHERE bg IN (SELECT gid FROM bm)
+            |  UNION
+            |  SELECT sgid AS gid FROM selfc WHERE sgid IN (SELECT gid FROM bm)
             |), contaminated AS (
-            |  SELECT DISTINCT doc_id FROM overlap WHERE n >= 5
+            |  SELECT doc_id FROM cm WHERE gid IN (SELECT gid FROM contam_g)
             |)
             |SELECT doc_id, lang,
             |  CASE WHEN ${duckCharHash("concat('p', CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'

@@ -41,7 +41,26 @@ object Dedup {
     * the join key itself, so it rides the exchange the self-join
     * needs anyway: zero extra shuffles (PlanAuditSpec pins this).
     * Every oracle applies the identical cap. */
-  private val MaxShingleBlock = 1000
+  private[operators] val MaxShingleBlock = 1000
+
+  /** Hyperplane-LSH buckets have a FIXED keyspace (4 tables x 6 bits
+    * = 256 values), so bucket occupancy grows ~N/256 and the in-bucket
+    * self-join is quadratic in N at ANY scale — at 30x data the
+    * candidate set hit ~10^8 pairs and OOM'd. Same cure as the shingle
+    * blocks (MaxShingleBlock): bound every bucket, here by KEEPING a
+    * deterministic sample of MaxEmbBucket members (dropping whole hot
+    * buckets, the minhash-LSH guard, would empty the operator at scale
+    * because EVERY bucket is hot when the keyspace is 256). Priority is
+    * a portable LCG over vec_id — id-uniform, so the kept members are
+    * an unbiased sample and the measured recall (dedup_blocking_recall)
+    * honestly reflects the capped pipeline. Candidates are then
+    * <= 256 * MaxEmbBucket^2 / 2 regardless of corpus size.
+    *
+    * Declared ABOVE every oracle string that interpolates it: a val
+    * referenced from an earlier val's initializer is still 0 during
+    * object init, which silently turned the simhash oracle's cap into
+    * `<= 0` (EntrySpec pins the interpolated values). */
+  val MaxEmbBucket = 512
 
   /** Shingle rows bounded to blocks of 2..[[MaxShingleBlock]] docs —
     * the pair-generator input. The lower bound is free pruning, not a
@@ -50,7 +69,7 @@ object Dedup {
     * without the filter every such row is sorted and probed by the
     * self-join. NOT used for the per-doc shingle counts (the Jaccard
     * denominator), which stay exact over all shingles. */
-  private def boundedBlocks(sh: DataFrame): DataFrame = sh
+  private[operators] def boundedBlocks(sh: DataFrame): DataFrame = sh
     .withColumn("bn", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("sh")))
     .filter(col("bn").between(2, MaxShingleBlock))
@@ -58,7 +77,7 @@ object Dedup {
 
   /** The capped blocking CTE for the DuckDB oracles — mirrors
     * [[boundedBlocks]] (cnt stays on the UNCAPPED sh). */
-  private def duckBoundedBlocks: String =
+  private[operators] def duckBoundedBlocks: String =
     "SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY sh) " +
       s"BETWEEN 2 AND $MaxShingleBlock"
 
@@ -149,11 +168,11 @@ object Dedup {
     * all its blocks), so they produced no pairs there either; a
     * mega-dup group's pair list is exact-dedup noise, its docs are
     * handled by the one-representative contract. */
-  private def groupMembers(g: DataFrame): DataFrame =
+  private[operators] def groupMembers(g: DataFrame): DataFrame =
     g.filter(col("gn") <= MaxShingleBlock)
 
   /** One (doc_id, text) row per group representative. */
-  private def groupReps(g: DataFrame): DataFrame =
+  private[operators] def groupReps(g: DataFrame): DataFrame =
     groupMembers(g).filter(col("doc_id") === col("gid"))
       .select(col("doc_id"), col("text"))
 
@@ -212,7 +231,7 @@ object Dedup {
 
   /** The rep-grouping CTEs shared by the pair-generating oracles —
     * mirrors [[textGroups]]/[[groupMembers]]/[[groupReps]] exactly. */
-  private def duckGroupCtes: String =
+  private[operators] def duckGroupCtes: String =
     s"""g AS (
        |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS gid,
        |    count(*) OVER (PARTITION BY text) AS gn
@@ -415,20 +434,6 @@ object Dedup {
             |  bit_count(xor(a.fp, b.fp)) AS hamming
             |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
             |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin))
-
-  /** Hyperplane-LSH buckets have a FIXED keyspace (4 tables x 6 bits
-    * = 256 values), so bucket occupancy grows ~N/256 and the in-bucket
-    * self-join is quadratic in N at ANY scale — at 30x data the
-    * candidate set hit ~10^8 pairs and OOM'd. Same cure as the shingle
-    * blocks (MaxShingleBlock): bound every bucket, here by KEEPING a
-    * deterministic sample of MaxEmbBucket members (dropping whole hot
-    * buckets, the minhash-LSH guard, would empty the operator at scale
-    * because EVERY bucket is hot when the keyspace is 256). Priority is
-    * a portable LCG over vec_id — id-uniform, so the kept members are
-    * an unbiased sample and the measured recall (dedup_blocking_recall)
-    * honestly reflects the capped pipeline. Candidates are then
-    * <= 256 * MaxEmbBucket^2 / 2 regardless of corpus size. */
-  val MaxEmbBucket = 512
 
   /** Portable deterministic bucket priority: same arithmetic in Spark
     * and DuckDB, mod-first so BIGINT multiplication cannot overflow

@@ -122,16 +122,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
   }
 
-  test("pipeline_curate broadcasts the small sets and keeps shuffles bounded") {
+  test("pipeline_curate keeps shuffles bounded and reuses the fp exchange") {
     val p = plan("pipeline_curate")
-    // benchmark shingles + contaminated ids broadcast; the big
-    // relations exchange only on real reduction keys
-    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    // the big relations exchange only on real reduction keys: text
+    // group window, rep shingle blocks, rep pair groupBy, fp keep-min,
+    // member expansion, presentation sort — measured census is 8
     assert(!p.contains("CartesianProduct"), p)
-    assert("hashpartitioning\\(".r.findAllIn(p).size <= 6, p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 8, p)
     // dedup keep-min must reuse the fingerprint exchange, not add a
     // second one
     assert("hashpartitioning\\(fp".r.findAllIn(p).size == 1, p)
+  }
+
+  test("contamination rows carry no static broadcast hint") {
+    // the bench side is a real eval suite's shingle rows — not provably
+    // broadcast-sized — and under duplication the member tables aren't
+    // either: the static plan must leave every join free to shuffle
+    // (stats-based planning or AQE may still broadcast from MEASURED
+    // sizes; a hard-coded hint may not force it at any size)
+    for (n <- Seq("text_contamination", "pipeline_curate")) {
+      val lp = SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.analyzed.toString
+      assert(!lp.contains("ResolvedHint"),
+        s"$n carries a static join hint\n" + lp)
+    }
   }
 
   test("sample_mix keeps the corpus side map-only against broadcast rates") {
