@@ -160,6 +160,13 @@ object Dedup {
     docs(s, dir).select(col("doc_id"), col("text"))
       .withColumn("gid", min("doc_id").over(Window.partitionBy("text")))
       .withColumn("gn", count(lit(1)).over(Window.partitionBy("text")))
+      // only representatives are ever read back with text
+      // ([[groupReps]]); nulling the copies' text before the
+      // checkpoint shrinks the pinned storage from O(corpus text) to
+      // O(ids + DISTINCT texts) — under the duplication factors that
+      // motivate dedup, that is the difference between pinning the
+      // corpus and pinning its unique core
+      .withColumn("text", when(col("doc_id") === col("gid"), col("text")))
       .localCheckpoint(true)
 
   /** Members eligible for pair expansion: groups over MaxShingleBlock
