@@ -22,19 +22,38 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = load("part")
   def orders: DataFrame     = load("orders")
   def lineitem: DataFrame   = load("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects as a
-    * timestamp type; read it as long nanos and truncate to micros —
-    * the same truncation DuckDB applies casting TIMESTAMP_NS->TIMESTAMP,
-    * so oracle comparisons agree. */
+  /** events.ts arrives in whatever physical layout the driver
+    * generated this round; normalize to TIMESTAMP (see
+    * [[Tables.normalizeTs]]). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(load("events"))
   }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
 }
 
 object Tables {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize an events frame's `ts` to TIMESTAMP across the physical
+    * layouts the driver has generated:
+    *  - int64 TIMESTAMP(NANOS) (read as long via nanosAsLong, Spark 4
+    *    rejects the nanos type): truncate to micros — the same
+    *    truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP;
+    *  - parquet timestamp[us] without UTC adjustment (Spark reads
+    *    TIMESTAMP_NTZ): cast — the session runs in UTC, so the wall
+    *    clock IS the instant and DuckDB's naive TIMESTAMP agrees;
+    *  - already TIMESTAMP: as-is.
+    * Keeping every historical branch means one binary reads either
+    * vintage of the lake — schema drift in a feed must never require
+    * a code fork. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
+
   /** Read a lake table, or return an empty frame with `schema` ONLY
     * when the table does not exist yet — path missing, or a directory
     * holding nothing but hidden metadata (`_`/`.`-prefixed), which is

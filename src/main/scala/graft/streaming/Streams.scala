@@ -114,8 +114,8 @@ object Streams {
       }
       d.toString
     })
-    s.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeTs(
+      s.readStream.schema(schema).parquet(streamDir))
   }
 
   /** Incremental changelog materialization: per-key keyed state holds
@@ -390,9 +390,9 @@ object Streams {
         link.toFile.deleteOnExit()
       }
       staged.toFile.deleteOnExit()
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = graft.sources.Tables.normalizeTs(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged.toString))
       val deduped = CdcQueries.flatten(
         Cdc.parse(CdcQueries.feedFrom(stream), col("json")))
         .dropDuplicates("key", "scn")
