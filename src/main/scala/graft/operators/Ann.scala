@@ -1114,8 +1114,196 @@ object Ann {
     },
     Some(ivfTopkOracleSql))
 
+  // ---- product quantization (PQ/ADC) -------------------------------
+
+  /** PQ geometry: M subspaces of SubDim dims over the 64-dim int8 code
+    * vectors, K=16 centroids per subspace (seeded from vec_id < 16 —
+    * codebook TRAINING is cluster_kmeans's already-demonstrated
+    * integer-Lloyd machinery, run per subspace; this row pins the
+    * ENCODE + ADC SEARCH path, the part that touches the whole corpus
+    * at query time). Distances are squared L2 between int8 code
+    * vectors — codes are x * 127/maxabs, i.e. L-inf-normalized
+    * coordinates, so code-space L2 is a consistent scale-free
+    * geometry — and EVERY distance is a sum of integer-valued doubles
+    * (exact far below 2^53): no float rounding exists anywhere in the
+    * operator, output distances are BIGINT. */
+  private val PqM = 4
+  private val PqSubDim = 16 // 64 dims / 4 subspaces
+
+  /** (vec_id, m, sv, sn2): the corpus split into per-subspace code
+    * vectors; sn2 = <sv,sv> (exact integer-valued double). */
+  private def pqSubvectors(s: SparkSession, dir: String): DataFrame =
+    kmeansCodes(s, dir)
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> struct(m AS m, slice(qd, m * $PqSubDim + 1, $PqSubDim) AS sv))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .withColumn("sn2", expr(dot("sv", "sv")))
+
+  /** 64-row codebook (m, c_id, cd, cn2): subspace slices of the 16
+    * seed vectors. Broadcast everywhere it is used. */
+  private def pqCodebook(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cd"),
+        col("sn2").as("cn2"))
+
+  /** squared L2 via the shared dot fold: |a|^2 + |b|^2 - 2<a,b> —
+    * three exact integers combined exactly. */
+  private def sqDist(an2: String, bn2: String, a: String, b: String) =
+    expr(s"$an2 + $bn2 - 2 * ${dot(a, b)}")
+
+  /** PQ search with asymmetric distance computation — the 100 TB ANN
+    * workhorse (IVF-PQ's scoring half): the corpus is stored as M
+    * small integer codes per vector (here 4 bytes vs 64 floats, a 64x
+    * read shrink), probes stay UNquantized, and scoring a vector is M
+    * lookups into a per-probe distance table + a sum — no raw vector
+    * is ever read at query time.
+    *
+    *  - encode (once, offline): per (vector, subspace) argmin over the
+    *    broadcast 64-row codebook — a partial-aggregated max_by, one
+    *    exchange on vec_id, exactly ann_ivf's assignment shape. At
+    *    100 TB this is the index build; its output is 4 small ints
+    *    per vector.
+    *  - search: the probe LUT (|probes| x M x K = 320 rows here) is
+    *    built from the probes' own subvectors and broadcast; each
+    *    encoded row joins its M LUT entries map-side, and the ADC
+    *    distance is a partial-aggregated SUM over m — the exchange
+    *    moves one (probe, vec) row per vector, carrying only integer
+    *    partial sums. Top-5 per probe by (distance, id).
+    *
+    * Ties cannot diverge: every distance is an exact integer, ordering
+    * breaks on (adist, n_id) in both engines. */
+  val annPq: Q = Q(
+    "ann_pq",
+    (s, dir) => {
+      val sub = pqSubvectors(s, dir).localCheckpoint()
+      val cb = pqCodebook(sub)
+      val enc = sub.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("c_id"),
+          sqDist("sn2", "cn2", "sv", "cd").as("d"))
+        .groupBy("vec_id", "m")
+        .agg(max_by(col("c_id"), struct(-col("d"), -col("c_id"))).as("code"))
+      val lut = sub.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("m").as("pm"),
+          col("sv").as("psv"), col("sn2").as("psn2"))
+        .join(cb, col("pm") === col("m"))
+        .select(col("probe_id"), col("m"), col("c_id"),
+          sqDist("psn2", "cn2", "psv", "cd").as("d"))
+      enc.join(broadcast(lut),
+          enc("m") === lut("m") && enc("code") === lut("c_id") &&
+            enc("vec_id") =!= lut("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("n_id"), col("d"))
+        .groupBy("probe_id", "n_id")
+        .agg(sum(col("d")).cast("long").as("adist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("adist"), col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"), col("rank"), col("adist"))
+    },
+    Some(pqOracle(
+      s"""SELECT probe_id, n_id, rank, adist FROM adc_ranked WHERE rank <= 5""")))
+
+  /** Recall@5 of PQ/ADC against the EXACT top-5 in the same code-space
+    * L2 geometry (full 64-dim integer distances, no codebook) — so the
+    * number isolates pure codebook-quantization loss, the metric that
+    * sizes M and K in production. Both sides are exact integer
+    * arithmetic; ties break on id in both engines. */
+  val annRecallPq: Q = Q(
+    "ann_recall_pq",
+    (s, dir) => {
+      val codes = kmeansCodes(s, dir).localCheckpoint()
+      val probes = broadcast(codes.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("qd").as("pqd"),
+          col("qn2").as("pqn2")))
+      val exact = codes.join(probes, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("n_id"),
+          sqDist("pqn2", "qn2", "pqd", "qd").cast("long").as("ed"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("ed"), col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annPq.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+        .withColumn("recall_pct", expr("hits * 100 div k"))
+        .orderBy("probe_id")
+    },
+    Some(pqOracle(
+      s"""exact AS (
+         |  SELECT probe_id, n_id FROM (
+         |    SELECT p.vec_id AS probe_id, q.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |        ${duckDot("p.qd", "p.qd")} + ${duckDot("q.qd", "q.qd")}
+         |          - 2 * ${duckDot("p.qd", "q.qd")}, q.vec_id) AS rank
+         |    FROM q JOIN q p ON q.vec_id <> p.vec_id
+         |    WHERE p.$ProbeFilter
+         |  ) WHERE rank <= 5
+         |), approx AS (
+         |  SELECT probe_id, n_id FROM adc_ranked WHERE rank <= 5
+         |)
+         |SELECT x.probe_id, count(*) AS k, count(a.n_id) AS hits,
+         |  count(a.n_id) * 100 // count(*) AS recall_pct
+         |FROM exact x LEFT JOIN approx a
+         |  ON x.probe_id = a.probe_id AND x.n_id = a.n_id
+         |GROUP BY 1 ORDER BY x.probe_id""".stripMargin, extraCte = true)))
+
+  /** Shared oracle chain for the PQ rows: int8 codes -> subspace split
+    * -> seed codebook -> argmin encode -> probe LUT -> ADC sum ->
+    * per-probe ranking. `extraCte` appends the tail as further CTEs
+    * (the recall harness) instead of a final SELECT. */
+  private def pqOracle(tail: String, extraCte: Boolean = false): String = {
+    val d = (a: String, b: String, an2: String, bn2: String) =>
+      s"$an2 + $bn2 - 2 * ${duckDot(a, b)}"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), q AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE)) AS qd
+       |  FROM (
+       |    SELECT vec_id, v,
+       |      list_reduce(list_prepend(CAST(1e-12 AS DOUBLE),
+       |        list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
+       |    FROM e)
+       |), sub AS (
+       |  SELECT vec_id, t.m,
+       |    list_slice(qd, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM q, unnest([i FOR i IN range(0, $PqM)]) AS t(m)
+       |), sn AS (
+       |  SELECT vec_id, m, sv, ${duckDot("sv", "sv")} AS sn2 FROM sub
+       |), cb AS (
+       |  SELECT m, vec_id AS c_id, sv AS cd, sn2 AS cn2 FROM sn WHERE vec_id < 16
+       |), enc AS (
+       |  SELECT vec_id, m, c_id AS code FROM (
+       |    SELECT sn.vec_id, sn.m, cb.c_id,
+       |      row_number() OVER (PARTITION BY sn.vec_id, sn.m
+       |        ORDER BY ${d("sv", "cd", "sn2", "cn2")}, cb.c_id) AS rn
+       |    FROM sn JOIN cb ON sn.m = cb.m
+       |  ) WHERE rn = 1
+       |), lut AS (
+       |  SELECT p.vec_id AS probe_id, cb.m, cb.c_id,
+       |    ${d("p.sv", "cd", "p.sn2", "cn2")} AS dist
+       |  FROM sn p JOIN cb ON p.m = cb.m WHERE p.$ProbeFilter
+       |), adc AS (
+       |  SELECT probe_id, enc.vec_id AS n_id,
+       |    CAST(sum(dist) AS BIGINT) AS adist
+       |  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.c_id
+       |    AND enc.vec_id <> lut.probe_id
+       |  GROUP BY 1, 2
+       |), adc_ranked AS (
+       |  SELECT probe_id, n_id, adist,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adist, n_id) AS rank
+       |  FROM adc
+       |)${if (extraCte) "," else ""}
+       |$tail""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
     annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall,
-    annIncremental)
+    annIncremental, annPq, annRecallPq)
 }

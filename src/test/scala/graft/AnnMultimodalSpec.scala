@@ -104,4 +104,42 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
       graft.sources.Tables(spark, sfDir).embeddings.count())
     assert(cents.count() == 16)
   }
+
+  test("PQ/ADC: distances are exact integers, and exact for codebook seed neighbors") {
+    // Re-derive the int8 code vectors independently of the operator.
+    val codes = graft.sources.Tables(spark, sfDir).embeddings
+      .selectExpr("vec_id",
+        "graft_int8_codes(transform(embedding, x -> CAST(x AS DOUBLE))).codes AS qd")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sqL2(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; (d * d).toLong }.sum
+    val rows = Ann.annPq.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (probe, n, adist) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(adist >= 0)
+      // a seed vector's subvectors are IN the codebook, so its encoding
+      // is lossless and the ADC distance equals the true code-space L2
+      if (n < 16)
+        assert(adist == sqL2(codes(probe), codes(n)),
+          s"ADC distance to seed $n must be exact for probe $probe")
+    }
+    // ranks are dense 1..5 per probe, ordered by (adist, n_id)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+      val ordered = rs.sortBy(_.getInt(2)).map(r => (r.getLong(3), r.getLong(1)))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) })
+    }
+  }
+
+  test("PQ recall harness: k is 5 and recall is a valid percentage per probe") {
+    val rows = Ann.annRecallPq.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val (k, hits, pct) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k == 5 && hits <= k && pct == hits * 100 / k)
+    }
+  }
 }

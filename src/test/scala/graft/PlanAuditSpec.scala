@@ -187,6 +187,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann_pq: codebook and LUT joins broadcast; ADC sum partial-aggregates") {
+    // the search side must never shuffle the corpus against the
+    // codebook (64 rows) or the probe LUT (|probes| x M x K rows) —
+    // both are broadcast; the only corpus-sized exchanges are the
+    // per-(vec, subspace) encode argmin and the per-(probe, vec) ADC
+    // sum, both arriving partial-aggregated
+    val p = plan("ann_pq")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_maxby") || p.contains("partial_max_by"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pipeline_cdc composes to three bounded shuffles with a broadcast dim") {
     val p = plan("pipeline_cdc")
     // dedup on (key, scn) + materialize on key + final rollup on
