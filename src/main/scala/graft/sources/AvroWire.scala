@@ -62,23 +62,61 @@ final case class AvroChangeV2(
   * a generation gap it cannot bridge. Ids are assigned sequentially
   * like the service does; [[byId]] is the `GET /schemas/ids/<id>` view
   * that [[AvroWire.decodeFramed]] consumes. */
-final class SchemaRegistry {
+final class SchemaRegistry(val compatibility: String = "BACKWARD") {
   private var versions = Vector.empty[(Int, String)]
+
+  /** One reader/writer resolution check; Some(error detail) on
+    * incompatibility. */
+  private def resolves(readerJson: String, writerJson: String): Option[String] = {
+    import org.apache.avro.{Schema, SchemaCompatibility}
+    val reader = new Schema.Parser().parse(readerJson)
+    val writer = new Schema.Parser().parse(writerJson)
+    val result =
+      SchemaCompatibility.checkReaderWriterCompatibility(reader, writer)
+    if (result.getType == SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE)
+      None
+    else Some(result.getResult.getIncompatibilities.toString)
+  }
 
   /** Register the subject's next schema version; returns its id.
     * Throws (loud, nothing registered) if the schema is malformed or
-    * not BACKWARD-compatible with the latest registered version. */
+    * violates the subject's compatibility mode against the prior
+    * version(s) — the registry service's exact semantics:
+    *
+    *  - BACKWARD[_TRANSITIVE]: the NEW schema as reader must resolve
+    *    bytes written with the previous (all previous) version(s) —
+    *    consumers upgrade first.
+    *  - FORWARD[_TRANSITIVE]: the previous (all previous) version(s)
+    *    as reader must resolve bytes the NEW schema writes —
+    *    producers upgrade first.
+    *  - FULL[_TRANSITIVE]: both directions.
+    *  - NONE: no check (the service's opt-out, kept for parity).
+    *
+    * Non-transitive modes check only the LATEST version, matching the
+    * service default. */
   def register(schemaJson: String): Int = synchronized {
-    import org.apache.avro.{Schema, SchemaCompatibility}
-    val reader = new Schema.Parser().parse(schemaJson)
-    versions.lastOption.foreach { case (prevId, prevJson) =>
-      val writer = new Schema.Parser().parse(prevJson)
-      val result =
-        SchemaCompatibility.checkReaderWriterCompatibility(reader, writer)
-      if (result.getType !=
-          SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE)
-        sys.error(s"schema rejected: not BACKWARD-compatible with " +
-          s"version id $prevId — ${result.getResult.getIncompatibilities}")
+    // parse eagerly so a malformed schema is rejected even when the
+    // subject is empty or the mode is NONE
+    new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val transitive = compatibility.endsWith("_TRANSITIVE")
+    val targets =
+      if (transitive) versions else versions.lastOption.toVector
+    val mode = compatibility.stripSuffix("_TRANSITIVE")
+    require(Set("BACKWARD", "FORWARD", "FULL", "NONE").contains(mode),
+      s"unknown compatibility mode: $compatibility")
+    targets.foreach { case (prevId, prevJson) =>
+      val backward =
+        if (mode == "BACKWARD" || mode == "FULL")
+          resolves(schemaJson, prevJson).map(i => s"not BACKWARD-compatible" -> i)
+        else None
+      val forward =
+        if (mode == "FORWARD" || mode == "FULL")
+          resolves(prevJson, schemaJson).map(i => s"not FORWARD-compatible" -> i)
+        else None
+      (backward orElse forward).foreach { case (what, incompat) =>
+        sys.error(s"schema rejected: $what with version id $prevId " +
+          s"under $compatibility — $incompat")
+      }
     }
     val id = versions.size + 1
     versions :+= (id -> schemaJson)

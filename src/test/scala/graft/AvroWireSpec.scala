@@ -176,6 +176,67 @@ class AvroWireSpec extends SparkSpec {
     assert(registry.register(AvroWire.changeAvroSchemaV2) == 2)
   }
 
+  test("registry compatibility modes: FORWARD, FULL, and transitive semantics") {
+    // the service's full mode matrix on minimal schemas that isolate
+    // each direction:
+    def rec(fields: String) =
+      s"""{"type": "record", "name": "R", "fields": [$fields]}"""
+    val a = rec("""{"name": "a", "type": "long"}""")
+    val aPlusNoDefault = rec(
+      """{"name": "a", "type": "long"}, {"name": "b", "type": "string"}""")
+    val aPlusDefault = rec(
+      """{"name": "a", "type": "long"},
+        | {"name": "b", "type": "string", "default": "x"}""".stripMargin)
+    val empty = rec("")
+
+    // adding a no-default field: new reader can't fill b from old bytes
+    // (BACKWARD-incompatible) but the old reader skips it in new bytes
+    // (FORWARD-compatible)
+    val fwd = new graft.sources.SchemaRegistry("FORWARD")
+    fwd.register(a)
+    assert(fwd.register(aPlusNoDefault) == 2)
+    val back = new graft.sources.SchemaRegistry("BACKWARD")
+    back.register(a)
+    intercept[Exception] { back.register(aPlusNoDefault) }
+
+    // dropping a no-default field: old reader can't fill a from new
+    // bytes (FORWARD-incompatible); new reader just skips it in old
+    // bytes (BACKWARD-compatible)
+    val fwd2 = new graft.sources.SchemaRegistry("FORWARD")
+    fwd2.register(a)
+    val exF = intercept[Exception] { fwd2.register(empty) }
+    assert(exF.getMessage.contains("FORWARD"), exF.getMessage)
+    val back2 = new graft.sources.SchemaRegistry("BACKWARD")
+    back2.register(a)
+    assert(back2.register(empty) == 2)
+
+    // FULL rejects both one-way evolutions, accepts the defaulted add
+    val full = new graft.sources.SchemaRegistry("FULL")
+    full.register(a)
+    intercept[Exception] { full.register(aPlusNoDefault) }
+    intercept[Exception] { full.register(empty) }
+    assert(full.register(aPlusDefault) == 2)
+
+    // transitive: v3 = {a, b no-default} resolves v2 = {a, b default}
+    // (b present in v2 bytes) but NOT v1 = {a} — plain BACKWARD checks
+    // only the latest version and accepts; BACKWARD_TRANSITIVE checks
+    // every version and rejects against v1
+    val plain = new graft.sources.SchemaRegistry("BACKWARD")
+    plain.register(a); plain.register(aPlusDefault)
+    assert(plain.register(aPlusNoDefault) == 3)
+    val trans = new graft.sources.SchemaRegistry("BACKWARD_TRANSITIVE")
+    trans.register(a); trans.register(aPlusDefault)
+    val exT = intercept[Exception] { trans.register(aPlusNoDefault) }
+    assert(exT.getMessage.contains("version id 1"), exT.getMessage)
+    assert(trans.byId.keySet == Set(1, 2))
+
+    // NONE registers anything parseable, still rejects garbage
+    val none = new graft.sources.SchemaRegistry("NONE")
+    none.register(a)
+    assert(none.register(empty) == 2)
+    intercept[Exception] { none.register("{not json") }
+  }
+
   test("framed decode fails loud on an unknown schema id and on a foreign magic byte") {
     import spark.implicits._
     val framed = AvroWire.frame(
