@@ -4,6 +4,7 @@ import graft.Q
 import graft.functions.Portable._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the per-document scoring
@@ -313,7 +314,56 @@ object TextOps {
             |GROUP BY s.doc_id
             |ORDER BY s.doc_id""".stripMargin))
 
+  /** Top adjacent-symbol pairs — the counting core of a BPE tokenizer-
+    * training round (learn-merges step 0 at the character level): every
+    * in-word adjacent character pair over the normalized corpus,
+    * globally counted, top [[BpeTopPairs]] by (count desc, pair asc).
+    * The highest-ranked pair IS the first merge a BPE trainer would
+    * learn; re-running after applying it is the same plan over the
+    * rewritten symbol stream, so one row pins the whole loop's shape.
+    *
+    * Scale: the pair explode is map-side (rows = total characters, no
+    * join), the count partial-aggregates onto a key domain BOUNDED by
+    * the alphabet squared (constant in corpus size — a few hundred
+    * distinct keys here), and the final global ranking window sees
+    * only that bounded domain, so the single-partition sort is O(|Σ|²)
+    * regardless of corpus size. This is word-count with a constant key
+    * space — the friendliest 100 TB shape there is. */
+  private val BpeTopPairs = 32
+
+  val bpePairCounts: Q = Q(
+    "bpe_pair_counts",
+    (s, dir) => {
+      val w = docs(s, dir)
+        .select(explode(expr(words(normText("text")))).as("w"))
+        .filter(length(col("w")) >= 2)
+      val pairs = w.select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("pair"))))
+        .filter(col("rank") <= BpeTopPairs)
+        .select(col("rank"), col("pair"), col("cnt"))
+    },
+    Some(s"""WITH w AS (
+            |  SELECT w FROM (
+            |    SELECT unnest(${duckWords(duckNormText("text"))}) AS w
+            |    FROM documents
+            |  ) WHERE length(w) >= 2
+            |), p AS (
+            |  SELECT substring(w, CAST(t.i AS INT), 2) AS pair
+            |  FROM w, unnest(range(1, length(w))) AS t(i)
+            |), c AS (
+            |  SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+            |)
+            |SELECT rank, pair, cnt FROM (
+            |  SELECT pair, cnt,
+            |    row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+            |  FROM c
+            |) WHERE rank <= $BpeTopPairs""".stripMargin))
+
   val all: Seq[Q] = Seq(textTokens, textLangid, textQuality,
     textFingerprint, textNgramFreq, textPiiRedact, textRepetition,
-    textLineDedup)
+    textLineDedup, bpePairCounts)
 }

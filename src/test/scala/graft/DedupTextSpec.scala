@@ -80,4 +80,28 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
     assert(rows.exists(r => r.getLong(2) > 0))
   }
+
+  test("bpe_pair_counts matches an independent driver-side recompute") {
+    // whole-corpus recompute in plain Scala at spec SF — the same
+    // normalize/split/pair semantics, written the obvious sequential
+    // way, so a divergence in either engine's plan is caught here
+    // before the oracle round
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    texts.foreach { t =>
+      val norm = t.toLowerCase.replaceAll("\\s+", " ").trim
+      norm.split(" ").filter(w => w.nonEmpty && w.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(32)
+      .zipWithIndex.map { case ((p, c), i) => (i + 1, p, c) }
+    val got = TextOps.bpePairCounts.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got:\n${got.take(5)}\nexpected:\n${expected.take(5)}")
+  }
 }
