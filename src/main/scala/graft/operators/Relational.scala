@@ -726,6 +726,59 @@ object Relational {
            |  AND e.us <= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
            |ORDER BY event_id""".stripMargin))
 
+  /** NEAREST as-of through the same native operator — the third
+    * direction completing the family (kdb's closest-reading join):
+    * for every event, the customer's order CLOSEST in absolute time,
+    * backward winning exact ties. Same plan as the other two rows —
+    * two key exchanges + sorts + ONE merge scan with one buffered
+    * row; the forward candidate is the un-consumed right head, so
+    * nearest costs nothing extra. DuckDB has no nearest ASOF, so the
+    * oracle ranks each event's candidate orders by (|Δt|, time) —
+    * quadratic per key, eval-scale only — which independently pins
+    * both the distance choice and the tie rule. */
+  val qAsofNearest: Q = Q(
+    "q_asof_nearest",
+    (s, dir) => {
+      val tb = t(s, dir)
+      val ord = tb.orders
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("order_key"))
+        .select(col("o_custkey").as("rk"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("rtu"),
+          col("order_key"))
+      val ev = tb.events
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tu"))
+      graft.plans.AsOf.joinNearest(ev, ord,
+          ev("user_id"), ev("tu"), ord("rk"), ord("rtu"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("order_key"), lit(-1L)).as("near_key"),
+          coalesce(col("rtu"), lit(-1L)).as("near_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ord AS (
+           |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS order_key
+           |  FROM orders GROUP BY 1, 2
+           |), r AS (
+           |  SELECT o_custkey AS rk,
+           |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS rtu, order_key
+           |  FROM ord
+           |), e AS (
+           |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events
+           |), m AS (
+           |  SELECT m_event_id, order_key, rtu FROM (
+           |    SELECT e.event_id AS m_event_id, r.order_key, r.rtu,
+           |      row_number() OVER (PARTITION BY e.event_id
+           |        ORDER BY abs(e.us - r.rtu), r.rtu) AS rn
+           |    FROM e JOIN r ON e.user_id = r.rk
+           |  ) WHERE rn = 1
+           |)
+           |SELECT e.event_id, e.user_id,
+           |  coalesce(m.order_key, -1) AS near_key,
+           |  coalesce(m.rtu, -1) AS near_us
+           |FROM e LEFT JOIN m ON e.event_id = m.m_event_id
+           |ORDER BY event_id""".stripMargin))
+
   /** banded range join: facts land in value bands via a range
     * condition against a tiny band dimension. The band table is
     * BROADCAST, so the range condition is evaluated map-side
@@ -1136,5 +1189,5 @@ object Relational {
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
     qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
     qSessionizeSkew, qFullOuter, qCorrelated, qUnpivot, qWindowFrames,
-    qTopkAgg, qAsofNative, qAsofForward, qRollup)
+    qTopkAgg, qAsofNative, qAsofForward, qAsofNearest, qRollup)
 }

@@ -42,6 +42,19 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * sort tie order, so dedup first (the registry row pre-aggregates,
   * like any sane as-of input).
   */
+/** The three as-of directions, shared by the logical node and exec:
+  * Backward = latest right time <= left time (state AS OF the event);
+  * Forward = earliest right time >= left time (next state AFTER it);
+  * Nearest = whichever of the two is closer in absolute time,
+  * backward winning exact ties (the kdb `aj`-family completion —
+  * sensor alignment, "closest reading to the sample instant"). */
+sealed abstract class AsOfMode
+object AsOfMode {
+  case object Backward extends AsOfMode
+  case object Forward extends AsOfMode
+  case object Nearest extends AsOfMode
+}
+
 case class AsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -49,7 +62,7 @@ case class AsOfJoin(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    forward: Boolean = false)
+    mode: AsOfMode = AsOfMode.Backward)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -62,18 +75,18 @@ case class AsOfJoin(
   * (`injectPlannerStrategy`) or lazily by [[AsOf.join]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, fwd) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, m) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, m) :: Nil
     case _ => Nil
   }
 }
 
-/** `forward = false`: latest right time <= left time (state AS OF the
-  * event — the default backward as-of). `forward = true`: EARLIEST
-  * right time >= left time (the next state AFTER the event — lead-time
-  * joins, "first response after the alert"). Both are one merge scan;
-  * forward needs no buffered candidate at all (the un-consumed right
-  * head IS the candidate, shared by every left row it satisfies). */
+/** One merge scan for all three [[AsOfMode]]s. Backward buffers ONE
+  * candidate right row; forward needs no buffer at all (the
+  * un-consumed right head IS the candidate, shared by every left row
+  * it satisfies); nearest runs the backward scan and arbitrates
+  * between its candidate and the forward head by absolute time
+  * distance — still one pass, still one buffered row. */
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -81,7 +94,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    forward: Boolean)
+    mode: AsOfMode)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -111,6 +124,20 @@ case class AsOfJoinExec(
     require(GraftSqlShim.sameType(leftTime.dataType, rightTime.dataType),
       s"as-of join time types differ: left ${leftTime.dataType.sql} vs " +
         s"right ${rightTime.dataType.sql}; cast one side first")
+    // nearest arbitrates by |t - rt|, which needs actual subtraction,
+    // not just an ordering — restrict to integral-backed time types
+    // (longs/ints internally: BIGINT/INT/SMALLINT/TINYINT, TIMESTAMP,
+    // TIMESTAMP_NTZ, DATE) and fail loud otherwise
+    if (mode == AsOfMode.Nearest) {
+      import org.apache.spark.sql.types._
+      val ok = leftTime.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DateType |
+            TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      require(ok, "nearest as-of needs an integral or instant time " +
+        s"column; got ${leftTime.dataType.sql} — cast to epoch first")
+    }
     val lk = BindReferences.bindReference(leftKey, left.output)
     val lt = BindReferences.bindReference(leftTime, left.output)
     val rk = BindReferences.bindReference(rightKey, right.output)
@@ -134,8 +161,16 @@ case class AsOfJoinExec(
       // rows are reused) with key = current left key, time <= left time
       var candidate: InternalRow = null
       var candidateKey: Any = null
+      // timestamps/dates/integrals all eval to Long/Int/Short/Byte
+      def asLong(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case s: java.lang.Short => s.toLong
+        case b: java.lang.Byte => b.toLong
+        case other => sys.error(s"non-integral as-of time value: $other")
+      }
 
-      if (forward) {
+      if (mode == AsOfMode.Forward) {
         lIter.map { lRow =>
           val k = lk.eval(lRow)
           if (k == null) {
@@ -191,9 +226,32 @@ case class AsOfJoinExec(
               } else advance = false
             }
           }
-          val valid = candidate != null && candidateKey != null &&
+          val backOk = candidate != null && candidateKey != null &&
             keyOrd.compare(candidateKey, k) == 0
-          proj(joined(lRow, if (valid) candidate else nullRight))
+          if (mode == AsOfMode.Backward) {
+            proj(joined(lRow, if (backOk) candidate else nullRight))
+          } else {
+            // Nearest: the un-consumed head (if same key) is the
+            // earliest right row strictly after t — arbitrate against
+            // the backward candidate by absolute distance, backward
+            // winning ties. The head is NOT consumed: a later left row
+            // with larger t folds it into `candidate` via the same
+            // advance loop, so the scan stays one pass.
+            val fwdOk = rBuf.hasNext && {
+              val hk = rk.eval(rBuf.head)
+              hk != null && keyOrd.compare(hk, k) == 0
+            }
+            val pick =
+              if (backOk && fwdOk) {
+                val tl = asLong(t)
+                val db = tl - asLong(rt.eval(candidate))
+                val df = asLong(rt.eval(rBuf.head)) - tl
+                if (db <= df) candidate else rBuf.head
+              } else if (backOk) candidate
+              else if (fwdOk) rBuf.head
+              else nullRight
+            proj(joined(lRow, pick))
+          }
         }
       }
     }
@@ -221,7 +279,7 @@ object AsOf {
       leftKey: Column, leftTime: Column,
       rightKey: Column, rightTime: Column): DataFrame =
     build(leftDf, rightDf, leftKey, leftTime, rightKey, rightTime,
-      forward = false)
+      AsOfMode.Backward)
 
   /** FORWARD as-of: for every left row, the single right row with the
     * SMALLEST `rightTime >= leftTime` on the same key (the next state
@@ -229,24 +287,39 @@ object AsOf {
   def joinForward(leftDf: DataFrame, rightDf: DataFrame,
       keyCol: String, timeCol: String): DataFrame =
     build(leftDf, rightDf, leftDf(keyCol), leftDf(timeCol),
-      rightDf(keyCol), rightDf(timeCol), forward = true)
+      rightDf(keyCol), rightDf(timeCol), AsOfMode.Forward)
 
   def joinForward(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: Column, leftTime: Column,
       rightKey: Column, rightTime: Column): DataFrame =
     build(leftDf, rightDf, leftKey, leftTime, rightKey, rightTime,
-      forward = true)
+      AsOfMode.Forward)
+
+  /** NEAREST as-of: the right row minimizing |rightTime - leftTime| on
+    * the same key, backward winning exact ties (sensor alignment /
+    * closest-reading joins). Integral or instant time columns only.
+    * Same exchanges, same one-pass merge scan, one buffered row. */
+  def joinNearest(leftDf: DataFrame, rightDf: DataFrame,
+      keyCol: String, timeCol: String): DataFrame =
+    build(leftDf, rightDf, leftDf(keyCol), leftDf(timeCol),
+      rightDf(keyCol), rightDf(timeCol), AsOfMode.Nearest)
+
+  def joinNearest(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: Column, leftTime: Column,
+      rightKey: Column, rightTime: Column): DataFrame =
+    build(leftDf, rightDf, leftKey, leftTime, rightKey, rightTime,
+      AsOfMode.Nearest)
 
   private def build(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: Column, leftTime: Column,
-      rightKey: Column, rightTime: Column, forward: Boolean): DataFrame = {
+      rightKey: Column, rightTime: Column, mode: AsOfMode): DataFrame = {
     val spark = leftDf.sparkSession
     install(spark)
     val plan = AsOfJoin(
       leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
       GraftSqlShim.expression(leftKey), GraftSqlShim.expression(leftTime),
       GraftSqlShim.expression(rightKey), GraftSqlShim.expression(rightTime),
-      forward)
+      mode)
     org.apache.spark.sql.GraftSqlShim.ofRows(spark, plan)
   }
 

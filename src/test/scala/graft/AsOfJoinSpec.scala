@@ -72,6 +72,53 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       (103L, -1L), (104L, -1L), (105L, -1L)))
   }
 
+  test("nearest direction: distance arbitration, tie to backward, one-sided fallbacks") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 14L, 101L), (1L, 20L, 102L),
+        (1L, 3L, 103L), (1L, 99L, 104L), (2L, 5L, 105L), (3L, 7L, 106L))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 8L, 900L), (1L, 16L, 901L), (1L, 40L, 902L),
+        (2L, 50L, 903L))
+      .toDF("rk", "rt", "state")
+    val out = AsOf.joinNearest(left, right, left("k"), left("t"),
+        right("rk"), right("rt"))
+      .select(col("ev"), coalesce(col("state"), lit(-1L)).as("state"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // ev 100 (t=10): |10-8|=2 vs |16-10|=6 -> backward 900;
+    // ev 101 (t=14): |14-8|=6 vs |16-14|=2 -> forward 901;
+    // ev 102 (t=20): |20-16|=4 vs |40-20|=20 -> backward 901;
+    // ev 103 (t=3): nothing before -> forward 900;
+    // ev 104 (t=99): nothing after -> backward 902;
+    // ev 105 (k=2, t=5): only rt=50 after -> forward 903;
+    // ev 106 (k=3): no right rows -> null
+    assert(out == Seq((100L, 900L), (101L, 901L), (102L, 901L),
+      (103L, 900L), (104L, 902L), (105L, 903L), (106L, -1L)))
+  }
+
+  test("nearest direction: exact tie goes to the backward row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "ev")
+    val right = Seq((1L, 7L, 900L), (1L, 13L, 901L)).toDF("rk", "rt", "state")
+    val out = AsOf.joinNearest(left, right, left("k"), left("t"),
+        right("rk"), right("rt"))
+      .select(col("state")).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(900L), "|10-7| == |13-10| must pick the earlier row")
+  }
+
+  test("nearest direction fails loud on a non-integral time column") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 1L)).toDF("k", "t", "ev")
+    val right = Seq((1L, "b", 2L)).toDF("rk", "rt", "state")
+    val ex = intercept[Exception] {
+      AsOf.joinNearest(left, right, left("k"), left("t"),
+        right("rk"), right("rt")).collect()
+    }
+    def msgs(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msgs).getOrElse("")
+    assert(msgs(ex).contains("integral or instant"), msgs(ex))
+  }
+
   test("forward direction agrees with a window-composed formulation on real data") {
     val native = SparkEntry.queries("q_asof_forward")(spark, sfDir)
     // independent composition: min-by (rtu, order_key) over all
