@@ -339,6 +339,57 @@ object Curation {
             |FROM r LEFT JOIN k USING (lang, source)
             |ORDER BY lang, source""".stripMargin))
 
+  /** Temperature-flattened domain mixing (α = 1/2): the standard knob
+    * BETWEEN natural sampling and sample_mix's full flattening for
+    * multilingual/multi-source corpus balancing — keep-rate_i ∝
+    * n_i^(α−1), normalized so the smallest stratum keeps 100%, giving
+    * expected kept ≈ sqrt(c_min · n_i): big strata are damped, small
+    * ones never starved. Rates are permille integers
+    * floor(1000·sqrt(c_min/n)) — sqrt and division are IEEE
+    * correctly-rounded in both engines, so the floor is deterministic
+    * cross-engine — and membership is the same doc_id hash gate as
+    * sample_mix: a pure function of the row, so the corpus side stays
+    * ONE map-only scan against a broadcast rate table at any scale. */
+  val sampleTemperature: Q = Q(
+    "sample_temperature",
+    (s, dir) => {
+      val d = Tables(s, dir).documents
+      val counts = d.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_before"))
+      val cmin = counts.agg(min("n_before").as("c_min"))
+      val rates = counts.crossJoin(broadcast(cmin))
+        .withColumn("permille", expr(
+          "CAST(floor(1000.0 * sqrt(CAST(c_min AS DOUBLE) / n_before)) AS BIGINT)"))
+        .select("lang", "source", "n_before", "permille")
+      val kept = d.join(broadcast(rates), Seq("lang", "source"))
+        .filter(expr(charHash("concat('t', CAST(doc_id AS STRING))")) % 1000
+          < col("permille"))
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_after"))
+      rates.join(kept, Seq("lang", "source"), "left")
+        .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+        .orderBy("lang", "source")
+    },
+    Some(s"""WITH c AS (
+            |  SELECT lang, source, count(*) AS n_before
+            |  FROM documents GROUP BY 1, 2
+            |), m AS (
+            |  SELECT min(n_before) AS c_min FROM c
+            |), r AS (
+            |  SELECT lang, source, n_before,
+            |    CAST(floor(1000.0 * sqrt(CAST(c_min AS DOUBLE) / n_before)) AS BIGINT)
+            |      AS permille
+            |  FROM c, m
+            |), k AS (
+            |  SELECT d.lang, d.source, count(*) AS n_after
+            |  FROM documents d JOIN r USING (lang, source)
+            |  WHERE ${duckCharHash("concat('t', CAST(doc_id AS VARCHAR))")} % 1000 < permille
+            |  GROUP BY 1, 2
+            |)
+            |SELECT r.lang, r.source, n_before, permille,
+            |  coalesce(n_after, 0) AS n_after
+            |FROM r LEFT JOIN k USING (lang, source)
+            |ORDER BY lang, source""".stripMargin))
+
   /** Corpus health report — the dashboard numbers a data team watches
     * per ingestion batch: per-language doc/token volumes, duplicate
     * rate (by normalized fingerprint) and average doc length, all in
@@ -533,6 +584,6 @@ object Curation {
             |ORDER BY lang""".stripMargin))
 
   val all: Seq[Q] = Seq(textContamination, sampleStratified, pipelineCurate,
-    pipelinePack, sampleMix, corpusStats, samplePerGroup,
+    pipelinePack, sampleMix, sampleTemperature, corpusStats, samplePerGroup,
     pipelineCurateStream)
 }

@@ -115,4 +115,24 @@ class CurationSpec extends SparkSpec {
       .select("split").distinct().collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
   }
+
+  test("temperature mixing sits between natural and fully-flattened sampling") {
+    val rows = graft.operators.Curation.sampleTemperature.run(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))) // n_before, permille, n_after
+    assert(rows.nonEmpty)
+    val minBefore = rows.map(_._1).min
+    rows.foreach { case (before, permille, after) =>
+      assert(permille >= 1 && permille <= 1000)
+      assert(after <= before)
+      // the smallest stratum is never sampled down at all
+      if (before == minBefore) assert(permille == 1000L && after == before)
+    }
+    // keep-rate falls as the stratum grows (α = 1/2 damping), so the
+    // permille sequence is monotone non-increasing in n_before
+    rows.sortBy(_._1).map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, s"permille must fall with size: $a -> $b")
+      case _ => ()
+    }
+  }
 }
