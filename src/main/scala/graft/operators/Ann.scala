@@ -1251,16 +1251,15 @@ object Ann {
          |  ON x.probe_id = a.probe_id AND x.n_id = a.n_id
          |GROUP BY 1 ORDER BY x.probe_id""".stripMargin, extraCte = true)))
 
-  /** Shared oracle chain for the PQ rows: int8 codes -> subspace split
-    * -> seed codebook -> argmin encode -> probe LUT -> ADC sum ->
-    * per-probe ranking. `extraCte` appends the tail as further CTEs
-    * (the recall harness) instead of a final SELECT. */
-  private def pqOracle(tail: String, extraCte: Boolean = false): String = {
+  /** The PQ index/LUT oracle CTE chain (int8 codes -> subspace split
+    * -> seed codebook -> argmin encode -> probe LUT), shared verbatim
+    * by the three PQ rows; expects an `e` CTE in scope. */
+  // lazy: referenced from pqOracle during the PQ rows' val initializers
+  // above, which run before this declaration in object init order
+  private lazy val pqCoreCtes: String = {
     val d = (a: String, b: String, an2: String, bn2: String) =>
       s"$an2 + $bn2 - 2 * ${duckDot(a, b)}"
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |), q AS (
+    s"""q AS (
        |  SELECT vec_id,
        |    list_transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE)) AS qd
        |  FROM (
@@ -1287,7 +1286,16 @@ object Ann {
        |  SELECT p.vec_id AS probe_id, cb.m, cb.c_id,
        |    ${d("p.sv", "cd", "p.sn2", "cn2")} AS dist
        |  FROM sn p JOIN cb ON p.m = cb.m WHERE p.$ProbeFilter
-       |), adc AS (
+       |)""".stripMargin
+  }
+
+  /** Oracle for the flat PQ rows: the core chain + whole-corpus ADC +
+    * per-probe ranking. `extraCte` appends the tail as further CTEs
+    * (the recall harness) instead of a final SELECT. */
+  private def pqOracle(tail: String, extraCte: Boolean = false): String = {
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), $pqCoreCtes, adc AS (
        |  SELECT probe_id, enc.vec_id AS n_id,
        |    CAST(sum(dist) AS BIGINT) AS adist
        |  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.c_id
@@ -1302,8 +1310,128 @@ object Ann {
        |$tail""".stripMargin
   }
 
+  /** IVF-PQ — the two halves composed into the production ANN
+    * architecture (what FAISS/SCaNN-class systems deploy at billion
+    * scale): the OFFLINE index stores, per vector, one coarse cell id
+    * (ann_ivf's broadcast-argmax assignment) plus M=4 PQ codes
+    * (ann_pq's broadcast-argmin encode) — a handful of small ints,
+    * never the raw vector. The ONLINE search (a) partition-prunes to
+    * the probe's nprobe=2 nearest cells, (b) scores ONLY those cells'
+    * candidates by ADC table lookups (integer sums — no vector math,
+    * no raw-vector reads), (c) exact-reranks the [[QCand]]-deep ADC
+    * shortlist with true cosines. At 100 TB each query touches
+    * 2/k of the index rows, reads 4 ints per candidate, and fetches
+    * raw vectors for only QCand finalists — the IO shape that makes
+    * vector search affordable. Every stage is the already-verified
+    * arithmetic of its parent row, so the composition hash-matches the
+    * composed oracle. */
+  val annIvfPq: Q = Q(
+    "ann_ivf_pq",
+    (s, dir) => {
+      val e = emb(s, dir)
+      // offline: coarse cells + PQ codes
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2")))
+      val cellScores = e.crossJoin(cents)
+        .select(col("vec_id"), col("c_id"),
+          cosWith("v", "n2", "cv", "cn2").as("c_cos"))
+      val assigned = cellScores.groupBy("vec_id")
+        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+      val sub = pqSubvectors(s, dir).localCheckpoint()
+      val cb = pqCodebook(sub)
+      val enc = sub.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("c_id"),
+          sqDist("sn2", "cn2", "sv", "cd").as("d"))
+        .groupBy("vec_id", "m")
+        .agg(max_by(col("c_id"), struct(-col("d"), -col("c_id"))).as("c_id"))
+      val indexed = enc.join(assigned, "vec_id")
+      // online: probed cells -> ADC shortlist -> exact rerank
+      val probeCells = cellScores.filter(expr(ProbeFilter))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id").as("probe_id"), col("c_id").as("cell"))
+      val lut = sub.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("m").as("pm"),
+          col("sv").as("psv"), col("sn2").as("psn2"))
+        .join(cb, col("pm") === col("m"))
+        .select(col("probe_id"), col("m"), col("c_id"),
+          sqDist("psn2", "cn2", "psv", "cd").as("d"))
+      val shortlist = indexed.join(broadcast(probeCells), "cell")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .join(broadcast(lut), Seq("probe_id", "m", "c_id"))
+        .select(col("probe_id"), col("vec_id").as("n_id"), col("d"))
+        .groupBy("probe_id", "n_id")
+        .agg(sum(col("d")).cast("long").as("adist"))
+        .withColumn("rq", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("adist"), col("n_id"))))
+        .filter(col("rq") <= QCand)
+      shortlist
+        .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
+          col("probe_id") === col("vec_id")).drop("vec_id")
+        .join(e.select(col("vec_id"), col("v").as("nv"), col("n2").as("nn2")),
+          col("n_id") === col("vec_id"))
+        .select(col("probe_id"), col("n_id"),
+          cosWith("pv", "pn2", "nv", "nn2").as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), c AS (
+            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+            |), cs AS (
+            |  SELECT e.vec_id, c_id, ${duckCosine("e.v", "cv")} AS c_cos
+            |  FROM e CROSS JOIN c
+            |), assigned AS (
+            |  SELECT vec_id, c_id AS cell FROM (
+            |    SELECT vec_id, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS rn
+            |    FROM cs
+            |  ) WHERE rn = 1
+            |), pc AS (
+            |  SELECT vec_id AS probe_id, c_id AS cell FROM (
+            |    SELECT vec_id, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS crn
+            |    FROM cs WHERE $ProbeFilter
+            |  ) WHERE crn <= 2
+            |), $pqCoreCtes, adcp AS (
+            |  SELECT pc.probe_id, a.vec_id AS n_id,
+            |    CAST(sum(lut.dist) AS BIGINT) AS adist
+            |  FROM assigned a
+            |  JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+            |  JOIN enc ON enc.vec_id = a.vec_id
+            |  JOIN lut ON lut.probe_id = pc.probe_id AND lut.m = enc.m
+            |    AND lut.c_id = enc.code
+            |  GROUP BY 1, 2
+            |), short AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT probe_id, n_id,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY adist, n_id) AS rq
+            |    FROM adcp
+            |  ) WHERE rq <= $QCand
+            |), reranked AS (
+            |  SELECT s.probe_id, s.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM short s
+            |  JOIN e ep ON s.probe_id = ep.vec_id
+            |  JOIN e en ON s.n_id = en.vec_id
+            |)
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id
+            |      ORDER BY cos DESC, n_id) AS rank
+            |  FROM reranked
+            |) WHERE rank <= 5""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
     annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall,
-    annIncremental, annPq, annRecallPq)
+    annIncremental, annPq, annRecallPq, annIvfPq)
 }

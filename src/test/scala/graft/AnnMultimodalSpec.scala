@@ -134,6 +134,26 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVF-PQ composes its parents: results are cell-candidates, ceilinged by brute force") {
+    def top1(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+      rows.filter(_.getInt(2) == 1)
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val brute = top1(Ann.annBruteforce.run(spark, sfDir).collect())
+    val ivfpq = Ann.annIvfPq.run(spark, sfDir).collect()
+    assert(ivfpq.nonEmpty)
+    // an approximate tier never beats exact search
+    ivfpq.foreach(r => assert(r.getDouble(3) <= brute(r.getLong(0)) + 1e-12))
+    // every result must come from the probe's nprobe=2 cells — i.e. be
+    // one of ann_ivf_nprobe's (probe, candidate) pairs (that row scores
+    // ALL cell members exactly, so its top-5 is IVF-PQ's ceiling; with
+    // the QCand=40 ADC shortlist they coincide at spec SF)
+    val nprobe = Ann.annIvfNprobe.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqPairs = ivfpq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pqPairs.subsetOf(nprobe),
+      s"IVF-PQ returned pairs outside the probed cells' exact top-5: ${pqPairs -- nprobe}")
+  }
+
   test("PQ recall harness: k is 5 and recall is a valid percentage per probe") {
     val rows = Ann.annRecallPq.run(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
