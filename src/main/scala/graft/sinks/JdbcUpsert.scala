@@ -66,11 +66,7 @@ object JdbcUpsert {
       .select(col("key"), col("w.scn"), col("w.op"), col("w.id"),
         col("w.cents"), col("w.typ"))
     latest.foreachPartition { rows: Iterator[Row] =>
-      if (rows.nonEmpty) {
-        val conn = DriverManager.getConnection(url)
-        try applyRows(conn, table, rows)
-        finally conn.close()
-      }
+      if (rows.nonEmpty) applyRows(url, table, rows)
     }
   }
 
@@ -79,19 +75,37 @@ object JdbcUpsert {
     * its table-lock escalation threshold under concurrent writers. */
   private val ChunkRows = 1000
 
-  private def applyRows(conn: Connection, table: String, rows: Iterator[Row]): Unit = {
-    conn.setAutoCommit(false)
+  private def applyRows(url: String, table: String, rows: Iterator[Row]): Unit = {
+    var conn: Connection = null
+    var merge: java.sql.PreparedStatement = null
+    var delete: java.sql.PreparedStatement = null
+
     // Derby MERGE (SQL:2003): matched rows update only when the incoming
     // scn wins; unmatched rows insert. Tombstones delete, guarded by the
     // same monotonic-scn condition.
-    val merge = conn.prepareStatement(
-      s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 s ON t.k = ?
-         |WHEN MATCHED AND t.last_scn <= ? THEN UPDATE SET
-         |  id = ?, cents = ?, typ = ?, last_scn = ?
-         |WHEN NOT MATCHED THEN INSERT (k, id, cents, typ, last_scn)
-         |  VALUES (?, ?, ?, ?, ?)""".stripMargin)
-    val delete = conn.prepareStatement(
-      s"DELETE FROM $table WHERE k = ? AND last_scn <= ?")
+    def open(): Unit = {
+      conn = DriverManager.getConnection(url)
+      conn.setAutoCommit(false)
+      merge = conn.prepareStatement(
+        s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 s ON t.k = ?
+           |WHEN MATCHED AND t.last_scn <= ? THEN UPDATE SET
+           |  id = ?, cents = ?, typ = ?, last_scn = ?
+           |WHEN NOT MATCHED THEN INSERT (k, id, cents, typ, last_scn)
+           |  VALUES (?, ?, ?, ?, ?)""".stripMargin)
+      delete = conn.prepareStatement(
+        s"DELETE FROM $table WHERE k = ? AND last_scn <= ?")
+    }
+
+    def closeAll(): Unit = {
+      Seq(merge, delete).foreach { st =>
+        if (st != null) try st.close() catch { case _: java.sql.SQLException => () }
+      }
+      if (conn != null)
+        try conn.close() catch { case _: java.sql.SQLException => () }
+    }
+
+    def usable: Boolean =
+      try conn.isValid(5) catch { case _: Throwable => false }
 
     def bindMerge(r: Row): Unit = {
       val (key, scn) = (r.getLong(0), r.getLong(1))
@@ -118,6 +132,26 @@ object JdbcUpsert {
     // immaterial) and idempotent across the rollback boundary via the
     // monotonic-scn guard. Buffering is O(ChunkRows), never the
     // partition.
+    //
+    // The failure may also have KILLED the connection (Derby internal
+    // errors under concurrent 30x load surface as "No current
+    // connection" on the next statement; on a networked target this is
+    // an ordinary transient drop). Replaying on a dead connection just
+    // cascades, so each recovery first checks validity and reopens if
+    // needed — safe for the same idempotency reason, and standard
+    // JDBC-sink behavior (a sink that dies on one dropped connection
+    // isn't a sink). One reconnect per replay attempt, then propagate:
+    // a failure that survives a fresh connection is real.
+    def replay(chunk: Seq[Row]): Unit = {
+      chunk.foreach { r =>
+        if (r.getString(2) == "d") {
+          delete.setLong(1, r.getLong(0)); delete.setLong(2, r.getLong(1))
+          delete.executeUpdate()
+        } else { bindMerge(r); merge.executeUpdate() }
+      }
+      conn.commit()
+    }
+
     def applyChunk(chunk: Seq[Row]): Unit = {
       try {
         chunk.foreach { r =>
@@ -130,21 +164,21 @@ object JdbcUpsert {
         delete.executeBatch()
         conn.commit()
       } catch {
-        case e: java.sql.SQLException =>
-          conn.rollback()
-          merge.clearBatch(); delete.clearBatch()
-          chunk.foreach { r =>
-            if (r.getString(2) == "d") {
-              delete.setLong(1, r.getLong(0)); delete.setLong(2, r.getLong(1))
-              delete.executeUpdate()
-            } else { bindMerge(r); merge.executeUpdate() }
+        case _: java.sql.SQLException =>
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          if (!usable) { closeAll(); open() }
+          else { merge.clearBatch(); delete.clearBatch() }
+          try replay(chunk)
+          catch {
+            case _: java.sql.SQLException if !usable =>
+              closeAll(); open(); replay(chunk)
           }
-          conn.commit()
       }
     }
 
+    open()
     try rows.grouped(ChunkRows).foreach(c => applyChunk(c.toSeq))
-    finally { merge.close(); delete.close() }
+    finally closeAll()
   }
 
   /** Read the materialized table back as a DataFrame (via the standard

@@ -200,6 +200,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann_ivf_pq: every small side broadcasts (centroids, codebook, probe cells, LUT)") {
+    // the index side must never shuffle against the coarse centroids
+    // (16 rows), the PQ codebook (64), the probed cells (<= 2/probe) or
+    // the ADC lookup table (|probes| x M x K) — all four join broadcast
+    val p = plan("ann_ivf_pq")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pipeline_cdc composes to three bounded shuffles with a broadcast dim") {
     val p = plan("pipeline_cdc")
     // dedup on (key, scn) + materialize on key + final rollup on
