@@ -1379,49 +1379,7 @@ object Ann {
         .select(col("probe_id"), col("n_id"), col("rank"),
           round(col("cos"), 6).as("cos_sim"))
     },
-    Some(s"""WITH e AS (
-            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            |), c AS (
-            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
-            |), cs AS (
-            |  SELECT e.vec_id, c_id, ${duckCosine("e.v", "cv")} AS c_cos
-            |  FROM e CROSS JOIN c
-            |), assigned AS (
-            |  SELECT vec_id, c_id AS cell FROM (
-            |    SELECT vec_id, c_id,
-            |      row_number() OVER (PARTITION BY vec_id
-            |        ORDER BY c_cos DESC, c_id) AS rn
-            |    FROM cs
-            |  ) WHERE rn = 1
-            |), pc AS (
-            |  SELECT vec_id AS probe_id, c_id AS cell FROM (
-            |    SELECT vec_id, c_id,
-            |      row_number() OVER (PARTITION BY vec_id
-            |        ORDER BY c_cos DESC, c_id) AS crn
-            |    FROM cs WHERE $ProbeFilter
-            |  ) WHERE crn <= 2
-            |), $pqCoreCtes, adcp AS (
-            |  SELECT pc.probe_id, a.vec_id AS n_id,
-            |    CAST(sum(lut.dist) AS BIGINT) AS adist
-            |  FROM assigned a
-            |  JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
-            |  JOIN enc ON enc.vec_id = a.vec_id
-            |  JOIN lut ON lut.probe_id = pc.probe_id AND lut.m = enc.m
-            |    AND lut.c_id = enc.code
-            |  GROUP BY 1, 2
-            |), short AS (
-            |  SELECT probe_id, n_id FROM (
-            |    SELECT probe_id, n_id,
-            |      row_number() OVER (PARTITION BY probe_id
-            |        ORDER BY adist, n_id) AS rq
-            |    FROM adcp
-            |  ) WHERE rq <= $QCand
-            |), reranked AS (
-            |  SELECT s.probe_id, s.n_id, ${duckCosine("ep.v", "en.v")} AS cos
-            |  FROM short s
-            |  JOIN e ep ON s.probe_id = ep.vec_id
-            |  JOIN e en ON s.n_id = en.vec_id
-            |)
+    Some(s"""WITH $ivfPqOracleCtes
             |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
             |FROM (
             |  SELECT probe_id, n_id, cos,
@@ -1430,8 +1388,97 @@ object Ann {
             |  FROM reranked
             |) WHERE rank <= 5""".stripMargin))
 
+  /** The IVF-PQ oracle chain through `reranked` (coarse cells + probed
+    * cells + PQ core + ADC shortlist + exact rerank), shared with the
+    * recall harness. Lazy: referenced from val initializers above. */
+  private lazy val ivfPqOracleCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), c AS (
+       |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+       |), cs AS (
+       |  SELECT e.vec_id, c_id, ${duckCosine("e.v", "cv")} AS c_cos
+       |  FROM e CROSS JOIN c
+       |), assigned AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY c_cos DESC, c_id) AS rn
+       |    FROM cs
+       |  ) WHERE rn = 1
+       |), pc AS (
+       |  SELECT vec_id AS probe_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY c_cos DESC, c_id) AS crn
+       |    FROM cs WHERE $ProbeFilter
+       |  ) WHERE crn <= 2
+       |), $pqCoreCtes, adcp AS (
+       |  SELECT pc.probe_id, a.vec_id AS n_id,
+       |    CAST(sum(lut.dist) AS BIGINT) AS adist
+       |  FROM assigned a
+       |  JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+       |  JOIN enc ON enc.vec_id = a.vec_id
+       |  JOIN lut ON lut.probe_id = pc.probe_id AND lut.m = enc.m
+       |    AND lut.c_id = enc.code
+       |  GROUP BY 1, 2
+       |), short AS (
+       |  SELECT probe_id, n_id FROM (
+       |    SELECT probe_id, n_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY adist, n_id) AS rq
+       |    FROM adcp
+       |  ) WHERE rq <= $QCand
+       |), reranked AS (
+       |  SELECT s.probe_id, s.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+       |  FROM short s
+       |  JOIN e ep ON s.probe_id = ep.vec_id
+       |  JOIN e en ON s.n_id = en.vec_id
+       |)""".stripMargin
+
+  /** Recall@5 of the composed IVF-PQ vs exact brute force — the
+    * end-to-end number a deployment actually watches (coarse-cell
+    * misses + codebook loss + shortlist truncation, measured together
+    * against ground truth). Same harness construction as every other
+    * recall row. */
+  val annRecallIvfPq: Q = Q(
+    "ann_recall_ivfpq",
+    (s, dir) => {
+      val exact = annBruteforce.run(s, dir).filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annIvfPq.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+        .withColumn("recall_pct", expr("hits * 100 div k"))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH $ivfPqOracleCtes, approx AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT probe_id, n_id,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY cos DESC, n_id) AS rank
+            |    FROM reranked
+            |  ) WHERE rank <= 5
+            |), bf AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT p.vec_id AS probe_id, x.vec_id AS n_id,
+            |      row_number() OVER (PARTITION BY p.vec_id
+            |        ORDER BY ${duckCosine("p.v", "x.v")} DESC, x.vec_id) AS rank
+            |    FROM e x JOIN e p ON x.vec_id <> p.vec_id
+            |    WHERE p.$ProbeFilter
+            |  ) WHERE rank <= 5
+            |)
+            |SELECT b.probe_id, count(*) AS k, count(a.n_id) AS hits,
+            |  count(a.n_id) * 100 // count(*) AS recall_pct
+            |FROM bf b LEFT JOIN approx a
+            |  ON b.probe_id = a.probe_id AND b.n_id = a.n_id
+            |GROUP BY 1 ORDER BY b.probe_id""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
     annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall,
-    annIncremental, annPq, annRecallPq, annIvfPq)
+    annIncremental, annPq, annRecallPq, annIvfPq, annRecallIvfPq)
 }

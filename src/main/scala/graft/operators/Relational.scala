@@ -779,6 +779,59 @@ object Relational {
            |FROM e LEFT JOIN m ON e.event_id = m.m_event_id
            |ORDER BY event_id""".stripMargin))
 
+  /** 30 days in microseconds — the staleness bound for
+    * q_asof_tolerance. */
+  private val AsOfTolUs = 30L * 24 * 3600 * 1000000
+
+  /** Tolerance-bounded backward as-of (pandas merge_asof(tolerance=…)):
+    * "state as of the event, unless it is older than 30 days" — a
+    * match farther than the bound is discarded and the event
+    * null-extends, the staleness guard every state-join deployment
+    * eventually needs. Same native merge scan; the bound costs one
+    * subtraction against the already-found candidate. The oracle is
+    * DuckDB's own ASOF LEFT JOIN with the match nulled out beyond the
+    * bound — equivalent because backward-as-of picks the LATEST
+    * right ≤ t, so "latest, then discard if stale" ≡ "latest within
+    * the window". */
+  val qAsofTolerance: Q = Q(
+    "q_asof_tolerance",
+    (s, dir) => {
+      val tb = t(s, dir)
+      val ord = tb.orders
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("order_key"))
+        .select(col("o_custkey").as("rk"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("rtu"),
+          col("order_key"))
+      val ev = tb.events
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tu"))
+      graft.plans.AsOf.joinWithin(ev, ord,
+          ev("user_id"), ev("tu"), ord("rk"), ord("rtu"),
+          AsOfTolUs, graft.plans.AsOfMode.Backward)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("order_key"), lit(-1L)).as("fresh_key"),
+          coalesce(col("rtu"), lit(-1L)).as("fresh_us"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH ord AS (
+           |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS order_key
+           |  FROM orders GROUP BY 1, 2
+           |), e AS (
+           |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events
+           |)
+           |SELECT e.event_id, e.user_id,
+           |  CASE WHEN o.order_key IS NOT NULL
+           |    AND e.us - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) <= $AsOfTolUs
+           |    THEN o.order_key ELSE -1 END AS fresh_key,
+           |  CASE WHEN o.order_key IS NOT NULL
+           |    AND e.us - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) <= $AsOfTolUs
+           |    THEN epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) ELSE -1 END AS fresh_us
+           |FROM e ASOF LEFT JOIN ord o
+           |  ON e.user_id = o.o_custkey
+           |  AND e.us >= epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+           |ORDER BY event_id""".stripMargin))
+
   /** banded range join: facts land in value bands via a range
     * condition against a tiny band dimension. The band table is
     * BROADCAST, so the range condition is evaluated map-side
@@ -1189,5 +1242,6 @@ object Relational {
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
     qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
     qSessionizeSkew, qFullOuter, qCorrelated, qUnpivot, qWindowFrames,
-    qTopkAgg, qAsofNative, qAsofForward, qAsofNearest, qRollup)
+    qTopkAgg, qAsofNative, qAsofForward, qAsofNearest, qAsofTolerance,
+    qRollup)
 }

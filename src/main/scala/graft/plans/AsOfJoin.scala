@@ -62,7 +62,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    mode: AsOfMode = AsOfMode.Backward)
+    mode: AsOfMode = AsOfMode.Backward,
+    tolerance: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -75,8 +76,8 @@ case class AsOfJoin(
   * (`injectPlannerStrategy`) or lazily by [[AsOf.join]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt, m) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, m) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, m, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, m, tol) :: Nil
     case _ => Nil
   }
 }
@@ -94,7 +95,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    mode: AsOfMode)
+    mode: AsOfMode,
+    tolerance: Option[Long] = None)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -128,15 +130,17 @@ case class AsOfJoinExec(
     // not just an ordering — restrict to integral-backed time types
     // (longs/ints internally: BIGINT/INT/SMALLINT/TINYINT, TIMESTAMP,
     // TIMESTAMP_NTZ, DATE) and fail loud otherwise
-    if (mode == AsOfMode.Nearest) {
+    if (mode == AsOfMode.Nearest || tolerance.isDefined) {
       import org.apache.spark.sql.types._
       val ok = leftTime.dataType match {
         case LongType | IntegerType | ShortType | ByteType | DateType |
             TimestampType | TimestampNTZType => true
         case _ => false
       }
-      require(ok, "nearest as-of needs an integral or instant time " +
-        s"column; got ${leftTime.dataType.sql} — cast to epoch first")
+      require(ok, "nearest/tolerance as-of needs an integral or instant " +
+        s"time column; got ${leftTime.dataType.sql} — cast to epoch first")
+      tolerance.foreach(tol =>
+        require(tol >= 0, s"as-of tolerance must be >= 0, got $tol"))
     }
     val lk = BindReferences.bindReference(leftKey, left.output)
     val lt = BindReferences.bindReference(leftTime, left.output)
@@ -199,7 +203,8 @@ case class AsOfJoinExec(
             val ok = rBuf.hasNext && {
               val hk = rk.eval(rBuf.head)
               hk != null && keyOrd.compare(hk, k) == 0
-            }
+            } && tolerance.forall(tol =>
+              asLong(rt.eval(rBuf.head)) - asLong(t) <= tol)
             proj(joined(lRow, if (ok) rBuf.head else nullRight))
           }
         }
@@ -226,8 +231,9 @@ case class AsOfJoinExec(
               } else advance = false
             }
           }
-          val backOk = candidate != null && candidateKey != null &&
-            keyOrd.compare(candidateKey, k) == 0
+          val backOk = (candidate != null && candidateKey != null &&
+            keyOrd.compare(candidateKey, k) == 0) && tolerance.forall(tol =>
+              asLong(t) - asLong(rt.eval(candidate)) <= tol)
           if (mode == AsOfMode.Backward) {
             proj(joined(lRow, if (backOk) candidate else nullRight))
           } else {
@@ -240,7 +246,8 @@ case class AsOfJoinExec(
             val fwdOk = rBuf.hasNext && {
               val hk = rk.eval(rBuf.head)
               hk != null && keyOrd.compare(hk, k) == 0
-            }
+            } && tolerance.forall(tol =>
+              asLong(rt.eval(rBuf.head)) - asLong(t) <= tol)
             val pick =
               if (backOk && fwdOk) {
                 val tl = asLong(t)
@@ -310,16 +317,36 @@ object AsOf {
     build(leftDf, rightDf, leftKey, leftTime, rightKey, rightTime,
       AsOfMode.Nearest)
 
+  /** Tolerance-bounded as-of (pandas `merge_asof(tolerance=...)` /
+    * kdb window-join semantics): any mode, but a match farther than
+    * `tolerance` time units from the left row is discarded and the row
+    * null-extends — "state as of the event, unless it's stale". Same
+    * plan, same scan; the bound is checked on the already-found
+    * candidate, costing one subtraction per row. */
+  def joinWithin(leftDf: DataFrame, rightDf: DataFrame,
+      keyCol: String, timeCol: String, tolerance: Long,
+      mode: AsOfMode = AsOfMode.Backward): DataFrame =
+    build(leftDf, rightDf, leftDf(keyCol), leftDf(timeCol),
+      rightDf(keyCol), rightDf(timeCol), mode, Some(tolerance))
+
+  def joinWithin(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: Column, leftTime: Column,
+      rightKey: Column, rightTime: Column, tolerance: Long,
+      mode: AsOfMode): DataFrame =
+    build(leftDf, rightDf, leftKey, leftTime, rightKey, rightTime,
+      mode, Some(tolerance))
+
   private def build(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: Column, leftTime: Column,
-      rightKey: Column, rightTime: Column, mode: AsOfMode): DataFrame = {
+      rightKey: Column, rightTime: Column, mode: AsOfMode,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession
     install(spark)
     val plan = AsOfJoin(
       leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
       GraftSqlShim.expression(leftKey), GraftSqlShim.expression(leftTime),
       GraftSqlShim.expression(rightKey), GraftSqlShim.expression(rightTime),
-      mode)
+      mode, tolerance)
     org.apache.spark.sql.GraftSqlShim.ofRows(spark, plan)
   }
 

@@ -79,6 +79,7 @@ object JdbcUpsert {
     var conn: Connection = null
     var merge: java.sql.PreparedStatement = null
     var delete: java.sql.PreparedStatement = null
+    var update: java.sql.PreparedStatement = null
 
     // Derby MERGE (SQL:2003): matched rows update only when the incoming
     // scn wins; unmatched rows insert. Tombstones delete, guarded by the
@@ -94,10 +95,13 @@ object JdbcUpsert {
            |  VALUES (?, ?, ?, ?, ?)""".stripMargin)
       delete = conn.prepareStatement(
         s"DELETE FROM $table WHERE k = ? AND last_scn <= ?")
+      update = conn.prepareStatement(
+        s"""UPDATE $table SET id = ?, cents = ?, typ = ?, last_scn = ?
+           |WHERE k = ? AND last_scn <= ?""".stripMargin)
     }
 
     def closeAll(): Unit = {
-      Seq(merge, delete).foreach { st =>
+      Seq(merge, delete, update).foreach { st =>
         if (st != null) try st.close() catch { case _: java.sql.SQLException => () }
       }
       if (conn != null)
@@ -147,7 +151,27 @@ object JdbcUpsert {
         if (r.getString(2) == "d") {
           delete.setLong(1, r.getLong(0)); delete.setLong(2, r.getLong(1))
           delete.executeUpdate()
-        } else { bindMerge(r); merge.executeUpdate() }
+        } else {
+          bindMerge(r)
+          try merge.executeUpdate()
+          catch {
+            // 23505 = duplicate key from the MERGE's not-matched
+            // INSERT branch: Derby's not-matched read is not
+            // serializable under concurrent load (seen at 30x), so a
+            // row can exist by the time the INSERT applies. The row
+            // exists NOW, so the scn-guarded UPDATE is exactly the
+            // matched branch MERGE would have taken — the standard
+            // upsert-on-conflict loop, idempotent via the guard.
+            case e: java.sql.SQLException if e.getSQLState == "23505" =>
+              val (key, scn) = (r.getLong(0), r.getLong(1))
+              update.setLong(1, if (r.isNullAt(3)) -1L else r.getLong(3))
+              update.setLong(2, if (r.isNullAt(4)) -1L else r.getLong(4))
+              update.setString(3, if (r.isNullAt(5)) "" else r.getString(5))
+              update.setLong(4, scn)
+              update.setLong(5, key); update.setLong(6, scn)
+              update.executeUpdate()
+          }
+        }
       }
       conn.commit()
     }

@@ -119,6 +119,33 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(msgs(ex).contains("integral or instant"), msgs(ex))
   }
 
+  test("tolerance bound: stale matches null-extend in every direction") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 100L), (1L, 200L, 101L), (1L, 310L, 102L))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 95L, 900L), (1L, 205L, 901L)).toDF("rk", "rt", "state")
+    def run(mode: graft.plans.AsOfMode, tol: Long): Seq[(Long, Long)] =
+      AsOf.joinWithin(left, right, left("k"), left("t"),
+          right("rk"), right("rt"), tol, mode)
+        .select(col("ev"), coalesce(col("state"), lit(-1L)).as("state"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // backward, tol=10: ev100 matches rt=95 (gap 5); ev200's latest is
+    // 95 (gap 105 > 10) -> null; ev310's latest is 205 (gap 105) -> null
+    assert(run(graft.plans.AsOfMode.Backward, 10L) ==
+      Seq((100L, 900L), (101L, -1L), (102L, -1L)))
+    // forward, tol=10: ev200's next is 205 (gap 5); ev100's next is 205
+    // (gap 105) -> null; ev310 has nothing after -> null
+    assert(run(graft.plans.AsOfMode.Forward, 10L) ==
+      Seq((100L, -1L), (101L, 901L), (102L, -1L)))
+    // nearest, tol=10: ev100 -> 95, ev200 -> 205, ev310 nearest is 205
+    // at gap 105 -> null
+    assert(run(graft.plans.AsOfMode.Nearest, 10L) ==
+      Seq((100L, 900L), (101L, 901L), (102L, -1L)))
+    // a huge tolerance degenerates to the unbounded join
+    assert(run(graft.plans.AsOfMode.Backward, 1000000L) ==
+      Seq((100L, 900L), (101L, 900L), (102L, 901L)))
+  }
+
   test("forward direction agrees with a window-composed formulation on real data") {
     val native = SparkEntry.queries("q_asof_forward")(spark, sfDir)
     // independent composition: min-by (rtu, order_key) over all
