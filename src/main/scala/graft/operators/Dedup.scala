@@ -284,6 +284,53 @@ object Dedup {
             |FROM m x JOIN m y ON x.gid = y.gid AND x.doc_id < y.doc_id
             |JOIN elig ON x.gid = egid""".stripMargin))
 
+  /** Asymmetric n-gram CONTAINMENT (inter / min(|A|,|B|) >= 0.9) — the
+    * quote/subset detector Jaccard structurally misses: a short doc
+    * fully embedded in a long one has tiny Jaccard (union is the long
+    * doc) but containment ~1. Near-dedup pipelines run BOTH measures;
+    * this row reuses the identical exact-dedup-first blocked pair
+    * machinery (same blocks, same caps, same member expansion — only
+    * the denominator changes), so it costs the same bounded plan. */
+  val dedupContainment: Q = Q(
+    "dedup_containment",
+    (s, dir) => {
+      val g = textGroups(s, dir)
+      val m = groupMembers(g).select(col("doc_id"), col("gid"))
+      val reps = groupReps(g)
+      val rp = repPairStats(reps)
+        .withColumn("cont", col("inter") / least(col("na"), col("nb")))
+        .filter(col("cont") >= 0.9)
+      val cross = rp
+        .join(m.as("x"), col("ga") === col("x.gid"))
+        .join(m.as("y"), col("gb") === col("y.gid"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("da"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("db"),
+          col("cont"))
+      val intra = m.as("x")
+        .join(m.as("y"),
+          col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+        .join(eligibleGids(reps), col("x.gid") === col("egid"), "left_semi")
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          lit(1.0).as("cont"))
+      cross.unionByName(intra)
+        .select(col("da"), col("db"), round(col("cont"), 6).as("containment"))
+    },
+    Some(s"""WITH $duckGroupCtes,
+            |rp AS (
+            |  SELECT ga, gb, inter*1.0 / least(ca.n, cb.n) AS cont
+            |  FROM rpairs
+            |  JOIN cnt ca ON ga = ca.doc_id
+            |  JOIN cnt cb ON gb = cb.doc_id
+            |  WHERE inter*1.0 / least(ca.n, cb.n) >= 0.9
+            |)
+            |SELECT least(x.doc_id, y.doc_id) AS da,
+            |  greatest(x.doc_id, y.doc_id) AS db, round(cont, 6) AS containment
+            |FROM rp JOIN m x ON x.gid = rp.ga JOIN m y ON y.gid = rp.gb
+            |UNION ALL
+            |SELECT x.doc_id AS da, y.doc_id AS db, CAST(1.0 AS DOUBLE) AS containment
+            |FROM m x JOIN m y ON x.gid = y.gid AND x.doc_id < y.doc_id
+            |JOIN elig ON x.gid = egid""".stripMargin))
+
   /** 64-permutation MinHash signatures, one row per doc. Computed as a
     * single fold per document (no 64x explode); at scale this is a
     * map-only stage fused into the scan. The 64-lane signature is
@@ -717,6 +764,6 @@ object Dedup {
             |ORDER BY da, db""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupNgramJaccard,
-    dedupMinhash, dedupMinhashLsh, dedupSimhash, dedupEmbedding,
-    dedupClusters, dedupMinhashQuality)
+    dedupContainment, dedupMinhash, dedupMinhashLsh, dedupSimhash,
+    dedupEmbedding, dedupClusters, dedupMinhashQuality)
 }

@@ -81,6 +81,23 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(r => r.getLong(2) > 0))
   }
 
+  test("containment dominates jaccard on shared pairs and is a valid score") {
+    val cont = Dedup.dedupContainment.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.nonEmpty)
+    cont.foreach { case ((da, db), c) =>
+      assert(da < db)
+      assert(c >= 0.9 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // inter/min >= inter/union always, so any pair both measures emit
+    // must score at least its jaccard under containment
+    val jac = Dedup.dedupNgramJaccard.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    jac.foreach { case (pair, j) =>
+      cont.get(pair).foreach(c => assert(c >= j - 1e-9, s"$pair: $c < $j"))
+    }
+  }
+
   test("bpe_pair_counts matches an independent driver-side recompute") {
     // whole-corpus recompute in plain Scala at spec SF — the same
     // normalize/split/pair semantics, written the obvious sequential
