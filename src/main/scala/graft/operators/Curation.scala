@@ -345,9 +345,13 @@ object Curation {
     * n_i^(α−1), normalized so the smallest stratum keeps 100%, giving
     * expected kept ≈ sqrt(c_min · n_i): big strata are damped, small
     * ones never starved. Rates are permille integers
-    * floor(1000·sqrt(c_min/n)) — sqrt and division are IEEE
+    * max(1, floor(1000·sqrt(c_min/n))) — sqrt and division are IEEE
     * correctly-rounded in both engines, so the floor is deterministic
-    * cross-engine — and membership is the same doc_id hash gate as
+    * cross-engine, and the floor-at-1 clamp keeps a stratum that is
+    * more than 10^6× the smallest from silently rounding to a ZERO
+    * keep-rate (the sqrt contract degrades to ~n/1000 kept there
+    * instead of dropping the stratum) — and membership is the same
+    * doc_id hash gate as
     * sample_mix: a pure function of the row, so the corpus side stays
     * ONE map-only scan against a broadcast rate table at any scale. */
   val sampleTemperature: Q = Q(
@@ -359,7 +363,7 @@ object Curation {
       val cmin = counts.agg(min("n_before").as("c_min"))
       val rates = counts.crossJoin(broadcast(cmin))
         .withColumn("permille", expr(
-          "CAST(floor(1000.0 * sqrt(CAST(c_min AS DOUBLE) / n_before)) AS BIGINT)"))
+          "greatest(1L, CAST(floor(1000.0 * sqrt(CAST(c_min AS DOUBLE) / n_before)) AS BIGINT))"))
         .select("lang", "source", "n_before", "permille")
       val kept = d.join(broadcast(rates), Seq("lang", "source"))
         .filter(expr(charHash("concat('t', CAST(doc_id AS STRING))")) % 1000
@@ -376,7 +380,7 @@ object Curation {
             |  SELECT min(n_before) AS c_min FROM c
             |), r AS (
             |  SELECT lang, source, n_before,
-            |    CAST(floor(1000.0 * sqrt(CAST(c_min AS DOUBLE) / n_before)) AS BIGINT)
+            |    greatest(1, CAST(floor(1000.0 * sqrt(CAST(c_min AS DOUBLE) / n_before)) AS BIGINT))
             |      AS permille
             |  FROM c, m
             |), k AS (

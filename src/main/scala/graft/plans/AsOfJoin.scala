@@ -171,6 +171,10 @@ case class AsOfJoinExec(
         case i: java.lang.Integer => i.toLong
         case s: java.lang.Short => s.toLong
         case b: java.lang.Byte => b.toLong
+        case null => sys.error(
+          "nearest/tolerance as-of join requires non-null time values " +
+            "(backward/forward skip null-time rows via the ordering; " +
+            "the distance arithmetic here cannot)")
         case other => sys.error(s"non-integral as-of time value: $other")
       }
 

@@ -108,8 +108,12 @@ object JdbcUpsert {
         try conn.close() catch { case _: java.sql.SQLException => () }
     }
 
+    // 1 s probe: this is a liveness check feeding a reconnect, not a
+    // health SLA — a connection that can't answer in a second gets the
+    // same treatment as a dead one (reopen), so the long default
+    // timeout only adds latency to the failure path.
     def usable: Boolean =
-      try conn.isValid(5) catch { case _: Throwable => false }
+      try conn.isValid(1) catch { case _: Throwable => false }
 
     def bindMerge(r: Row): Unit = {
       val (key, scn) = (r.getLong(0), r.getLong(1))
@@ -190,11 +194,16 @@ object JdbcUpsert {
       } catch {
         case _: java.sql.SQLException =>
           try conn.rollback() catch { case _: java.sql.SQLException => () }
-          if (!usable) { closeAll(); open() }
+          // Probe once per recovery pass: `alive` is reused by the
+          // inner guard so a connection found dead here (and already
+          // reopened) is not probed a second time — the replay on the
+          // fresh connection either succeeds or propagates.
+          val alive = usable
+          if (!alive) { closeAll(); open() }
           else { merge.clearBatch(); delete.clearBatch() }
           try replay(chunk)
           catch {
-            case _: java.sql.SQLException if !usable =>
+            case _: java.sql.SQLException if alive && !usable =>
               closeAll(); open(); replay(chunk)
           }
       }

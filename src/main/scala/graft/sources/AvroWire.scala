@@ -63,6 +63,14 @@ final case class AvroChangeV2(
   * like the service does; [[byId]] is the `GET /schemas/ids/<id>` view
   * that [[AvroWire.decodeFramed]] consumes. */
 final class SchemaRegistry(val compatibility: String = "BACKWARD") {
+  // Reject an unknown mode at CONSTRUCTION, not first register(): a
+  // misconfigured registry (e.g. "BACKWARDS") must not exist silently
+  // until first use.
+  require(
+    Set("BACKWARD", "FORWARD", "FULL", "NONE")
+      .contains(compatibility.stripSuffix("_TRANSITIVE")),
+    s"unknown compatibility mode: $compatibility")
+
   private var versions = Vector.empty[(Int, String)]
 
   /** One reader/writer resolution check; Some(error detail) on
@@ -102,8 +110,6 @@ final class SchemaRegistry(val compatibility: String = "BACKWARD") {
     val targets =
       if (transitive) versions else versions.lastOption.toVector
     val mode = compatibility.stripSuffix("_TRANSITIVE")
-    require(Set("BACKWARD", "FORWARD", "FULL", "NONE").contains(mode),
-      s"unknown compatibility mode: $compatibility")
     targets.foreach { case (prevId, prevJson) =>
       val backward =
         if (mode == "BACKWARD" || mode == "FULL")
