@@ -1074,7 +1074,7 @@ object Ann {
         .localCheckpoint(true)
       val schema = s.read.parquet(staged).schema
       val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .option("maxFilesPerTrigger", graft.streaming.Streams.filesPerTrigger).parquet(staged)
       val q = stream.writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           val e = batch

@@ -502,7 +502,7 @@ object Curation {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = s.read.parquet(staged).schema
     val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .option("maxFilesPerTrigger", graft.streaming.Streams.filesPerTrigger).parquet(staged)
     val writer = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val gated = batch

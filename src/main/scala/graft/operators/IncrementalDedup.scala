@@ -169,7 +169,7 @@ object IncrementalDedup {
       val staged = stagedDocs(s, dir)
       val schema = s.read.parquet(staged).schema
       val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .option("maxFilesPerTrigger", graft.streaming.Streams.filesPerTrigger).parquet(staged)
       val q = stream.writeStream.outputMode("append")
         .foreachBatch { (b: DataFrame, _: Long) =>
           applyBatch(b, indexRoot)
