@@ -261,6 +261,61 @@ object Native {
       copy(child = c)
   }
 
+  /** Corpus-scaled variant of [[HyperplaneKeys]]: 4 tables x `bits`
+    * bits per key, so the keyspace (4 * 2^bits values) GROWS with the
+    * corpus instead of saturating — the scale-safe blocking shape
+    * (bits ~ log2(N/target-occupancy), recomputed per corpus from a
+    * count, keeps expected bucket occupancy constant so the
+    * MaxEmbBucket cap stops truncating an unbounded fraction).
+    * Plane j of table t is LCG index (t*32 + j)*64 + d — 32 reserved
+    * plane slots per table, so growing bits ADDS planes without
+    * moving the existing ones (recall comparisons across corpus sizes
+    * differ only by the added bits), and bits <= 32 can never collide
+    * with the next table's slots. NOT bit-identical to the fixed
+    * 1-arg form (that one keeps the historical (t*8 + j) indexing for
+    * its pinned oracles). */
+  case class HyperplaneKeysN(child: Expression, bitsExpr: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = child
+    override def right: Expression = bitsExpr
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_hyperplane_keys_n"
+
+    override def nullSafeEval(vAny: Any, bitsAny: Any): Any = {
+      val v = vAny.asInstanceOf[ArrayData]
+      val bits = bitsAny match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case other => sys.error(s"non-integral hyperplane bit count: $other")
+      }
+      require(bits >= 1 && bits <= 32,
+        s"hyperplane bit count must be in [1, 32], got $bits")
+      val out = new Array[Long](4)
+      var t = 0
+      while (t < 4) {
+        var key = 0L
+        var j = 0
+        while (j < bits) {
+          var s = 0.0
+          var d = 0
+          while (d < 64) {
+            val idx = (t * 32L + j) * 64L + d
+            val g = ((1103515245L * idx + 12345L) % 2147483648L) / 2147483648.0 - 0.5
+            s += v.getDouble(d) * g
+            d += 1
+          }
+          key = key * 2 + (if (s >= 0) 1L else 0L)
+          j += 1
+        }
+        out(t) = t * (1L << bits) + key
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(child = l, bitsExpr = r)
+  }
+
   /** Per-vector symmetric int8 quantization in one pass — bit-identical
     * to the SQL HOF formulation pinned in NativeVsSqlSpec (and the
     * DuckDB oracle of vec_quantize): maxabs is a fold seeded at 1e-12
@@ -362,6 +417,8 @@ object Native {
       es => SimHash60(es.head)),
     ("graft_hyperplane_keys", "4x6-bit random-hyperplane LSH keys",
       es => HyperplaneKeys(es.head)),
+    ("graft_hyperplane_keys_n", "4 x bits-bit random-hyperplane LSH keys (corpus-scaled keyspace)",
+      es => HyperplaneKeysN(es(0), es(1))),
     ("graft_int8_quantize", "symmetric int8 quantization: (max_abs, code_digest, max_err)",
       es => Int8Quantize(es.head)),
     ("graft_int8_codes", "symmetric int8 quantization codes: (max_abs, codes as doubles)",

@@ -120,6 +120,12 @@ object Portable {
   def hyperplaneKeys(v: String): String =
     s"graft_hyperplane_keys($v)"
 
+  /** Corpus-scaled hyperplane keys: `bits` per table (see
+    * [[graft.functions.Native.HyperplaneKeysN]]); `bits` is usually an
+    * interpolated integer computed from a corpus count. */
+  def hyperplaneKeysN(v: String, bits: String): String =
+    s"graft_hyperplane_keys_n($v, $bits)"
+
   // ---- DuckDB dialect (must mirror the above exactly) --------------
 
   def duckWords(e: String): String =
@@ -176,4 +182,24 @@ object Portable {
     s"list_transform(range(0, 4), t -> t*64 + list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 6), j -> " +
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), d -> ($v)[d+1] * ${duckHyper("t", "j", "d")})), (a, x) -> a + x) >= 0 " +
       s"THEN 1 ELSE 0 END)), (acc, b) -> acc*2 + b))"
+
+  /** Plane LCG index for the corpus-scaled keys: 32 reserved slots per
+    * table (mirrors Native.HyperplaneKeysN exactly). */
+  private def duckHyperN(t: String, j: String, d: String): String =
+    s"(((1103515245 * CAST(($t*32+$j)*64+$d AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+
+  /** Corpus-scaled hyperplane keys — mirrors
+    * [[graft.functions.Native.HyperplaneKeysN]]; `bits` is a SQL
+    * expression (typically a params-CTE column computed from
+    * count(*)). */
+  def duckHyperplaneKeysN(v: String, bits: String): String =
+    s"list_transform(range(0, 4), t -> t*(CAST(1 AS BIGINT) << ($bits)) + list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, CAST($bits AS BIGINT)), j -> " +
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), d -> ($v)[d+1] * ${duckHyperN("t", "j", "d")})), (a, x) -> a + x) >= 0 " +
+      s"THEN 1 ELSE 0 END)), (acc, b) -> acc*2 + b))"
+
+  /** ceil(log2(n)) for a BIGINT SQL expression, in pure integer
+    * arithmetic (bin() length of n-1) — no floating log2, so the two
+    * engines cannot disagree at exact-power boundaries. */
+  def duckCeilLog2(n: String): String =
+    s"(CASE WHEN ($n) <= 1 THEN 0 ELSE length(bin(($n) - 1)) END)"
 }

@@ -767,11 +767,29 @@ object Ann {
     * column pruning, so lineage replay would recompute it per consumer
     * (the same truncation dedup_clusters applies) — and the loop would
     * otherwise replay all prior rounds per action. */
-  private[graft] def kmeansIterate(s: SparkSession, dir: String, rounds: Int)
+  /** Corpus-scaled cluster count for the k-means blocking: k = max(16,
+    * ceil(N / 128)) holds expected cluster occupancy at ~128 members —
+    * constant per-cluster pair work at any corpus size, the same
+    * scale contract as [[Dedup.embBits]] (pre-r9 k was FIXED at 16, so
+    * occupancy grew N/16 and the cap truncated every cluster at
+    * scale). Pure integer arithmetic, mirrored verbatim in the
+    * oracles' params CTE. At the verify/bench SFs (N <= 2048) this
+    * floors at 16 — the historical configuration. Centroid frames stay
+    * broadcast-sized: k grows as N/128 rows of 64 doubles (~800 KB at
+    * N = 200k). */
+  private[graft] def kmeansK(n: Long): Int =
+    math.max(16L, (n + 127L) / 128L).toInt
+
+  /** The matching SQL for [[kmeansK]] over a counted corpus. */
+  private def duckKmeansK(countExpr: String): String =
+    s"greatest(16, (($countExpr) + 127) // 128)"
+
+  private[graft] def kmeansIterate(s: SparkSession, dir: String, rounds: Int,
+      k: Int = 16)
       : (DataFrame, DataFrame, DataFrame, Seq[Double]) = {
     require(rounds >= 1, "kmeansIterate needs at least one Lloyd round")
     val codes = kmeansCodes(s, dir).localCheckpoint()
-    var cents = codes.filter(col("vec_id") < 16)
+    var cents = codes.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("qd").as("cd"),
         col("qn2").as("cn2"))
     var assign: DataFrame = null
@@ -786,15 +804,18 @@ object Ann {
 
   /** One Lloyd stage — [[kmeansIterate]] at R=1 (the oracle-verified
     * registry configuration). */
-  private def kmeansStage(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val (codes, a0, c1, _) = kmeansIterate(s, dir, rounds = 1)
+  private def kmeansStage(s: SparkSession, dir: String, k: Int = 16)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (codes, a0, c1, _) = kmeansIterate(s, dir, rounds = 1, k = k)
     (codes, a0, c1)
   }
 
   /** Shared oracle CTE chain for the one-Lloyd-stage k-means
     * (codes -> seed centroids -> assignment -> integer-mean update ->
-    * reassignment a1) — used by cluster_kmeans and dedup_semantic. */
-  private val kmeansOracleCtes: String =
+    * reassignment a1) — used by cluster_kmeans (fixed k=16) and
+    * dedup_semantic / dedup_blocking_recall (corpus-scaled k via a
+    * scalar-subquery kExpr). */
+  private def kmeansOracleCtes(kExpr: String = "16"): String =
     s"""e AS (
             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             |), q AS (
@@ -808,7 +829,7 @@ object Ann {
             |), qn AS (
             |  SELECT vec_id, qd, greatest(${duckDot("qd", "qd")}, 1e-12) AS qn2 FROM q
             |), c0 AS (
-            |  SELECT vec_id AS c_id, qd AS cd, qn2 AS cn2 FROM qn WHERE vec_id < 16
+            |  SELECT vec_id AS c_id, qd AS cd, qn2 AS cn2 FROM qn WHERE vec_id < ($kExpr)
             |), a0 AS (
             |  SELECT vec_id, qd, c_id AS cid FROM (
             |    SELECT qn.vec_id, qn.qd, c_id,
@@ -851,7 +872,7 @@ object Ann {
             .as("centroid_digest"))
         .orderBy("c_id")
     },
-    Some(s"""WITH $kmeansOracleCtes,
+    Some(s"""WITH ${kmeansOracleCtes()},
             |n0 AS (SELECT cid, count(*) AS n_before FROM a0 GROUP BY 1
             |), n1 AS (SELECT cid, count(*) AS n_after FROM a1 GROUP BY 1)
             |SELECT c1n.c_id,
@@ -877,18 +898,17 @@ object Ann {
   val dedupSemantic: Q = Q(
     "dedup_semantic",
     (s, dir) => {
-      val (codes, _, c1) = kmeansStage(s, dir)
+      // Corpus-scaled k (kmeansK: occupancy ~128/cluster) — with fixed
+      // k=16 occupancy grew N/16 and this row ran 315 s at 30x; scaled
+      // k keeps per-cluster pair work constant, so cost is linear in N.
+      // The count() is one scalar of driver metadata.
+      val k = kmeansK(emb(s, dir).count())
+      val (codes, _, c1) = kmeansStage(s, dir, k)
       val a1 = kmeansAssign(codes, c1).select(col("vec_id"), col("cid"))
-      // k is fixed (16), so cluster occupancy grows ~N/k and the
-      // in-cluster pair join is quadratic in N — the same fixed-keyspace
-      // hazard as the hyperplane buckets (at 30x data this row ran
-      // 315 s). Same bounded-block cure: keep a deterministic
-      // LCG-uniform sample of MaxEmbBucket members per cluster, so
-      // candidates are <= k * cap^2 / 2 at any corpus size (at the
-      // oracle/verify SFs every cluster is under the cap — unchanged).
-      // The production-scale lever remains k ∝ N (doc above); the cap
-      // is the guard that makes a lagging k degrade recall instead of
-      // exploding the plan.
+      // The MaxEmbBucket cap remains as the skew guard (a degenerate
+      // cluster — e.g. one vector value repeated N times — still gets
+      // sampled down instead of exploding the join); at the
+      // verify/bench SFs every cluster is under it, unchanged.
       val bounded = a1
         .withColumn("rn", row_number().over(
           Window.partitionBy("cid")
@@ -906,7 +926,9 @@ object Ann {
         .filter(col("cos") >= 0.4)
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
     },
-    Some(s"""WITH $kmeansOracleCtes,
+    Some(s"""WITH pk AS (
+            |  SELECT ${duckKmeansK("count(*)")} AS kk FROM embeddings
+            |), ${kmeansOracleCtes("SELECT kk FROM pk")},
             |ab AS (
             |  SELECT vec_id, cid FROM a1
             |  QUALIFY row_number() OVER (PARTITION BY cid
@@ -984,7 +1006,11 @@ object Ann {
       recallOf(hp, "hyperplane").unionByName(recallOf(km, "kmeans"))
         .orderBy("strategy")
     },
-    Some(s"""WITH $kmeansOracleCtes,
+    Some(s"""WITH pk AS (
+            |  SELECT ${duckKmeansK("count(*)")} AS kk,
+            |    ${Dedup.duckEmbBitsFrom("count(*)")} AS bits
+            |  FROM embeddings
+            |), ${kmeansOracleCtes("SELECT kk FROM pk")},
             |params AS (
             |  SELECT greatest(1, CAST(ceil(count(*) / 2048.0) AS BIGINT)) AS s
             |  FROM e
@@ -995,7 +1021,8 @@ object Ann {
             |  WHERE a.vec_id % p.s = 0
             |    AND ${duckCosine("a.v", "b.v")} >= 0.4
             |), keys AS (
-            |  SELECT vec_id, v, unnest(${duckHyperplaneKeys("v")}) AS bk FROM e
+            |  SELECT vec_id, v, unnest(${duckHyperplaneKeysN("v", "pk.bits")}) AS bk
+            |  FROM e CROSS JOIN pk
             |), kb AS (
             |  SELECT vec_id, v, bk FROM keys
             |  QUALIFY row_number() OVER (PARTITION BY bk

@@ -43,24 +43,49 @@ object Dedup {
     * Every oracle applies the identical cap. */
   private[operators] val MaxShingleBlock = 1000
 
-  /** Hyperplane-LSH buckets have a FIXED keyspace (4 tables x 6 bits
-    * = 256 values), so bucket occupancy grows ~N/256 and the in-bucket
-    * self-join is quadratic in N at ANY scale — at 30x data the
-    * candidate set hit ~10^8 pairs and OOM'd. Same cure as the shingle
-    * blocks (MaxShingleBlock): bound every bucket, here by KEEPING a
-    * deterministic sample of MaxEmbBucket members (dropping whole hot
-    * buckets, the minhash-LSH guard, would empty the operator at scale
-    * because EVERY bucket is hot when the keyspace is 256). Priority is
-    * a portable LCG over vec_id — id-uniform, so the kept members are
+  /** Per-bucket member cap for the embedding-blocking self-joins — at
+    * 30x data an uncapped bucket's candidate set hit ~10^8 pairs and
+    * OOM'd. Bounding KEEPS a deterministic sample of MaxEmbBucket
+    * members (dropping whole hot buckets, the minhash-LSH guard, would
+    * empty the operator when every bucket is hot). Priority is a
+    * portable LCG over vec_id — id-uniform, so the kept members are
     * an unbiased sample and the measured recall (dedup_blocking_recall)
-    * honestly reflects the capped pipeline. Candidates are then
-    * <= 256 * MaxEmbBucket^2 / 2 regardless of corpus size.
+    * honestly reflects the capped pipeline.
+    *
+    * Since round 9 the cap is a GUARD, not the workload ceiling: the
+    * blocking keyspaces scale with the corpus ([[embBits]] /
+    * [[Ann.kmeansK]] keep expected occupancy constant at ~64/~128
+    * members), so the cap only truncates adversarial skew (e.g. one
+    * vector value repeated N times) instead of an unbounded fraction
+    * of every bucket.
     *
     * Declared ABOVE every oracle string that interpolates it: a val
     * referenced from an earlier val's initializer is still 0 during
     * object init, which silently turned the simhash oracle's cap into
     * `<= 0` (EntrySpec pins the interpolated values). */
   val MaxEmbBucket = 512
+
+  /** ceil(log2(n)) in pure integer arithmetic (mirrors
+    * [[graft.functions.Portable.duckCeilLog2]] — no floating log2, so
+    * the engines cannot disagree at exact-power boundaries). */
+  private[graft] def ceilLog2(n: Long): Int =
+    if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+
+  /** Corpus-scaled hyperplane bit count: bits = max(6, ceil(log2 N) -
+    * 6), i.e. expected bucket occupancy N / 2^bits held at ~64 —
+    * constant per-bucket pair work however large the corpus, which is
+    * what makes the capped blocking's recall scale-stable instead of
+    * decaying toward zero (pre-r9 the keyspace was FIXED at 6 bits, so
+    * the 512-member cap kept a vanishing 512*256/N fraction at scale).
+    * Deterministic from a corpus count; the oracles interpolate the
+    * identical integer formula ([[duckEmbBitsFrom]]). At the
+    * verify/bench SFs (N <= 2^12) this floors at 6 — the historical
+    * configuration. */
+  private[graft] def embBits(n: Long): Int = math.max(6, ceilLog2(n) - 6)
+
+  /** The matching SQL for [[embBits]] over a counted corpus. */
+  private[graft] def duckEmbBitsFrom(countExpr: String): String =
+    s"greatest(6, ${duckCeilLog2(countExpr)} - 6)"
 
   /** Shingle rows bounded to blocks of 2..[[MaxShingleBlock]] docs —
     * the pair-generator input. The lower bound is free pruning, not a
@@ -495,21 +520,27 @@ object Dedup {
   private[operators] def embPriority(id: String): String =
     s"(($id % 2147483648) * 1103515245 + 12345) % 2147483648"
 
-  /** embedding near-dup: random-hyperplane LSH buckets (4 tables x 6
-    * bits, deterministic LCG hyperplanes) generate candidates; exact
-    * left-fold cosine >= 0.4 verifies inside buckets. Both the bucket
-    * keys and the cosine are bit-identical across engines, so the
-    * oracle reproduces the exact candidate set. */
+  /** embedding near-dup: random-hyperplane LSH buckets (4 tables x
+    * corpus-scaled bits — [[embBits]] holds expected occupancy at ~64
+    * so pair work is LINEAR in N and the cap never truncates an
+    * unbounded fraction) generate candidates; exact left-fold cosine
+    * >= 0.4 verifies inside buckets. Both the bucket keys and the
+    * cosine are bit-identical across engines (the oracle computes the
+    * same bit count from the same count(*)), so the oracle reproduces
+    * the exact candidate set. The count() driving the bit width is one
+    * scalar of driver metadata, same as dedup_blocking_recall's. */
   val dedupEmbedding: Q = Q(
     "dedup_embedding",
     (s, dir) => {
       // bucket join on (vec_id, bk) only; dedup candidate pairs BEFORE
       // computing any cosine, then re-attach the two vectors per pair.
-      val e = Tables(s, dir).embeddings
+      val raw = Tables(s, dir).embeddings
+      val bits = embBits(raw.count())
+      val e = raw
         .select(col("vec_id"), expr(toDouble("embedding")).as("v"))
         .withColumn("n2", expr(dot("v", "v")))
       val keys = e.select(col("vec_id"),
-        explode(expr(hyperplaneKeys("v"))).as("bk"))
+        explode(expr(hyperplaneKeysN("v", bits.toString))).as("bk"))
       // per-bucket truncation window partitions on the join key, so it
       // rides the join's own exchange — zero extra shuffles
       val bounded = keys
@@ -528,10 +559,13 @@ object Dedup {
         .filter(col("cos") >= 0.4)
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
     },
-    Some(s"""WITH e AS (
+    Some(s"""WITH p AS (
+            |  SELECT ${duckEmbBitsFrom("count(*)")} AS bits FROM embeddings
+            |), e AS (
             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             |), keys AS (
-            |  SELECT vec_id, v, unnest(${duckHyperplaneKeys("v")}) AS bk FROM e
+            |  SELECT vec_id, v, unnest(${duckHyperplaneKeysN("v", "p.bits")}) AS bk
+            |  FROM e CROSS JOIN p
             |), bounded AS (
             |  SELECT vec_id, v, bk FROM keys
             |  QUALIFY row_number() OVER (PARTITION BY bk

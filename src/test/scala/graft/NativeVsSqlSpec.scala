@@ -155,4 +155,37 @@ class NativeVsSqlSpec extends AnyFunSuite with SparkSpec {
       assert(r.getSeq[Long](2) == r.getSeq[Long](3))
     }
   }
+
+  test("graft_hyperplane_keys_n == SQL fold at several bit widths") {
+    val e = graft.sources.Tables(spark, sfDir).embeddings.limit(20)
+      .withColumn("v", expr(Portable.toDouble("embedding")))
+    Seq(6, 9, 12).foreach { bits =>
+      // the corpus-scaled plane indexing: (t*32 + j) slots, key offset
+      // t * 2^bits — mirrors Native.HyperplaneKeysN and the DuckDB twin
+      val sqlKeys =
+        s"transform(sequence(0, 3), t -> t*${1L << bits} + aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, j) -> acc*2 + " +
+          "IF(aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (a, d) -> a + element_at(v, d+1) * " +
+          "(((1103515245 * CAST((t*32+j)*64+d AS BIGINT) + 12345) % 2147483648) / 2147483648.0 - 0.5)) >= 0, 1, 0)))"
+      val rows = e.select(
+        expr(s"graft_hyperplane_keys_n(v, $bits)"), expr(sqlKeys)).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    }
+  }
+
+  test("corpus-scaled blocking parameters: integer formulas at the documented breakpoints") {
+    import graft.operators.{Ann, Dedup}
+    // bits floors at 6 through the verify/bench SFs, then grows with
+    // ceil(log2 N) - 6; k floors at 16, then ceil(N/128) — the same
+    // values the oracles' params CTEs compute in SQL
+    assert(Seq(1L, 500L, 2000L, 4096L).map(Dedup.embBits) == Seq(6, 6, 6, 6))
+    assert(Dedup.embBits(20000L) == 9)
+    assert(Dedup.embBits(60000L) == 10)
+    assert(Dedup.embBits(200000L) == 12)
+    // exact power boundary: N = 2^18 -> ceilLog2 = 18 -> 12
+    assert(Dedup.embBits(262144L) == 12 && Dedup.embBits(262145L) == 13)
+    assert(Seq(1L, 500L, 2000L, 2048L).map(Ann.kmeansK) == Seq(16, 16, 16, 16))
+    assert(Ann.kmeansK(20000L) == 157)
+    assert(Ann.kmeansK(60000L) == 469)
+    assert(Ann.kmeansK(200000L) == 1563)
+  }
 }
