@@ -407,44 +407,75 @@ object Streams {
     * stateful dropDuplicates on (key, scn) must drop every replay using
     * only its state store — the reference consumers' dedup-by-(key,scn)
     * guarantee, incremental. State here is unbounded to pin exact
-    * semantics on the bounded feed; a production deployment bounds it
-    * with withWatermark + dropDuplicatesWithinWatermark, trading
-    * arbitrarily-late replays for O(watermark-window) state. */
+    * semantics on the bounded feed regardless of event-time order;
+    * [[cdcStreamDedupWm]] is the production form that bounds it with
+    * a watermark. */
+  /** Stages the whole events table TWICE (the at-least-once
+    * redelivery), FILE-BY-FILE: the source table may be a single file
+    * (the driver's layout) or a Spark-written DIRECTORY of part
+    * files, and the file stream source does not recurse into a
+    * dir-shaped symlink — it would silently stream ZERO rows (the
+    * eventsStream lesson; the 10x/30x scale runs hit exactly this
+    * here: 0.24 s rows-free "passes"). Returns the parsed flattened
+    * change stream over the staged replay feed. */
+  private def parsedReplayFeed(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val staged = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val srcFiles =
+      if (java.nio.file.Files.isDirectory(src))
+        graft.sources.Formats.listDir(src)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+      else Seq(src)
+    require(srcFiles.nonEmpty, s"$src contains no parquet files to stream")
+    Seq("a", "b").foreach { copy =>
+      srcFiles.zipWithIndex.foreach { case (p, i) =>
+        val link = staged.resolve(f"events_${copy}_$i%05d.parquet")
+        java.nio.file.Files.createSymbolicLink(link, p)
+        link.toFile.deleteOnExit()
+      }
+    }
+    staged.toFile.deleteOnExit()
+    val stream = graft.sources.Tables.normalizeTs(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(staged.toString))
+    CdcQueries.flatten(Cdc.parse(CdcQueries.feedFrom(stream), col("json")))
+  }
+
   val cdcStreamDedup: Q = Q(
     "cdc_stream_dedup",
-    (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val staged = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
-      // Stage the two redelivered copies FILE-BY-FILE: the source table
-      // may be a single file (the driver's layout) or a Spark-written
-      // DIRECTORY of part files, and the file stream source does not
-      // recurse into a dir-shaped symlink — it would silently stream
-      // ZERO rows (the eventsStream lesson; the 10x/30x scale runs hit
-      // exactly this here: 0.24 s rows-free "passes").
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val srcFiles =
-        if (java.nio.file.Files.isDirectory(src))
-          graft.sources.Formats.listDir(src)
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-        else Seq(src)
-      require(srcFiles.nonEmpty, s"$src contains no parquet files to stream")
-      Seq("a", "b").foreach { copy =>
-        srcFiles.zipWithIndex.foreach { case (p, i) =>
-          val link = staged.resolve(f"events_${copy}_$i%05d.parquet")
-          java.nio.file.Files.createSymbolicLink(link, p)
-          link.toFile.deleteOnExit()
-        }
-      }
-      staged.toFile.deleteOnExit()
-      val stream = graft.sources.Tables.normalizeTs(
-        s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", filesPerTrigger).parquet(staged.toString))
-      val deduped = CdcQueries.flatten(
-        Cdc.parse(CdcQueries.feedFrom(stream), col("json")))
-        .dropDuplicates("key", "scn")
-      runBounded(deduped, "append").orderBy("scn")
-    },
+    (s, dir) => runBounded(
+      parsedReplayFeed(s, dir).dropDuplicates("key", "scn"), "append")
+      .orderBy("scn"),
+    Some(s"""WITH feed AS (${CdcQueries.feedSql})
+            |${CdcQueries.parsedSql}
+            |ORDER BY scn""".stripMargin))
+
+  /** The production form of cdc_stream_dedup: state bounded by a
+    * watermark. `dropDuplicatesWithinWatermark` guarantees a replay
+    * arriving within the delay of the original is dropped, and evicts
+    * a key's state once the watermark passes its event time + delay —
+    * O(watermark-window) state on an unbounded feed, where the plain
+    * row's dropDuplicates state grows forever (its doc comment's
+    * documented trade, now implemented). The delay here is sized past
+    * the bounded feed's whole event-time span, so on the test feed
+    * nothing is ever late or evicted mid-run and the result is the
+    * exact distinct set the oracle computes — on a real deployment the
+    * delay is the redelivery SLA (hours), and replays older than it
+    * are dropped as late rather than deduplicated by state. The
+    * eviction/replay semantics under a TIGHT watermark are pinned by
+    * StreamingSpec ("watermark-bounded dedup drops replays inside the
+    * delay window"). */
+  val cdcStreamDedupWm: Q = Q(
+    "cdc_stream_dedup_wm",
+    (s, dir) => runBounded(
+      parsedReplayFeed(s, dir)
+        .withColumn("event_ts", timestamp_micros(col("tm")))
+        .withWatermark("event_ts", "3650 days")
+        .dropDuplicatesWithinWatermark("key", "scn")
+        .drop("event_ts"),
+      "append").orderBy("scn"),
     Some(s"""WITH feed AS (${CdcQueries.feedSql})
             |${CdcQueries.parsedSql}
             |ORDER BY scn""".stripMargin))
@@ -890,7 +921,7 @@ object Streams {
            |ORDER BY grp, rank""".stripMargin))
 
   val all: Seq[Q] = Seq(cdcStreamIngest, cdcStreamMaterialize, cdcUpsertSink,
-    cdcJdbcUpsert, cdcStreamDedup, cdcSchemaEvolve, qStreamTumbling,
+    cdcJdbcUpsert, cdcStreamDedup, cdcStreamDedupWm, cdcSchemaEvolve, qStreamTumbling,
     qStreamHopping, qStreamSession, qStreamJoin, cdcStreamEnrich,
     cdcStreamScd2, cdcStreamRoute, cdcStreamChangelogAgg, qStreamTopk,
     pipelineCdcStream)
