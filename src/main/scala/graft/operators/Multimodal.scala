@@ -6,23 +6,26 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Per-item features produced by the (stubbed) decoder in
+/** Per-image features produced by the REAL PNG decode in
   * mm_feature_extract. */
-final case class MmFeatures(
-    doc_id: Long, n_bytes: Long, byte_hash: Long,
-    min_byte: Int, max_byte: Int, mean_byte: Long)
+final case class MmImageFeatures(
+    doc_id: Long, width: Int, height: Int, pixel_digest: Long,
+    mean_r: Long, mean_g: Long, mean_b: Long)
 
 /** Multimodal-column plumbing: media arrive as opaque `binary` columns
-  * with typed metadata. This container has no image/audio codecs, so
-  * the binary payload is derived deterministically from `documents.text`
-  * (pure ASCII -> byte values == code points, which is what lets the
-  * DuckDB oracles verify byte-level results exactly), and the DECODE
-  * step in mm_feature_extract is a clearly-marked deterministic stub.
-  * Everything around the stub — schema, batch shape, partition-parallel
-  * execution — is the real 100 TB design: metadata extraction is a
-  * map-only scan; feature extraction is mapPartitions with bounded
-  * batches (the shape a vectorized decoder/model wants) and never
-  * collects to the driver.
+  * with typed metadata. The byte-level rows derive their payload
+  * deterministically from `documents.text` (pure ASCII -> byte values
+  * == code points, which is what lets the DuckDB oracles verify
+  * byte-level results exactly). mm_feature_extract runs a REAL image
+  * decoder — `javax.imageio` PNG, shipped with every JDK — over real
+  * PNG bytes encoded from seeded pixel arrays, so the decode stage is
+  * no stub: the oracle recomputes the expected pixel statistics from
+  * the same seed arithmetic, and a hash match proves the encode ->
+  * PNG bytes -> decode -> features loop is lossless. Everything
+  * around it is the 100 TB design: metadata extraction is a map-only
+  * scan; feature extraction is mapPartitions with bounded batches
+  * (the shape a vectorized decoder/model wants) and never collects to
+  * the driver.
   */
 object Multimodal {
 
@@ -73,58 +76,115 @@ object Multimodal {
            |  sha256(substring(text, CAST(i*16 + 1 AS BIGINT), 32)) AS frame_sha
            |FROM f""".stripMargin))
 
-  /** batched feature extraction over (id, bytes) via mapPartitions.
-    * The decoder is STUBBED with deterministic byte statistics (no
-    * codecs in this container); a real deployment swaps `decodeBatch`
-    * for a vectorized image/audio decoder, keeping the batch shape:
-    * partitions stream through fixed-size batches, features come back
-    * columnar per batch, nothing touches the driver. */
+  /** Deterministic pixel value for (image id, flat index i) in
+    * row-major RGB order over an 8x8 image (i in 0..191): portable
+    * LCG arithmetic, mirrored verbatim in the oracle SQL. The index
+    * is reduced mod 2^31 BEFORE the multiply so the arithmetic stays
+    * in checked 64-bit range for any doc_id. */
+  private[graft] def pixelValue(id: Long, i: Long): Int = {
+    val idx = (id * 192L + i) % 2147483648L
+    (((1103515245L * idx + 12345L) % 2147483648L) % 256L).toInt
+  }
+
+  /** Encode the seeded 8x8 RGB image for `id` as REAL PNG bytes via
+    * the JDK encoder (`javax.imageio` — present in every JDK, no
+    * external codec needed). This is the "media arrival" side of the
+    * row: what lands in the binary column is a genuine PNG stream
+    * (magic bytes, IHDR, zlib-compressed scanlines). */
+  private[graft] def encodePng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < 64) {
+      val r = pixelValue(id, p * 3L)
+      val g = pixelValue(id, p * 3L + 1)
+      val b = pixelValue(id, p * 3L + 2)
+      img.setRGB(p % 8, p / 8, (r << 16) | (g << 8) | b)
+      p += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "png", baos)
+    require(ok, "JDK PNG writer unavailable")
+    baos.toByteArray
+  }
+
+  /** REAL decoder: `ImageIO.read` over the PNG byte stream, then
+    * per-channel means and a row-major RGB digest over the DECODED
+    * pixels. Fails loud on an undecodable payload (a corrupt media
+    * item must surface, not silently zero its features). */
+  private[graft] def decodeBatch(
+      batch: Seq[(Long, Array[Byte])]): Seq[MmImageFeatures] =
+    batch.map { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload for doc $id")
+      val w = img.getWidth
+      val h = img.getHeight
+      var digest = 0L
+      var sr = 0L
+      var sg = 0L
+      var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          digest = (digest * 31 + r) % P1
+          digest = (digest * 31 + g) % P1
+          digest = (digest * 31 + b) % P1
+          sr += r; sg += g; sb += b
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).max(1L)
+      MmImageFeatures(id, w, h, digest, sr / n, sg / n, sb / n)
+    }
+
+  /** batched feature extraction over (id, png bytes) via
+    * mapPartitions, with a REAL `javax.imageio` PNG decode in the
+    * loop: partitions stream through fixed-size batches, the decoder
+    * sees genuine PNG byte streams, features come back columnar per
+    * batch, nothing touches the driver. The oracle recomputes the
+    * expected statistics from the seed arithmetic alone — the hash
+    * match holds only if the encode -> decode loop reproduces every
+    * pixel exactly (PNG is lossless; AnnMultimodalSpec additionally
+    * pins the PNG magic bytes and the corrupt-payload failure). A
+    * real deployment swaps `encodePng(id)` for the stored media
+    * column and `decodeBatch` for its codec, keeping the shape. */
   val mmFeatureExtract: Q = Q(
     "mm_feature_extract",
     (s, dir) => {
       import s.implicits._
       val batchSize = 64
       docs(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("bytes"))
-        .as[(Long, Array[Byte])]
+        .select(col("doc_id"))
+        .as[Long]
         .mapPartitions { it =>
-          it.grouped(batchSize).flatMap { batch => decodeBatch(batch) }
+          it.grouped(batchSize).flatMap { ids =>
+            decodeBatch(ids.map(id => id -> encodePng(id)))
+          }
         }
         .toDF()
     },
-    Some(s"""WITH m AS (
-            |  SELECT doc_id, text, [ord(c) FOR c IN string_split(text, '')] AS os
+    Some(s"""WITH px AS (
+            |  SELECT doc_id,
+            |    [((1103515245 * ((doc_id*192 + i) % 2147483648) + 12345) % 2147483648) % 256
+            |      FOR i IN range(0, 192)] AS vs
             |  FROM documents
             |)
             |SELECT doc_id,
-            |  CAST(len(os) AS BIGINT) AS n_bytes,
-            |  ${duckCharHash("text")} AS byte_hash,
-            |  list_min(os) AS min_byte,
-            |  list_max(os) AS max_byte,
-            |  CAST(list_sum(os) AS BIGINT) // len(os) AS mean_byte
-            |FROM m""".stripMargin))
-
-  /** STUB decoder: deterministic byte statistics standing in for a real
-    * vectorized decode (text is ASCII, so byte_hash equals the
-    * code-point hash the oracle computes). */
-  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MmFeatures] =
-    batch.map { case (id, bytes) =>
-      var h = 0L
-      var sum = 0L
-      var mn = 255
-      var mx = 0
-      var i = 0
-      while (i < bytes.length) {
-        val b = bytes(i) & 0xff
-        h = (h * 31 + b) % P1
-        sum += b
-        if (b < mn) mn = b
-        if (b > mx) mx = b
-        i += 1
-      }
-      MmFeatures(id, bytes.length.toLong, h, mn, mx,
-        if (bytes.length == 0) 0L else sum / bytes.length)
-    }
+            |  CAST(8 AS INTEGER) AS width,
+            |  CAST(8 AS INTEGER) AS height,
+            |  list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+            |    (acc, v) -> (acc*31 + v) % $P1) AS pixel_digest,
+            |  CAST(list_sum([vs[3*p+1] FOR p IN range(0, 64)]) AS BIGINT) // 64 AS mean_r,
+            |  CAST(list_sum([vs[3*p+2] FOR p IN range(0, 64)]) AS BIGINT) // 64 AS mean_g,
+            |  CAST(list_sum([vs[3*p+3] FOR p IN range(0, 64)]) AS BIGINT) // 64 AS mean_b
+            |FROM px""".stripMargin))
 
   /** content-addressed dedup of binary media: group by sha-256 of the
     * payload (a 32-byte shuffle key regardless of media size — the only

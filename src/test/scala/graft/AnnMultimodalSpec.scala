@@ -51,20 +51,37 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("mm feature extraction matches a driver-side recompute on a sample") {
+  test("mm feature extraction: REAL PNG encode->decode loop matches the seed arithmetic") {
     val feats = Multimodal.mmFeatureExtract.run(spark, sfDir)
       .filter("doc_id < 5").collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(feats.nonEmpty)
-    val texts = graft.sources.Tables(spark, sfDir).documents
-      .filter("doc_id < 5").select("doc_id", "text").collect()
-    texts.foreach { r =>
-      val bytes = r.getString(1).getBytes("UTF-8")
-      var h = 0L
-      bytes.foreach(b => h = (h * 31 + (b & 0xff)) % graft.functions.Portable.P1)
-      val row = feats(r.getLong(0))
-      assert(row.getLong(1) == bytes.length)
-      assert(row.getLong(2) == h)
+    feats.foreach { case (id, row) =>
+      // driver-side recompute straight from the pixel seed — the query
+      // value went through ImageIO encode -> PNG bytes -> ImageIO
+      // decode, so equality proves the codec loop is pixel-lossless
+      var digest = 0L
+      var sums = Array(0L, 0L, 0L)
+      (0 until 192).foreach { i =>
+        val v = Multimodal.pixelValue(id, i.toLong)
+        digest = (digest * 31 + v) % graft.functions.Portable.P1
+        sums(i % 3) += v
+      }
+      assert(row.getInt(1) == 8 && row.getInt(2) == 8)
+      assert(row.getLong(3) == digest)
+      assert((row.getLong(4), row.getLong(5), row.getLong(6)) ==
+        (sums(0) / 64, sums(1) / 64, sums(2) / 64))
+    }
+  }
+
+  test("mm feature extraction: payloads are genuine PNG streams; corrupt payloads fail loud") {
+    val png = Multimodal.encodePng(42L)
+    // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    // a truncated/garbage payload must throw, not yield zeroed features
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBatch(Seq(7L -> Array[Byte](1, 2, 3)))
     }
   }
 
