@@ -41,6 +41,14 @@ object Portable {
   def fp60(e: String): String =
     s"(${charHash(e, 31, P1)} * $TWO30 + ${charHash(e, 37, P2)})"
 
+  /** A second, independent 60-bit fingerprint (different multipliers)
+    * — paired with [[fp60]] this forms a 120-bit key whose per-pair
+    * collision odds are ~2^-120: at 10^9 distinct texts the birthday
+    * bound is ~10^18/2^121 ≈ 4e-19, negligible where fp60 alone
+    * (~10^18/2^61) would not be. */
+  def fp60b(e: String): String =
+    s"(${charHash(e, 41, P1)} * $TWO30 + ${charHash(e, 43, P2)})"
+
   /** word 3-gram shingle strings from a words-array expression. */
   def shingles3(wordsArr: String): String =
     s"CASE WHEN size($wordsArr) < 3 THEN array() " +

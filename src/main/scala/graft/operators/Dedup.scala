@@ -182,9 +182,22 @@ object Dedup {
     * memory pressure; the rep form does the identical-result join on
     * 1/30th the docs. */
   private[operators] def textGroups(s: SparkSession, dir: String): DataFrame =
+    // The window key is a 120-bit text fingerprint (two independent
+    // 60-bit polynomial hashes), NOT the raw text: this exchange is
+    // the widest shuffle in the repo, and 16 bytes per row vs whole
+    // documents is the difference between shuffling ids and shuffling
+    // the corpus. Collision stance (same as the sig digests): two
+    // DISTINCT texts sharing both fingerprints merge groups with
+    // per-pair odds ~2^-120 — birthday bound ~4e-19 at 10^9 distinct
+    // texts — so grouping is identical to partitioning on the text
+    // itself (the oracles keep PARTITION BY text; a disagreement IS
+    // the collision detector).
     docs(s, dir).select(col("doc_id"), col("text"))
-      .withColumn("gid", min("doc_id").over(Window.partitionBy("text")))
-      .withColumn("gn", count(lit(1)).over(Window.partitionBy("text")))
+      .withColumn("fpa", expr(fp60("text")))
+      .withColumn("fpb", expr(fp60b("text")))
+      .withColumn("gid", min("doc_id").over(Window.partitionBy("fpa", "fpb")))
+      .withColumn("gn", count(lit(1)).over(Window.partitionBy("fpa", "fpb")))
+      .drop("fpa", "fpb")
       // only representatives are ever read back with text
       // ([[groupReps]]); nulling the copies' text before the
       // checkpoint shrinks the pinned storage from O(corpus text) to
