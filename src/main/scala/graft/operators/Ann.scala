@@ -1504,8 +1504,266 @@ object Ann {
             |  ON b.probe_id = a.probe_id AND b.n_id = a.n_id
             |GROUP BY 1 ORDER BY b.probe_id""".stripMargin))
 
+  /** IVF-PQ with RESIDUAL encoding — what production IVF-PQ actually
+    * quantizes (FAISS `IndexIVFPQ` default, the original Jégou PQ
+    * paper's IVFADC): each vector's PQ codes describe (v − centroid of
+    * its coarse cell), not v itself. Residuals concentrate near the
+    * origin, so a fixed-size codebook spends its 16 ids describing a
+    * much smaller ball — typically the single largest recall lever in
+    * the composition at the same storage cost (4 codes/vector,
+    * unchanged). Everything stays integer-exact: subvectors are int8
+    * codes, cell centroids are floor-of-double-div integer means of
+    * member codes (kmeansUpdate's arithmetic — IEEE-deterministic in
+    * both engines), so residuals, the residual codebook (the 16 seed
+    * vectors' own residuals), and every ADC distance are exact
+    * integers; ranking ties cannot diverge.
+    *
+    * The online half changes shape in one way worth noting for scale:
+    * the ADC table is per (probe, PROBED CELL) — the probe's residual
+    * depends on which cell it is probing — so the broadcast LUT is
+    * |probes| × nprobe × M × K rows (640 here) instead of
+    * |probes| × M × K (320). Still trivially broadcast at any real
+    * probe batch size, and the candidate-side cost is identical:
+    * 4 ints read per candidate, partial-aggregated integer sums.
+    * Shortlist depth, rerank, and output contract match ann_ivf_pq
+    * exactly, so the two rows' recall harnesses are directly
+    * comparable (ann_recall_ivfpq_res vs ann_recall_ivfpq measures
+    * the residual gain end-to-end). */
+  val annIvfPqRes: Q = Q(
+    "ann_ivf_pq_res",
+    (s, dir) => {
+      val e = emb(s, dir)
+      // offline: coarse cells (ann_ivf's broadcast argmax assignment)
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2")))
+      val cellScores = e.crossJoin(cents)
+        .select(col("vec_id"), col("c_id"),
+          cosWith("v", "n2", "cv", "cn2").as("c_cos"))
+      val assigned = cellScores.groupBy("vec_id")
+        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+      val sub = pqSubvectors(s, dir).join(assigned, "vec_id").localCheckpoint()
+      // per-(cell, subspace) integer centroid of the member subvectors:
+      // per-dim INTEGER sums (order-independent), floor-of-double-div
+      // means — kmeansUpdate's exact arithmetic, 64 tiny rows
+      val cellCent = sub.select(col("cell"), col("m"), posexplode(col("sv")))
+        .groupBy("cell", "m", "pos")
+        .agg(sum(col("col").cast("long")).as("sm"), count(lit(1)).as("n"))
+        .withColumn("cm", floor(col("sm").cast("double") / col("n")).cast("double"))
+        .groupBy("cell", "m")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), x -> x.cm)")
+          .as("ccd"))
+      // residual subvectors: rv = sv − centroid(cell, m), exact ints
+      val res = sub.join(broadcast(cellCent), Seq("cell", "m"))
+        .select(col("vec_id"), col("cell"), col("m"),
+          expr("zip_with(sv, ccd, (a, b) -> a - b)").as("rv"))
+        .withColumn("rn2", expr(dot("rv", "rv")))
+        .localCheckpoint()
+      // residual codebook: the 16 seed vectors' own residuals (shared
+      // across cells — the standard shared-codebook-on-residuals shape)
+      val rcb = res.filter(col("vec_id") < 16)
+        .select(col("m"), col("vec_id").as("c_id"), col("rv").as("cd"),
+          col("rn2").as("cn2"))
+      // encode: per (vector, subspace) argmin over the broadcast
+      // residual codebook — ann_pq's one-exchange partial-agg shape
+      val enc = res.join(broadcast(rcb), "m")
+        .select(col("vec_id"), col("cell"), col("m"), col("c_id"),
+          sqDist("rn2", "cn2", "rv", "cd").as("d"))
+        .groupBy("vec_id", "cell", "m")
+        .agg(max_by(col("c_id"), struct(-col("d"), -col("c_id"))).as("code"))
+      // online: nprobe=2 cells per probe; the ADC table is built from
+      // the probe's residual AGAINST EACH PROBED CELL's centroid
+      val probeCells = cellScores.filter(expr(ProbeFilter))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id").as("probe_id"), col("c_id").as("cell"))
+      val lut = sub.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("m"), col("sv"))
+        .join(broadcast(probeCells), "probe_id")
+        .join(broadcast(cellCent), Seq("cell", "m"))
+        .select(col("probe_id"), col("cell"), col("m"),
+          expr("zip_with(sv, ccd, (a, b) -> a - b)").as("prv"))
+        .withColumn("prn2", expr(dot("prv", "prv")))
+        .join(broadcast(rcb), "m")
+        .select(col("probe_id"), col("cell"), col("m"), col("c_id"),
+          sqDist("prn2", "cn2", "prv", "cd").as("d"))
+      // one broadcast join does BOTH the cell prune and the table
+      // lookup: candidates outside probed cells have no LUT row and
+      // drop map-side; survivors carry only integer partial sums
+      val shortlist = enc.join(broadcast(lut),
+          enc("cell") === lut("cell") && enc("m") === lut("m") &&
+            enc("code") === lut("c_id") && enc("vec_id") =!= lut("probe_id"))
+        .select(col("probe_id"), enc("vec_id").as("n_id"), col("d"))
+        .groupBy("probe_id", "n_id")
+        .agg(sum(col("d")).cast("long").as("adist"))
+        .withColumn("rq", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("adist"), col("n_id"))))
+        .filter(col("rq") <= QCand)
+      shortlist
+        .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
+          col("probe_id") === col("vec_id")).drop("vec_id")
+        .join(e.select(col("vec_id"), col("v").as("nv"), col("n2").as("nn2")),
+          col("n_id") === col("vec_id"))
+        .select(col("probe_id"), col("n_id"),
+          cosWith("pv", "pn2", "nv", "nn2").as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH $ivfPqResOracleCtes
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id
+            |      ORDER BY cos DESC, n_id) AS rank
+            |  FROM rerankedr
+            |) WHERE rank <= 5""".stripMargin))
+
+  /** The residual IVF-PQ oracle chain through `rerankedr` — the
+    * non-residual chain with three insertions: integer cell centroids
+    * (kmeansUpdate's floor-of-double-div means), residual subvectors
+    * on both the corpus and probe sides, and a per-(probe, probed
+    * cell) ADC table. Lazy: referenced from val initializers above. */
+  private lazy val ivfPqResOracleCtes: String = {
+    val d = (a: String, b: String, an2: String, bn2: String) =>
+      s"$an2 + $bn2 - 2 * ${duckDot(a, b)}"
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), c AS (
+       |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+       |), cs AS (
+       |  SELECT e.vec_id, c_id, ${duckCosine("e.v", "cv")} AS c_cos
+       |  FROM e CROSS JOIN c
+       |), assigned AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY c_cos DESC, c_id) AS rn
+       |    FROM cs
+       |  ) WHERE rn = 1
+       |), pc AS (
+       |  SELECT vec_id AS probe_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY c_cos DESC, c_id) AS crn
+       |    FROM cs WHERE $ProbeFilter
+       |  ) WHERE crn <= 2
+       |), q AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE)) AS qd
+       |  FROM (
+       |    SELECT vec_id, v,
+       |      list_reduce(list_prepend(CAST(1e-12 AS DOUBLE),
+       |        list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
+       |    FROM e)
+       |), sub AS (
+       |  SELECT vec_id, t.m,
+       |    list_slice(qd, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM q, unnest([i FOR i IN range(0, $PqM)]) AS t(m)
+       |), suba AS (
+       |  SELECT sub.vec_id, sub.m, sub.sv, a.cell
+       |  FROM sub JOIN assigned a ON sub.vec_id = a.vec_id
+       |), csums AS (
+       |  SELECT cell, m, t.x['pos'] AS pos,
+       |    CAST(sum(t.x['v']) AS BIGINT) AS sm, count(*) AS n
+       |  FROM suba, unnest([{'pos': i, 'v': CAST(sv[i] AS BIGINT)}
+       |    FOR i IN range(1, len(sv) + 1)]) AS t(x)
+       |  GROUP BY 1, 2, 3
+       |), ccent AS (
+       |  SELECT cell, m,
+       |    list(floor(CAST(sm AS DOUBLE) / n) ORDER BY pos) AS ccd
+       |  FROM csums GROUP BY 1, 2
+       |), resn AS (
+       |  SELECT vec_id, cell, m, rv, ${duckDot("rv", "rv")} AS rn2 FROM (
+       |    SELECT s.vec_id, s.cell, s.m,
+       |      [s.sv[i] - ct.ccd[i] FOR i IN range(1, len(s.sv) + 1)] AS rv
+       |    FROM suba s JOIN ccent ct ON s.cell = ct.cell AND s.m = ct.m)
+       |), rcb AS (
+       |  SELECT m, vec_id AS c_id, rv AS cd, rn2 AS cn2
+       |  FROM resn WHERE vec_id < 16
+       |), renc AS (
+       |  SELECT vec_id, cell, m, c_id AS code FROM (
+       |    SELECT r.vec_id, r.cell, r.m, rcb.c_id,
+       |      row_number() OVER (PARTITION BY r.vec_id, r.m
+       |        ORDER BY ${d("rv", "cd", "rn2", "cn2")}, rcb.c_id) AS rn
+       |    FROM resn r JOIN rcb ON r.m = rcb.m
+       |  ) WHERE rn = 1
+       |), presn AS (
+       |  SELECT probe_id, cell, m, prv, ${duckDot("prv", "prv")} AS prn2 FROM (
+       |    SELECT pc.probe_id, pc.cell, s.m,
+       |      [s.sv[i] - ct.ccd[i] FOR i IN range(1, len(s.sv) + 1)] AS prv
+       |    FROM sub s JOIN pc ON s.vec_id = pc.probe_id
+       |    JOIN ccent ct ON ct.cell = pc.cell AND ct.m = s.m)
+       |), plut AS (
+       |  SELECT p.probe_id, p.cell, p.m, rcb.c_id,
+       |    ${d("prv", "cd", "prn2", "cn2")} AS dist
+       |  FROM presn p JOIN rcb ON p.m = rcb.m
+       |), adcr AS (
+       |  SELECT plut.probe_id, renc.vec_id AS n_id,
+       |    CAST(sum(dist) AS BIGINT) AS adist
+       |  FROM renc JOIN plut ON renc.cell = plut.cell AND renc.m = plut.m
+       |    AND renc.code = plut.c_id AND renc.vec_id <> plut.probe_id
+       |  GROUP BY 1, 2
+       |), shortr AS (
+       |  SELECT probe_id, n_id FROM (
+       |    SELECT probe_id, n_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY adist, n_id) AS rq
+       |    FROM adcr
+       |  ) WHERE rq <= $QCand
+       |), rerankedr AS (
+       |  SELECT s.probe_id, s.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+       |  FROM shortr s
+       |  JOIN e ep ON s.probe_id = ep.vec_id
+       |  JOIN e en ON s.n_id = en.vec_id
+       |)""".stripMargin
+  }
+
+  /** Recall@5 of residual IVF-PQ vs exact brute force — directly
+    * comparable to ann_recall_ivfpq (identical harness, identical
+    * nprobe/M/K/shortlist depth); the delta between the two rows IS
+    * the measured residual-encoding gain. */
+  val annRecallIvfPqRes: Q = Q(
+    "ann_recall_ivfpq_res",
+    (s, dir) => {
+      val exact = annBruteforce.run(s, dir).filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annIvfPqRes.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+        .withColumn("recall_pct", expr("hits * 100 div k"))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH $ivfPqResOracleCtes, approx AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT probe_id, n_id,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY cos DESC, n_id) AS rank
+            |    FROM rerankedr
+            |  ) WHERE rank <= 5
+            |), bf AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT p.vec_id AS probe_id, x.vec_id AS n_id,
+            |      row_number() OVER (PARTITION BY p.vec_id
+            |        ORDER BY ${duckCosine("p.v", "x.v")} DESC, x.vec_id) AS rank
+            |    FROM e x JOIN e p ON x.vec_id <> p.vec_id
+            |    WHERE p.$ProbeFilter
+            |  ) WHERE rank <= 5
+            |)
+            |SELECT b.probe_id, count(*) AS k, count(a.n_id) AS hits,
+            |  count(a.n_id) * 100 // count(*) AS recall_pct
+            |FROM bf b LEFT JOIN approx a
+            |  ON b.probe_id = a.probe_id AND b.n_id = a.n_id
+            |GROUP BY 1 ORDER BY b.probe_id""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
     annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall,
-    annIncremental, annPq, annRecallPq, annIvfPq, annRecallIvfPq)
+    annIncremental, annPq, annRecallPq, annIvfPq, annRecallIvfPq,
+    annIvfPqRes, annRecallIvfPqRes)
 }
