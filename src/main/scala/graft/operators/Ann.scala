@@ -902,7 +902,7 @@ object Ann {
       // k=16 occupancy grew N/16 and this row ran 315 s at 30x; scaled
       // k keeps per-cluster pair work constant, so cost is linear in N.
       // The count() is one scalar of driver metadata.
-      val k = kmeansK(emb(s, dir).count())
+      val k = kmeansK(Tables(s, dir).embeddingsCount)
       val (codes, _, c1) = kmeansStage(s, dir, k)
       val a1 = kmeansAssign(codes, c1).select(col("vec_id"), col("cid"))
       // The MaxEmbBucket cap remains as the skew guard (a degenerate
@@ -972,7 +972,8 @@ object Ann {
     "dedup_blocking_recall",
     (s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("v"), col("n2"))
-      val sMod = math.max(1L, (e.count() + AnchorCap - 1L) / AnchorCap)
+      val sMod = math.max(1L,
+        (Tables(s, dir).embeddingsCount + AnchorCap - 1L) / AnchorCap)
       val anchors = e.filter(col("vec_id") % sMod === 0L)
         .select(col("vec_id").as("a_id"), col("v").as("av"),
           col("n2").as("an2"))
@@ -1118,6 +1119,10 @@ object Ann {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
+      // maintenance pass the append-only ingest needs to survive years
+      // of batches: coalesce each fragmented cell back to target file
+      // count (here: the two ingest batches' files per cell -> 1)
+      compactIndex(s, s"$indexRoot/vectors")
       val idx = s.read.parquet(s"$indexRoot/vectors")
       val probes = idx.filter(expr(ProbeFilter))
         .select(col("vec_id").as("probe_id"), col("cell"),
@@ -1140,6 +1145,62 @@ object Ann {
           round(col("cos"), 6).as("cos_sim"))
     },
     Some(ivfTopkOracleSql))
+
+  /** Small-file compaction for the cell-partitioned incremental index:
+    * append-only ingest writes one file per (micro-batch x cell), so a
+    * year of daily batches leaves 365 x k files — the classic
+    * small-file death (every search task pays an open/footer-read per
+    * file, and the namenode/listing cost grows without bound).
+    *
+    * The pass is O(fragmented cells), never O(index):
+    *  1. a filesystem LISTING (metadata only) finds the cells whose
+    *     data-file count exceeds `targetFilesPerCell`;
+    *  2. ONE job reads exactly those cells (the literal `cell IN`
+    *     prunes the scan to their directories) and repartitions on
+    *     `cell`, so each cell's rows land in a single task -> a single
+    *     output file per cell;
+    *  3. dynamic partition overwrite swaps only the rewritten cell
+    *     directories — untouched cells' files are never opened.
+    *
+    * The rewrite is a pure physical re-layout (same rows, same
+    * schema), so search results bit-match pre-compaction — spec-pinned
+    * (AnnMultimodalSpec), and the registry row runs it between ingest
+    * and search. The fragmented cells are pinned (localCheckpoint)
+    * before the overwrite because the write replaces the very files
+    * the plan reads; a deployment bounds each pass's cell list to keep
+    * that pinned set within executor storage — the pass is idempotent,
+    * so chunking it is safe.
+    *
+    * Returns (cells rewritten, total cells). */
+  private[graft] def compactIndex(s: SparkSession, vectorsRoot: String,
+      targetFilesPerCell: Int = 1): (Int, Int) = {
+    require(targetFilesPerCell >= 1, "targetFilesPerCell must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(vectorsRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0, 0)
+    val cellDirs = fs.listStatus(root).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("cell=")
+    }
+    def dataFileCount(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val fragmented = cellDirs
+      .filter(d => dataFileCount(d.getPath) > targetFilesPerCell)
+      .map(_.getPath.getName.stripPrefix("cell=").toLong).sorted
+    if (fragmented.isEmpty) return (0, cellDirs.length)
+    val pinned = s.read.parquet(vectorsRoot)
+      .filter(col("cell").isin(fragmented.map(Long.box): _*))
+      .repartition(fragmented.length, col("cell"))
+      .localCheckpoint(true)
+    try
+      pinned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(vectorsRoot)
+    finally { pinned.unpersist(false); () }
+    (fragmented.length, cellDirs.length)
+  }
 
   // ---- product quantization (PQ/ADC) -------------------------------
 
@@ -1278,14 +1339,19 @@ object Ann {
          |  ON x.probe_id = a.probe_id AND x.n_id = a.n_id
          |GROUP BY 1 ORDER BY x.probe_id""".stripMargin, extraCte = true)))
 
-  /** The PQ index/LUT oracle CTE chain (int8 codes -> subspace split
-    * -> seed codebook -> argmin encode -> probe LUT), shared verbatim
-    * by the three PQ rows; expects an `e` CTE in scope. */
-  // lazy: referenced from pqOracle during the PQ rows' val initializers
-  // above, which run before this declaration in object init order
-  private lazy val pqCoreCtes: String = {
-    val d = (a: String, b: String, an2: String, bn2: String) =>
-      s"$an2 + $bn2 - 2 * ${duckDot(a, b)}"
+  /** Squared L2 distance via precomputed squared norms — the ADC/encode
+    * distance every PQ oracle interpolates. */
+  private def duckSqDist(a: String, b: String, an2: String, bn2: String) =
+    s"$an2 + $bn2 - 2 * ${duckDot(a, b)}"
+
+  /** The int8 quantization (`q`) + subspace split (`sub`) CTEs — the
+    * single home of the floor(x*127/maxabs+0.5) formula; expects an
+    * `e` CTE in scope. Shared by [[pqCoreCtes]] and
+    * [[ivfPqResOracleCtes]] so the engines' quantization can never
+    * silently diverge between the residual and non-residual chains. */
+  // lazy: referenced from other lazy-val initializers whose first use
+  // happens during the PQ rows' val initializers above
+  private lazy val pqSubCtes: String =
     s"""q AS (
        |  SELECT vec_id,
        |    list_transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE)) AS qd
@@ -1298,7 +1364,16 @@ object Ann {
        |  SELECT vec_id, t.m,
        |    list_slice(qd, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS sv
        |  FROM q, unnest([i FOR i IN range(0, $PqM)]) AS t(m)
-       |), sn AS (
+       |)""".stripMargin
+
+  /** The PQ index/LUT oracle CTE chain (int8 codes -> subspace split
+    * -> seed codebook -> argmin encode -> probe LUT), shared verbatim
+    * by the three PQ rows; expects an `e` CTE in scope. */
+  // lazy: referenced from pqOracle during the PQ rows' val initializers
+  // above, which run before this declaration in object init order
+  private lazy val pqCoreCtes: String = {
+    val d = duckSqDist _
+    s"""$pqSubCtes, sn AS (
        |  SELECT vec_id, m, sv, ${duckDot("sv", "sv")} AS sn2 FROM sub
        |), cb AS (
        |  SELECT m, vec_id AS c_id, sv AS cd, sn2 AS cn2 FROM sn WHERE vec_id < 16
@@ -1415,10 +1490,12 @@ object Ann {
             |  FROM reranked
             |) WHERE rank <= 5""".stripMargin))
 
-  /** The IVF-PQ oracle chain through `reranked` (coarse cells + probed
-    * cells + PQ core + ADC shortlist + exact rerank), shared with the
-    * recall harness. Lazy: referenced from val initializers above. */
-  private lazy val ivfPqOracleCtes: String =
+  /** The coarse-cell oracle chain (`e` load -> seed centroids `c` ->
+    * all-pairs cell cosines `cs` -> corpus assignment `assigned` ->
+    * nprobe=2 probed cells `pc`) — shared verbatim by the residual and
+    * non-residual IVF-PQ chains so a future nprobe/seed edit cannot
+    * diverge them. */
+  private lazy val coarseCellCtes: String =
     s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), c AS (
@@ -1440,7 +1517,13 @@ object Ann {
        |        ORDER BY c_cos DESC, c_id) AS crn
        |    FROM cs WHERE $ProbeFilter
        |  ) WHERE crn <= 2
-       |), $pqCoreCtes, adcp AS (
+       |)""".stripMargin
+
+  /** The IVF-PQ oracle chain through `reranked` (coarse cells + probed
+    * cells + PQ core + ADC shortlist + exact rerank), shared with the
+    * recall harness. Lazy: referenced from val initializers above. */
+  private lazy val ivfPqOracleCtes: String =
+    s"""$coarseCellCtes, $pqCoreCtes, adcp AS (
        |  SELECT pc.probe_id, a.vec_id AS n_id,
        |    CAST(sum(lut.dist) AS BIGINT) AS adist
        |  FROM assigned a
@@ -1467,7 +1550,13 @@ object Ann {
     * end-to-end number a deployment actually watches (coarse-cell
     * misses + codebook loss + shortlist truncation, measured together
     * against ground truth). Same harness construction as every other
-    * recall row. */
+    * recall row, with one eval-harness property made explicit: the
+    * approx side is MATERIALIZED (localCheckpoint — |probes| x 5 rows)
+    * before the comparison, exactly as a deployment scores stored
+    * search output against ground truth. The comparison plan therefore
+    * contains the brute-force chain plus one broadcast join + one
+    * aggregation — it never replans the composed IVF-PQ pipeline
+    * (whose plan shape is audited on its own row). */
   val annRecallIvfPq: Q = Q(
     "ann_recall_ivfpq",
     (s, dir) => {
@@ -1475,6 +1564,7 @@ object Ann {
         .select(col("probe_id"), col("n_id"))
       val approx = annIvfPq.run(s, dir)
         .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+        .localCheckpoint()
       exact.join(approx,
           col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
         .groupBy("probe_id")
@@ -1627,42 +1717,8 @@ object Ann {
     * on both the corpus and probe sides, and a per-(probe, probed
     * cell) ADC table. Lazy: referenced from val initializers above. */
   private lazy val ivfPqResOracleCtes: String = {
-    val d = (a: String, b: String, an2: String, bn2: String) =>
-      s"$an2 + $bn2 - 2 * ${duckDot(a, b)}"
-    s"""e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |), c AS (
-       |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
-       |), cs AS (
-       |  SELECT e.vec_id, c_id, ${duckCosine("e.v", "cv")} AS c_cos
-       |  FROM e CROSS JOIN c
-       |), assigned AS (
-       |  SELECT vec_id, c_id AS cell FROM (
-       |    SELECT vec_id, c_id,
-       |      row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY c_cos DESC, c_id) AS rn
-       |    FROM cs
-       |  ) WHERE rn = 1
-       |), pc AS (
-       |  SELECT vec_id AS probe_id, c_id AS cell FROM (
-       |    SELECT vec_id, c_id,
-       |      row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY c_cos DESC, c_id) AS crn
-       |    FROM cs WHERE $ProbeFilter
-       |  ) WHERE crn <= 2
-       |), q AS (
-       |  SELECT vec_id,
-       |    list_transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE)) AS qd
-       |  FROM (
-       |    SELECT vec_id, v,
-       |      list_reduce(list_prepend(CAST(1e-12 AS DOUBLE),
-       |        list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
-       |    FROM e)
-       |), sub AS (
-       |  SELECT vec_id, t.m,
-       |    list_slice(qd, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS sv
-       |  FROM q, unnest([i FOR i IN range(0, $PqM)]) AS t(m)
-       |), suba AS (
+    val d = duckSqDist _
+    s"""$coarseCellCtes, $pqSubCtes, suba AS (
        |  SELECT sub.vec_id, sub.m, sub.sv, a.cell
        |  FROM sub JOIN assigned a ON sub.vec_id = a.vec_id
        |), csums AS (
@@ -1724,7 +1780,10 @@ object Ann {
   /** Recall@5 of residual IVF-PQ vs exact brute force — directly
     * comparable to ann_recall_ivfpq (identical harness, identical
     * nprobe/M/K/shortlist depth); the delta between the two rows IS
-    * the measured residual-encoding gain. */
+    * the measured residual-encoding gain. Like ann_recall_ivfpq, the
+    * approx side is materialized before the comparison so the scoring
+    * plan consumes search OUTPUT (25 rows) rather than re-embedding
+    * the residual chain's exchanges. */
   val annRecallIvfPqRes: Q = Q(
     "ann_recall_ivfpq_res",
     (s, dir) => {
@@ -1732,6 +1791,7 @@ object Ann {
         .select(col("probe_id"), col("n_id"))
       val approx = annIvfPqRes.run(s, dir)
         .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+        .localCheckpoint()
       exact.join(approx,
           col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
         .groupBy("probe_id")

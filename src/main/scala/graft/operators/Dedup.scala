@@ -547,8 +547,9 @@ object Dedup {
     (s, dir) => {
       // bucket join on (vec_id, bk) only; dedup candidate pairs BEFORE
       // computing any cosine, then re-attach the two vectors per pair.
-      val raw = Tables(s, dir).embeddings
-      val bits = embBits(raw.count())
+      val tbl = Tables(s, dir)
+      val raw = tbl.embeddings
+      val bits = embBits(tbl.embeddingsCount)
       val e = raw
         .select(col("vec_id"), expr(toDouble("embedding")).as("v"))
         .withColumn("n2", expr(dot("v", "v")))

@@ -31,9 +31,28 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
+
+  /** Memoized row count of the embeddings table — the one scalar that
+    * sizes every corpus-scaled knob ([[graft.operators.Dedup.embBits]],
+    * [[graft.operators.Ann.kmeansK]], the anchor-sample modulus).
+    * Several registry rows need it in the same run; the memo turns
+    * those repeated metadata scans into one. */
+  def embeddingsCount: Long = Tables.cachedCount(spark, s"$dir/embeddings.parquet")
 }
 
 object Tables {
+
+  /** Per-(application, path) row-count memo. Keyed by applicationId so
+    * entries die with the application, never a cross-app leak; the
+    * registry's inputs are immutable per-SF directories, so a count is
+    * stable for the application's lifetime (a catalog-backed
+    * deployment would invalidate on write instead). */
+  private val countMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  private[sources] def cachedCount(spark: SparkSession, path: String): Long =
+    countMemo.getOrElseUpdate((spark.sparkContext.applicationId, path),
+      spark.read.parquet(path).count())
   import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** Normalize an events frame's `ts` to TIMESTAMP across the physical

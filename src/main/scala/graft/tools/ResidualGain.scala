@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measurement harness for the residual-encoding question: what does
+  * IVF-PQ on residuals (ann_ivf_pq_res — FAISS IVFADC's default) buy
+  * over IVF-PQ on raw codes (ann_ivf_pq) at identical nprobe/M/K/
+  * shortlist depth? Runs BOTH recall rows on each given SF directory
+  * and emits one JSON document with per-probe recall@5 side by side
+  * plus the mean delta — the number a deployment reads before turning
+  * residual encoding on. This is measurement tooling like ScaleUp, not
+  * a registry row; the rows themselves stay oracle-verified.
+  *
+  * Usage: `runMain graft.tools.ResidualGain <outPath> <sfDir> [sfDir...]`
+  */
+object ResidualGain {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ResidualGain <outPath> <sfDir> [sfDir...]")
+    val out = args(0)
+    val dirs = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def recalls(name: String, dir: String): Map[Long, Long] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .select("probe_id", "recall_pct").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val sections = dirs.map { dir =>
+      val base = recalls("ann_recall_ivfpq", dir)
+      val res = recalls("ann_recall_ivfpq_res", dir)
+      require(base.keySet == res.keySet,
+        s"probe sets diverge at $dir: ${base.keySet} vs ${res.keySet}")
+      val probes = base.keys.toSeq.sorted
+      def mean(m: Map[Long, Long]): Double =
+        m.values.sum.toDouble / m.size
+      val perProbe = probes.map { p =>
+        s"""{"probe_id":$p,"ivfpq":${base(p)},"ivfpq_res":${res(p)}}"""
+      }.mkString("[", ",", "]")
+      val sfName = new java.io.File(dir).getName
+      f"""{"sf":"$sfName","mean_recall_ivfpq":${mean(base)}%.1f,"mean_recall_ivfpq_res":${mean(res)}%.1f,"mean_delta_pts":${mean(res) - mean(base)}%.1f,"per_probe":$perProbe}"""
+    }
+    val doc = sections.mkString(
+      """{"metric":"recall_at_5_pct","harness":"ann_recall_ivfpq vs ann_recall_ivfpq_res","runs":[""",
+      ",", "]}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc + "\n")
+    spark.stop()
+    println(doc)
+  }
+}

@@ -103,6 +103,53 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("PartitionFilters: [cell"), p)
   }
 
+  test("index compaction: fragmented cells coalesce to one file, results bit-match, second pass no-ops") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    graft.sources.Formats.deleteRecursivelyOnExit(tmp)
+    val root = tmp.toString + "/vectors"
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("cell", pmod(col("vec_id"), lit(4)))
+    // two append batches, several write tasks each -> every cell holds
+    // more than one data file (the ingest fragmentation pattern)
+    e.filter(col("vec_id") % 2 === 0).repartition(4)
+      .write.mode("append").partitionBy("cell").parquet(root)
+    e.filter(col("vec_id") % 2 === 1).repartition(4)
+      .write.mode("append").partitionBy("cell").parquet(root)
+
+    def filesPerCell: Map[String, Int] = {
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(rp)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath).count { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        }.toMap
+    }
+
+    val beforeFiles = filesPerCell
+    assert(beforeFiles.values.exists(_ > 1), s"setup not fragmented: $beforeFiles")
+    val before = spark.read.parquet(root).orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+
+    val (rewritten, total) = Ann.compactIndex(spark, root)
+    assert(total == beforeFiles.size)
+    assert(rewritten == beforeFiles.count(_._2 > 1))
+    val afterFiles = filesPerCell
+    assert(afterFiles.keySet == beforeFiles.keySet, "compaction must not add or drop cells")
+    assert(afterFiles.values.forall(_ == 1), s"cells still fragmented: $afterFiles")
+    val after = spark.read.parquet(root).orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction is a physical re-layout: same rows, bit-identical")
+    // idempotence: a second pass finds nothing over target and rewrites nothing
+    assert(Ann.compactIndex(spark, root) == ((0, beforeFiles.size)))
+  }
+
   test("Lloyd convergence: per-round inertia falls, then never rises, over 3 rounds") {
     // the registry row (cluster_kmeans) is the R=1 configuration of the
     // same loop; every round is the same order-independent integer

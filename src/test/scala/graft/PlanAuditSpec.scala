@@ -29,12 +29,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // self-joins had planned as broadcasts (0 static exchanges), so
     // the capped static count is 10. Each constituent stays well under
     // the ceiling (dedup_embedding 3, dedup_semantic 4).
-    // ann_recall_ivfpq (9) embeds the FULL composed IVF-PQ pipeline
-    // (encode argmin + ADC sum + shortlist window + rerank window)
-    // PLUS the brute-force ground truth in one plan — an eval-only
-    // harness; each constituent row stays within the ceiling.
-    val ceiling = Map("dedup_blocking_recall" -> 10,
-      "ann_recall_ivfpq" -> 9).withDefaultValue(8)
+    // The IVF-PQ recall harnesses materialize (localCheckpoint) the
+    // approx search output before scoring it, so their comparison
+    // plans carry only the brute-force ground-truth chain — no
+    // exception needed; the composed pipelines' own plan shapes are
+    // audited on their search rows (ann_ivf_pq / ann_ivf_pq_res).
+    val ceiling = Map("dedup_blocking_recall" -> 10).withDefaultValue(8)
     val streaming = graft.streaming.Streams.all.map(_.name).toSet
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(streaming.contains)
