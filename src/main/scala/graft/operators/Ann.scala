@@ -1594,6 +1594,56 @@ object Ann {
             |  ON b.probe_id = a.probe_id AND b.n_id = a.n_id
             |GROUP BY 1 ORDER BY b.probe_id""".stripMargin))
 
+  /** Lloyd rounds for the residual codebook (mirrored verbatim in the
+    * oracle's generated CTE rounds — [[resCbTrainCtes]]). */
+  private val ResTrainRounds = 2
+
+  /** TRAIN the shared residual codebook: seed with the 16 seed
+    * vectors' own residuals, then run [[ResTrainRounds]] deterministic
+    * Lloyd rounds over the FULL residual distribution (argmin-sqdist
+    * assignment, per-(subspace, codeword, dim) INTEGER sums,
+    * floor-of-double-div means — kmeansUpdate's exact arithmetic; a
+    * codeword that attracts no members keeps its previous value via
+    * left-join-coalesce, so the round is total and deterministic in
+    * both engines). Training is what FAISS does for IVFADC codebooks,
+    * and round 9's committed measurement (RESIDUAL_GAIN.json) is why:
+    * the UNtrained seed codebook underfits as the corpus grows — the
+    * 16 seed residuals stop spanning the residual distribution — and
+    * recall@5 fell 72→52 at 10× while the trained path tracks the
+    * distribution at any size. Each round reads the checkpointed
+    * residual frame once (broadcast codebook, partial-agg argmin — one
+    * exchange — then k×M×dim-group integer sums: ann_pq's encode shape,
+    * corpus-size-independent update state). Returns the 64-row
+    * (m, c_id, cd, cn2) frame, localCheckpoint-ed so every consumer —
+    * encode, LUT, and the plan audit — sees a tiny leaf, not the
+    * training lineage. */
+  private def trainResCodebook(res: DataFrame): DataFrame = {
+    var cb = res.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("c_id"), col("rv").as("cd"),
+        col("rn2").as("cn2"))
+      .localCheckpoint()
+    (1 to ResTrainRounds).foreach { _ =>
+      val assign = res.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("rv"), col("c_id"),
+          sqDist("rn2", "cn2", "rv", "cd").as("d"))
+        .groupBy("vec_id", "m")
+        .agg(max_by(col("c_id"), struct(-col("d"), -col("c_id"))).as("c_id"),
+          first(col("rv")).as("rv")) // constant within the group
+      val upd = assign.select(col("m"), col("c_id"), posexplode(col("rv")))
+        .groupBy("m", "c_id", "pos")
+        .agg(sum(col("col").cast("long")).as("sm"), count(lit(1)).as("n"))
+        .withColumn("cm", floor(col("sm").cast("double") / col("n")).cast("double"))
+        .groupBy("m", "c_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), x -> x.cm)")
+          .as("ucd"))
+      cb = cb.join(upd, Seq("m", "c_id"), "left")
+        .select(col("m"), col("c_id"), coalesce(col("ucd"), col("cd")).as("cd"))
+        .withColumn("cn2", expr(dot("cd", "cd")))
+        .localCheckpoint()
+    }
+    cb
+  }
+
   /** IVF-PQ with RESIDUAL encoding — what production IVF-PQ actually
     * quantizes (FAISS `IndexIVFPQ` default, the original Jégou PQ
     * paper's IVFADC): each vector's PQ codes describe (v − centroid of
@@ -1601,11 +1651,13 @@ object Ann {
     * origin, so a fixed-size codebook spends its 16 ids describing a
     * much smaller ball — typically the single largest recall lever in
     * the composition at the same storage cost (4 codes/vector,
-    * unchanged). Everything stays integer-exact: subvectors are int8
-    * codes, cell centroids are floor-of-double-div integer means of
-    * member codes (kmeansUpdate's arithmetic — IEEE-deterministic in
-    * both engines), so residuals, the residual codebook (the 16 seed
-    * vectors' own residuals), and every ADC distance are exact
+    * unchanged). The codebook is TRAINED on the residual distribution
+    * ([[trainResCodebook]] — FAISS trains IVFADC codebooks for the
+    * same reason). Everything stays integer-exact: subvectors are int8
+    * codes, cell centroids and trained codewords are
+    * floor-of-double-div integer means of member codes (kmeansUpdate's
+    * arithmetic — IEEE-deterministic in both engines), so residuals,
+    * the residual codebook, and every ADC distance are exact
     * integers; ranking ties cannot diverge.
     *
     * The online half changes shape in one way worth noting for scale:
@@ -1648,11 +1700,11 @@ object Ann {
           expr("zip_with(sv, ccd, (a, b) -> a - b)").as("rv"))
         .withColumn("rn2", expr(dot("rv", "rv")))
         .localCheckpoint()
-      // residual codebook: the 16 seed vectors' own residuals (shared
-      // across cells — the standard shared-codebook-on-residuals shape)
-      val rcb = res.filter(col("vec_id") < 16)
-        .select(col("m"), col("vec_id").as("c_id"), col("rv").as("cd"),
-          col("rn2").as("cn2"))
+      // residual codebook: seeded by the 16 seed vectors' residuals,
+      // trained by ResTrainRounds Lloyd rounds over the residual
+      // distribution (shared across cells — the standard
+      // shared-codebook-on-residuals shape)
+      val rcb = trainResCodebook(res)
       // encode: per (vector, subspace) argmin over the broadcast
       // residual codebook — ann_pq's one-exchange partial-agg shape
       val enc = res.join(broadcast(rcb), "m")
@@ -1711,11 +1763,56 @@ object Ann {
             |  FROM rerankedr
             |) WHERE rank <= 5""".stripMargin))
 
+  /** The residual-codebook training CTE rounds, generated to match
+    * [[trainResCodebook]] CTE-for-CTE: `rcb0` = the 16 seed vectors'
+    * residuals; each round t = argmin assignment (`rasn$t`, ties to
+    * the smaller codeword id exactly like the Spark max_by), per-dim
+    * BIGINT sums (`rsum$t`), floor-of-double-div means (`rupd$t`),
+    * and the left-join-coalesce update (`rcb$t` — empty codewords
+    * keep their previous value). The final round is aliased `rcb`,
+    * the name the encode/LUT CTEs consume. Expects `resn` in scope. */
+  private lazy val resCbTrainCtes: String = {
+    val d = duckSqDist _
+    val rounds = (1 to ResTrainRounds).map { t =>
+      val prev = s"rcb${t - 1}"
+      s"""rasn$t AS (
+         |  SELECT m, c_id, rv FROM (
+         |    SELECT r.vec_id, r.m, r.rv, p.c_id,
+         |      row_number() OVER (PARTITION BY r.vec_id, r.m
+         |        ORDER BY ${d("rv", "cd", "rn2", "cn2")}, p.c_id) AS rn
+         |    FROM resn r JOIN $prev p ON r.m = p.m
+         |  ) WHERE rn = 1
+         |), rsum$t AS (
+         |  SELECT m, c_id, t.x['pos'] AS pos,
+         |    CAST(sum(t.x['v']) AS BIGINT) AS sm, count(*) AS n
+         |  FROM rasn$t, unnest([{'pos': i, 'v': CAST(rv[i] AS BIGINT)}
+         |    FOR i IN range(1, len(rv) + 1)]) AS t(x)
+         |  GROUP BY 1, 2, 3
+         |), rupd$t AS (
+         |  SELECT m, c_id,
+         |    list(floor(CAST(sm AS DOUBLE) / n) ORDER BY pos) AS ucd
+         |  FROM rsum$t GROUP BY 1, 2
+         |), rcb$t AS (
+         |  SELECT m, c_id, cd, ${duckDot("cd", "cd")} AS cn2 FROM (
+         |    SELECT p.m, p.c_id, coalesce(u.ucd, p.cd) AS cd
+         |    FROM $prev p LEFT JOIN rupd$t u
+         |      ON p.m = u.m AND p.c_id = u.c_id)
+         |)""".stripMargin
+    }
+    s"""rcb0 AS (
+       |  SELECT m, vec_id AS c_id, rv AS cd, rn2 AS cn2
+       |  FROM resn WHERE vec_id < 16
+       |), ${rounds.mkString(", ")}, rcb AS (
+       |  SELECT * FROM rcb$ResTrainRounds
+       |)""".stripMargin
+  }
+
   /** The residual IVF-PQ oracle chain through `rerankedr` — the
-    * non-residual chain with three insertions: integer cell centroids
+    * non-residual chain with four insertions: integer cell centroids
     * (kmeansUpdate's floor-of-double-div means), residual subvectors
-    * on both the corpus and probe sides, and a per-(probe, probed
-    * cell) ADC table. Lazy: referenced from val initializers above. */
+    * on both the corpus and probe sides, the trained residual
+    * codebook ([[resCbTrainCtes]]), and a per-(probe, probed cell)
+    * ADC table. Lazy: referenced from val initializers above. */
   private lazy val ivfPqResOracleCtes: String = {
     val d = duckSqDist _
     s"""$coarseCellCtes, $pqSubCtes, suba AS (
@@ -1736,10 +1833,7 @@ object Ann {
        |    SELECT s.vec_id, s.cell, s.m,
        |      [s.sv[i] - ct.ccd[i] FOR i IN range(1, len(s.sv) + 1)] AS rv
        |    FROM suba s JOIN ccent ct ON s.cell = ct.cell AND s.m = ct.m)
-       |), rcb AS (
-       |  SELECT m, vec_id AS c_id, rv AS cd, rn2 AS cn2
-       |  FROM resn WHERE vec_id < 16
-       |), renc AS (
+       |), $resCbTrainCtes, renc AS (
        |  SELECT vec_id, cell, m, c_id AS code FROM (
        |    SELECT r.vec_id, r.cell, r.m, rcb.c_id,
        |      row_number() OVER (PARTITION BY r.vec_id, r.m
