@@ -1360,7 +1360,13 @@ object Ann {
        |      list_reduce(list_prepend(CAST(1e-12 AS DOUBLE),
        |        list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
        |    FROM e)
-       |), sub AS (
+       |), $pqSplitCte""".stripMargin
+
+  /** The subspace-split half of [[pqSubCtes]] alone — for chains whose
+    * `q` already exists under another name's formula (the trained-cell
+    * chain reuses kmeansOracleCtes' identical `q`). Expects `q`. */
+  private lazy val pqSplitCte: String =
+    s"""sub AS (
        |  SELECT vec_id, t.m,
        |    list_slice(qd, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS sv
        |  FROM q, unnest([i FOR i IN range(0, $PqM)]) AS t(m)
@@ -1644,6 +1650,87 @@ object Ann {
     cb
   }
 
+  /** The residual-ADC search half, shared by ann_ivf_pq_res (seed
+    * coarse cells) and ann_ivfadc (trained coarse cells): takes the
+    * coarse half as inputs — `assigned` (vec_id, cell: every vector's
+    * coarse cell) and `probeCells` (probe_id, cell: each probe's
+    * nprobe=2 cells) — and runs the identical offline/online residual
+    * pipeline on top: per-(cell, subspace) integer cell centroids,
+    * residual subvectors, the TRAINED residual codebook
+    * ([[trainResCodebook]]), argmin encode, per-(probe, probed-cell)
+    * ADC table, broadcast prune+lookup join, integer partial-agg
+    * shortlist, exact rerank. Mirrored by the oracle's
+    * [[residualTailCtes]] so the two callers cannot diverge. */
+  private def residualAdcSearch(s: SparkSession, dir: String,
+      assigned: DataFrame, probeCells: DataFrame): DataFrame = {
+    val e = emb(s, dir)
+    val sub = pqSubvectors(s, dir).join(assigned, "vec_id").localCheckpoint()
+    // per-(cell, subspace) integer centroid of the member subvectors:
+    // per-dim INTEGER sums (order-independent), floor-of-double-div
+    // means — kmeansUpdate's exact arithmetic, k x M tiny rows
+    val cellCent = sub.select(col("cell"), col("m"), posexplode(col("sv")))
+      .groupBy("cell", "m", "pos")
+      .agg(sum(col("col").cast("long")).as("sm"), count(lit(1)).as("n"))
+      .withColumn("cm", floor(col("sm").cast("double") / col("n")).cast("double"))
+      .groupBy("cell", "m")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), x -> x.cm)")
+        .as("ccd"))
+    // residual subvectors: rv = sv − centroid(cell, m), exact ints
+    val res = sub.join(broadcast(cellCent), Seq("cell", "m"))
+      .select(col("vec_id"), col("cell"), col("m"),
+        expr("zip_with(sv, ccd, (a, b) -> a - b)").as("rv"))
+      .withColumn("rn2", expr(dot("rv", "rv")))
+      .localCheckpoint()
+    // residual codebook: seeded by the 16 seed vectors' residuals,
+    // trained by ResTrainRounds Lloyd rounds over the residual
+    // distribution (shared across cells — the standard
+    // shared-codebook-on-residuals shape)
+    val rcb = trainResCodebook(res)
+    // encode: per (vector, subspace) argmin over the broadcast
+    // residual codebook — ann_pq's one-exchange partial-agg shape
+    val enc = res.join(broadcast(rcb), "m")
+      .select(col("vec_id"), col("cell"), col("m"), col("c_id"),
+        sqDist("rn2", "cn2", "rv", "cd").as("d"))
+      .groupBy("vec_id", "cell", "m")
+      .agg(max_by(col("c_id"), struct(-col("d"), -col("c_id"))).as("code"))
+    // online: the ADC table is built from the probe's residual
+    // AGAINST EACH PROBED CELL's centroid
+    val lut = sub.filter(expr(ProbeFilter))
+      .select(col("vec_id").as("probe_id"), col("m"), col("sv"))
+      .join(broadcast(probeCells), "probe_id")
+      .join(broadcast(cellCent), Seq("cell", "m"))
+      .select(col("probe_id"), col("cell"), col("m"),
+        expr("zip_with(sv, ccd, (a, b) -> a - b)").as("prv"))
+      .withColumn("prn2", expr(dot("prv", "prv")))
+      .join(broadcast(rcb), "m")
+      .select(col("probe_id"), col("cell"), col("m"), col("c_id"),
+        sqDist("prn2", "cn2", "prv", "cd").as("d"))
+    // one broadcast join does BOTH the cell prune and the table
+    // lookup: candidates outside probed cells have no LUT row and
+    // drop map-side; survivors carry only integer partial sums
+    val shortlist = enc.join(broadcast(lut),
+        enc("cell") === lut("cell") && enc("m") === lut("m") &&
+          enc("code") === lut("c_id") && enc("vec_id") =!= lut("probe_id"))
+      .select(col("probe_id"), enc("vec_id").as("n_id"), col("d"))
+      .groupBy("probe_id", "n_id")
+      .agg(sum(col("d")).cast("long").as("adist"))
+      .withColumn("rq", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("adist"), col("n_id"))))
+      .filter(col("rq") <= QCand)
+    shortlist
+      .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
+        col("probe_id") === col("vec_id")).drop("vec_id")
+      .join(e.select(col("vec_id"), col("v").as("nv"), col("n2").as("nn2")),
+        col("n_id") === col("vec_id"))
+      .select(col("probe_id"), col("n_id"),
+        cosWith("pv", "pn2", "nv", "nn2").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("n_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** IVF-PQ with RESIDUAL encoding — what production IVF-PQ actually
     * quantizes (FAISS `IndexIVFPQ` default, the original Jégou PQ
     * paper's IVFADC): each vector's PQ codes describe (v − centroid of
@@ -1683,76 +1770,13 @@ object Ann {
           cosWith("v", "n2", "cv", "cn2").as("c_cos"))
       val assigned = cellScores.groupBy("vec_id")
         .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
-      val sub = pqSubvectors(s, dir).join(assigned, "vec_id").localCheckpoint()
-      // per-(cell, subspace) integer centroid of the member subvectors:
-      // per-dim INTEGER sums (order-independent), floor-of-double-div
-      // means — kmeansUpdate's exact arithmetic, 64 tiny rows
-      val cellCent = sub.select(col("cell"), col("m"), posexplode(col("sv")))
-        .groupBy("cell", "m", "pos")
-        .agg(sum(col("col").cast("long")).as("sm"), count(lit(1)).as("n"))
-        .withColumn("cm", floor(col("sm").cast("double") / col("n")).cast("double"))
-        .groupBy("cell", "m")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), x -> x.cm)")
-          .as("ccd"))
-      // residual subvectors: rv = sv − centroid(cell, m), exact ints
-      val res = sub.join(broadcast(cellCent), Seq("cell", "m"))
-        .select(col("vec_id"), col("cell"), col("m"),
-          expr("zip_with(sv, ccd, (a, b) -> a - b)").as("rv"))
-        .withColumn("rn2", expr(dot("rv", "rv")))
-        .localCheckpoint()
-      // residual codebook: seeded by the 16 seed vectors' residuals,
-      // trained by ResTrainRounds Lloyd rounds over the residual
-      // distribution (shared across cells — the standard
-      // shared-codebook-on-residuals shape)
-      val rcb = trainResCodebook(res)
-      // encode: per (vector, subspace) argmin over the broadcast
-      // residual codebook — ann_pq's one-exchange partial-agg shape
-      val enc = res.join(broadcast(rcb), "m")
-        .select(col("vec_id"), col("cell"), col("m"), col("c_id"),
-          sqDist("rn2", "cn2", "rv", "cd").as("d"))
-        .groupBy("vec_id", "cell", "m")
-        .agg(max_by(col("c_id"), struct(-col("d"), -col("c_id"))).as("code"))
-      // online: nprobe=2 cells per probe; the ADC table is built from
-      // the probe's residual AGAINST EACH PROBED CELL's centroid
+      // online: nprobe=2 cells per probe
       val probeCells = cellScores.filter(expr(ProbeFilter))
         .withColumn("crn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
         .filter(col("crn") <= 2)
         .select(col("vec_id").as("probe_id"), col("c_id").as("cell"))
-      val lut = sub.filter(expr(ProbeFilter))
-        .select(col("vec_id").as("probe_id"), col("m"), col("sv"))
-        .join(broadcast(probeCells), "probe_id")
-        .join(broadcast(cellCent), Seq("cell", "m"))
-        .select(col("probe_id"), col("cell"), col("m"),
-          expr("zip_with(sv, ccd, (a, b) -> a - b)").as("prv"))
-        .withColumn("prn2", expr(dot("prv", "prv")))
-        .join(broadcast(rcb), "m")
-        .select(col("probe_id"), col("cell"), col("m"), col("c_id"),
-          sqDist("prn2", "cn2", "prv", "cd").as("d"))
-      // one broadcast join does BOTH the cell prune and the table
-      // lookup: candidates outside probed cells have no LUT row and
-      // drop map-side; survivors carry only integer partial sums
-      val shortlist = enc.join(broadcast(lut),
-          enc("cell") === lut("cell") && enc("m") === lut("m") &&
-            enc("code") === lut("c_id") && enc("vec_id") =!= lut("probe_id"))
-        .select(col("probe_id"), enc("vec_id").as("n_id"), col("d"))
-        .groupBy("probe_id", "n_id")
-        .agg(sum(col("d")).cast("long").as("adist"))
-        .withColumn("rq", row_number().over(
-          Window.partitionBy("probe_id").orderBy(col("adist"), col("n_id"))))
-        .filter(col("rq") <= QCand)
-      shortlist
-        .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
-          col("probe_id") === col("vec_id")).drop("vec_id")
-        .join(e.select(col("vec_id"), col("v").as("nv"), col("n2").as("nn2")),
-          col("n_id") === col("vec_id"))
-        .select(col("probe_id"), col("n_id"),
-          cosWith("pv", "pn2", "nv", "nn2").as("cos"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
-        .filter(col("rank") <= 5)
-        .select(col("probe_id"), col("n_id"), col("rank"),
-          round(col("cos"), 6).as("cos_sim"))
+      residualAdcSearch(s, dir, assigned, probeCells)
     },
     Some(s"""WITH $ivfPqResOracleCtes
             |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
@@ -1813,9 +1837,19 @@ object Ann {
     * on both the corpus and probe sides, the trained residual
     * codebook ([[resCbTrainCtes]]), and a per-(probe, probed cell)
     * ADC table. Lazy: referenced from val initializers above. */
-  private lazy val ivfPqResOracleCtes: String = {
+  private lazy val ivfPqResOracleCtes: String =
+    s"""$coarseCellCtes, $pqSubCtes, $residualTailCtes"""
+
+  /** The residual-ADC tail (cell centroids `ccent` -> residuals `resn`
+    * -> codebook training -> encode `renc` -> probe residual LUT
+    * `plut` -> ADC `adcr` -> shortlist -> exact rerank `rerankedr`) —
+    * the oracle twin of [[residualAdcSearch]], shared by the seed-cell
+    * (ann_ivf_pq_res) and trained-cell (ann_ivfadc) chains. Expects
+    * `e` (raw doubles), `sub` (subspace code vectors), `assigned`
+    * (vec_id, cell) and `pc` (probe_id, cell) in scope. */
+  private lazy val residualTailCtes: String = {
     val d = duckSqDist _
-    s"""$coarseCellCtes, $pqSubCtes, suba AS (
+    s"""suba AS (
        |  SELECT sub.vec_id, sub.m, sub.sv, a.cell
        |  FROM sub JOIN assigned a ON sub.vec_id = a.vec_id
        |), csums AS (
@@ -1915,9 +1949,121 @@ object Ann {
             |  ON b.probe_id = a.probe_id AND b.n_id = a.n_id
             |GROUP BY 1 ORDER BY b.probe_id""".stripMargin))
 
+  /** The trained-cell CTE block for the IVFADC oracle: reuses
+    * [[kmeansOracleCtes]] verbatim for the one-Lloyd-stage coarse
+    * quantizer (codes -> seed centroids -> assign -> integer-mean
+    * update -> reassignment `a1`), then renames a1 to the
+    * residual-tail contract (`assigned`) and ranks each probe's
+    * nprobe=2 trained cells (`pc` — the same cosine the assignment
+    * used, over the UPDATED centroids c1n). */
+  private lazy val ivfAdcCoarseCtes: String =
+    s"""${kmeansOracleCtes()}, assigned AS (
+       |  SELECT vec_id, cid AS cell FROM a1
+       |), pc AS (
+       |  SELECT vec_id AS probe_id, c_id AS cell FROM (
+       |    SELECT qn.vec_id, c_id,
+       |      row_number() OVER (PARTITION BY qn.vec_id
+       |        ORDER BY ${duckDot("qd", "cd")} / sqrt(qn2 * cn2) DESC, c_id) AS crn
+       |    FROM qn CROSS JOIN c1n WHERE qn.$ProbeFilter
+       |  ) WHERE crn <= 2
+       |)""".stripMargin
+
+  /** Full trained IVFADC — the composition FAISS ships as
+    * `IndexIVFPQ` with a trained coarse quantizer: BOTH halves of the
+    * index are now learned from the corpus. The coarse quantizer is
+    * the one-Lloyd-stage k-means the registry already verifies on its
+    * own (cluster_kmeans's codes-domain assignment — seed centroids,
+    * assign, integer-mean update, REassign to the updated centroids),
+    * replacing ann_ivf_pq_res's raw seed-vector cells; the PQ half is
+    * the trained residual codebook ([[trainResCodebook]]). Everything
+    * downstream of the coarse half is [[residualAdcSearch]], shared
+    * verbatim with ann_ivf_pq_res, so the recall delta between the
+    * two rows isolates exactly what TRAINING THE COARSE QUANTIZER
+    * buys (fewer cell misses at the same nprobe — the dominant loss
+    * term once the codebook is trained).
+    *
+    * Scale shape: training is one assign + one update over the corpus
+    * (broadcast centroids, partial-agg argmax, k x dims integer update
+    * state — corpus-size-independent reduce width), done ONCE offline;
+    * the online search is identical to ann_ivf_pq_res. Arithmetic is
+    * the k-means rows' int8-code cosine (exact integer dots, IEEE
+    * double division) for the coarse half and the residual chain's
+    * exact integers for the rest — oracle-hash-deterministic end to
+    * end. */
+  val annIvfAdc: Q = Q(
+    "ann_ivfadc",
+    (s, dir) => {
+      // offline: trained coarse quantizer (one Lloyd stage, k=16 —
+      // cluster_kmeans's verified configuration)
+      val (codes, _, c1) = kmeansStage(s, dir)
+      val cents = broadcast(c1.select(col("c_id"), col("cd"), col("cn2")))
+      val cellScores = codes.crossJoin(cents)
+        .select(col("vec_id"), col("c_id"),
+          expr(s"${dot("qd", "cd")} / sqrt(qn2 * cn2)").as("c_cos"))
+      val assigned = cellScores.groupBy("vec_id")
+        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+      // online: nprobe=2 trained cells per probe
+      val probeCells = cellScores.filter(expr(ProbeFilter))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id").as("probe_id"), col("c_id").as("cell"))
+      residualAdcSearch(s, dir, assigned, probeCells)
+    },
+    Some(s"""WITH $ivfAdcCoarseCtes, $pqSplitCte, $residualTailCtes
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id
+            |      ORDER BY cos DESC, n_id) AS rank
+            |  FROM rerankedr
+            |) WHERE rank <= 5""".stripMargin))
+
+  /** Recall@5 of trained IVFADC vs exact brute force — the third
+    * point on the measured ladder (ann_recall_ivfpq: seed cells + raw
+    * codebook; ann_recall_ivfpq_res: seed cells + trained residual
+    * codebook; this row: trained cells + trained residual codebook).
+    * Same harness, same materialized-approx construction. */
+  val annRecallIvfAdc: Q = Q(
+    "ann_recall_ivfadc",
+    (s, dir) => {
+      val exact = annBruteforce.run(s, dir).filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annIvfAdc.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+        .localCheckpoint()
+      exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+        .withColumn("recall_pct", expr("hits * 100 div k"))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH $ivfAdcCoarseCtes, $pqSplitCte, $residualTailCtes, approx AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT probe_id, n_id,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY cos DESC, n_id) AS rank
+            |    FROM rerankedr
+            |  ) WHERE rank <= 5
+            |), bf AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT p.vec_id AS probe_id, x.vec_id AS n_id,
+            |      row_number() OVER (PARTITION BY p.vec_id
+            |        ORDER BY ${duckCosine("p.v", "x.v")} DESC, x.vec_id) AS rank
+            |    FROM e x JOIN e p ON x.vec_id <> p.vec_id
+            |    WHERE p.$ProbeFilter
+            |  ) WHERE rank <= 5
+            |)
+            |SELECT b.probe_id, count(*) AS k, count(a.n_id) AS hits,
+            |  count(a.n_id) * 100 // count(*) AS recall_pct
+            |FROM bf b LEFT JOIN approx a
+            |  ON b.probe_id = a.probe_id AND b.n_id = a.n_id
+            |GROUP BY 1 ORDER BY b.probe_id""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
     annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall,
     annIncremental, annPq, annRecallPq, annIvfPq, annRecallIvfPq,
-    annIvfPqRes, annRecallIvfPqRes)
+    annIvfPqRes, annRecallIvfPqRes, annIvfAdc, annRecallIvfAdc)
 }

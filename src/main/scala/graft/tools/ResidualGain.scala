@@ -2,14 +2,17 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Measurement harness for the residual-encoding question: what does
-  * IVF-PQ on residuals (ann_ivf_pq_res — FAISS IVFADC's default) buy
-  * over IVF-PQ on raw codes (ann_ivf_pq) at identical nprobe/M/K/
-  * shortlist depth? Runs BOTH recall rows on each given SF directory
-  * and emits one JSON document with per-probe recall@5 side by side
-  * plus the mean delta — the number a deployment reads before turning
-  * residual encoding on. This is measurement tooling like ScaleUp, not
-  * a registry row; the rows themselves stay oracle-verified.
+/** Measurement harness for the index-training ladder: what does each
+  * trained half buy at identical nprobe/M/K/shortlist depth —
+  * ann_recall_ivfpq (seed cells + raw codebook) vs
+  * ann_recall_ivfpq_res (seed cells + trained residual codebook) vs
+  * ann_recall_ivfadc (trained cells + trained residual codebook, the
+  * full FAISS IndexIVFPQ shape)? Runs the three recall rows on each
+  * given SF directory and emits one JSON document with per-probe
+  * recall@5 side by side plus the mean deltas — the numbers a
+  * deployment reads before turning each training stage on. This is
+  * measurement tooling like ScaleUp, not a registry row; the rows
+  * themselves stay oracle-verified.
   *
   * Usage: `runMain graft.tools.ResidualGain <outPath> <sfDir> [sfDir...]`
   */
@@ -35,19 +38,20 @@ object ResidualGain {
     val sections = dirs.map { dir =>
       val base = recalls("ann_recall_ivfpq", dir)
       val res = recalls("ann_recall_ivfpq_res", dir)
-      require(base.keySet == res.keySet,
-        s"probe sets diverge at $dir: ${base.keySet} vs ${res.keySet}")
+      val adc = recalls("ann_recall_ivfadc", dir)
+      require(base.keySet == res.keySet && base.keySet == adc.keySet,
+        s"probe sets diverge at $dir: ${base.keySet} vs ${res.keySet} vs ${adc.keySet}")
       val probes = base.keys.toSeq.sorted
       def mean(m: Map[Long, Long]): Double =
         m.values.sum.toDouble / m.size
       val perProbe = probes.map { p =>
-        s"""{"probe_id":$p,"ivfpq":${base(p)},"ivfpq_res":${res(p)}}"""
+        s"""{"probe_id":$p,"ivfpq":${base(p)},"ivfpq_res":${res(p)},"ivfadc":${adc(p)}}"""
       }.mkString("[", ",", "]")
       val sfName = new java.io.File(dir).getName
-      f"""{"sf":"$sfName","mean_recall_ivfpq":${mean(base)}%.1f,"mean_recall_ivfpq_res":${mean(res)}%.1f,"mean_delta_pts":${mean(res) - mean(base)}%.1f,"per_probe":$perProbe}"""
+      f"""{"sf":"$sfName","mean_recall_ivfpq":${mean(base)}%.1f,"mean_recall_ivfpq_res":${mean(res)}%.1f,"mean_recall_ivfadc":${mean(adc)}%.1f,"mean_delta_res_pts":${mean(res) - mean(base)}%.1f,"mean_delta_adc_pts":${mean(adc) - mean(base)}%.1f,"per_probe":$perProbe}"""
     }
     val doc = sections.mkString(
-      """{"metric":"recall_at_5_pct","harness":"ann_recall_ivfpq vs ann_recall_ivfpq_res","runs":[""",
+      """{"metric":"recall_at_5_pct","harness":"ann_recall_ivfpq vs ann_recall_ivfpq_res vs ann_recall_ivfadc","runs":[""",
       ",", "]}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc + "\n")
     spark.stop()

@@ -226,4 +226,28 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(k == 5 && hits <= k && pct == hits * 100 / k)
     }
   }
+
+  test("trained IVFADC: full output contract, brute-force ceiling, valid recall row") {
+    def top1(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+      rows.filter(_.getInt(2) == 1)
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val brute = top1(Ann.annBruteforce.run(spark, sfDir).collect())
+    val adc = Ann.annIvfAdc.run(spark, sfDir).collect()
+    assert(adc.nonEmpty)
+    // per-probe: dense ranks 1..n (n <= 5), cosines non-increasing in
+    // rank, and the approximate tier never beats exact search
+    adc.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(2))
+      assert(byRank.map(_.getInt(2)).toSeq == (1 to byRank.length))
+      val cos = byRank.map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    adc.foreach(r => assert(r.getDouble(3) <= brute(r.getLong(0)) + 1e-12))
+    val rows = Ann.annRecallIvfAdc.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val (k, hits, pct) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k == 5 && hits <= k && pct == hits * 100 / k)
+    }
+  }
 }
