@@ -1952,12 +1952,16 @@ object Ann {
   /** The trained-cell CTE block for the IVFADC oracle: reuses
     * [[kmeansOracleCtes]] verbatim for the one-Lloyd-stage coarse
     * quantizer (codes -> seed centroids -> assign -> integer-mean
-    * update -> reassignment `a1`), then renames a1 to the
-    * residual-tail contract (`assigned`) and ranks each probe's
-    * nprobe=2 trained cells (`pc` — the same cosine the assignment
-    * used, over the UPDATED centroids c1n). */
+    * update -> reassignment `a1`) at the corpus-scaled k (`pk` —
+    * [[kmeansK]] over the counted corpus, the dedup_semantic scalar-
+    * subquery construction), then renames a1 to the residual-tail
+    * contract (`assigned`) and ranks each probe's nprobe trained cells
+    * (`pc` — the same cosine the assignment used, over the UPDATED
+    * centroids c1n; nprobe = max(2, k/8), co-scaled with k). */
   private lazy val ivfAdcCoarseCtes: String =
-    s"""${kmeansOracleCtes()}, assigned AS (
+    s"""pk AS (
+       |  SELECT ${duckKmeansK("count(*)")} AS kk FROM embeddings
+       |), ${kmeansOracleCtes("SELECT kk FROM pk")}, assigned AS (
        |  SELECT vec_id, cid AS cell FROM a1
        |), pc AS (
        |  SELECT vec_id AS probe_id, c_id AS cell FROM (
@@ -1965,7 +1969,7 @@ object Ann {
        |      row_number() OVER (PARTITION BY qn.vec_id
        |        ORDER BY ${duckDot("qd", "cd")} / sqrt(qn2 * cn2) DESC, c_id) AS crn
        |    FROM qn CROSS JOIN c1n WHERE qn.$ProbeFilter
-       |  ) WHERE crn <= 2
+       |  ) WHERE crn <= (SELECT greatest(2, kk // 8) FROM pk)
        |)""".stripMargin
 
   /** Full trained IVFADC — the composition FAISS ships as
@@ -1982,31 +1986,46 @@ object Ann {
     * buys (fewer cell misses at the same nprobe — the dominant loss
     * term once the codebook is trained).
     *
-    * Scale shape: training is one assign + one update over the corpus
+    * Scale shape: cell count is corpus-scaled — k = [[kmeansK]](N)
+    * holds expected occupancy at ~128 members and nprobe co-scales as
+    * max(2, k/8), so each query's candidate set stays ~constant-sized
+    * and the probed fraction of the index stays fixed at any corpus
+    * size (the verify/bench SFs floor at the historical k=16 /
+    * nprobe=2). Training is one assign + one update over the corpus
     * (broadcast centroids, partial-agg argmax, k x dims integer update
-    * state — corpus-size-independent reduce width), done ONCE offline;
-    * the online search is identical to ann_ivf_pq_res. Arithmetic is
-    * the k-means rows' int8-code cosine (exact integer dots, IEEE
-    * double division) for the coarse half and the residual chain's
-    * exact integers for the rest — oracle-hash-deterministic end to
-    * end. */
+    * state), done ONCE offline; the online search is identical to
+    * ann_ivf_pq_res. Arithmetic is the k-means rows' int8-code cosine
+    * (exact integer dots, IEEE double division) for the coarse half
+    * and the residual chain's exact integers for the rest —
+    * oracle-hash-deterministic end to end. */
   val annIvfAdc: Q = Q(
     "ann_ivfadc",
     (s, dir) => {
-      // offline: trained coarse quantizer (one Lloyd stage, k=16 —
-      // cluster_kmeans's verified configuration)
-      val (codes, _, c1) = kmeansStage(s, dir)
+      // offline: trained coarse quantizer (one Lloyd stage). Cell
+      // count scales with the corpus — k = kmeansK(N) holds expected
+      // cell occupancy at ~128 members (dedup_semantic's contract), so
+      // per-query candidate work is constant at any corpus size; a
+      // fixed k would make every cell N/16 vectors and each query a
+      // near-full scan at 100 TB. nprobe scales with k (probed
+      // fraction ~nprobe/k stays ~1/8 of the index's cells' worth of
+      // recall opportunity, FAISS's usual co-scaling) — both formulas
+      // pure integer arithmetic mirrored in the oracle's pk CTE; at
+      // the verify/bench SFs (N <= 2048) they floor at the historical
+      // k=16 / nprobe=2.
+      val k = kmeansK(Tables(s, dir).embeddingsCount)
+      val nprobe = math.max(2, k / 8)
+      val (codes, _, c1) = kmeansStage(s, dir, k)
       val cents = broadcast(c1.select(col("c_id"), col("cd"), col("cn2")))
       val cellScores = codes.crossJoin(cents)
         .select(col("vec_id"), col("c_id"),
           expr(s"${dot("qd", "cd")} / sqrt(qn2 * cn2)").as("c_cos"))
       val assigned = cellScores.groupBy("vec_id")
         .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
-      // online: nprobe=2 trained cells per probe
+      // online: nprobe trained cells per probe
       val probeCells = cellScores.filter(expr(ProbeFilter))
         .withColumn("crn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
-        .filter(col("crn") <= 2)
+        .filter(col("crn") <= nprobe)
         .select(col("vec_id").as("probe_id"), col("c_id").as("cell"))
       residualAdcSearch(s, dir, assigned, probeCells)
     },
