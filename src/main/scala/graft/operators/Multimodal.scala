@@ -12,6 +12,12 @@ final case class MmImageFeatures(
     doc_id: Long, width: Int, height: Int, pixel_digest: Long,
     mean_r: Long, mean_g: Long, mean_b: Long)
 
+/** Resized-image features produced by the real decode + integer
+  * box-filter downsample in mm_resize. */
+final case class MmResized(
+    doc_id: Long, width: Int, height: Int, pixel_digest: Long,
+    mean_r: Long, mean_g: Long, mean_b: Long)
+
 /** Multimodal-column plumbing: media arrive as opaque `binary` columns
   * with typed metadata. The byte-level rows derive their payload
   * deterministically from `documents.text` (pure ASCII -> byte values
@@ -186,6 +192,112 @@ object Multimodal {
             |  CAST(list_sum([vs[3*p+3] FOR p IN range(0, 64)]) AS BIGINT) // 64 AS mean_b
             |FROM px""".stripMargin))
 
+  /** REAL decode + resize: `ImageIO.read` the PNG, then a 2×2
+    * box-filter downsample (area averaging — the standard "resize for
+    * the vision encoder" preprocessing) done in pure integer
+    * arithmetic: each output channel value is the floor-mean of its
+    * four source pixels. Integer pooling rather than Graphics2D
+    * filtering because the former is bit-specified — the oracle can
+    * recompute it from the seed arithmetic, so a hash match proves
+    * decode AND resample produced every output pixel exactly. */
+  private[graft] def resizeBatch(
+      batch: Seq[(Long, Array[Byte])]): Seq[MmResized] =
+    batch.map { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload for doc $id")
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w % 2 == 0 && h % 2 == 0, s"odd image dims ${w}x$h for doc $id")
+      val ow = w / 2
+      val oh = h / 2
+      var digest = 0L
+      var sr = 0L
+      var sg = 0L
+      var sb = 0L
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var pr = 0
+          var pg = 0
+          var pb = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val rgb = img.getRGB(ox * 2 + dx, oy * 2 + dy)
+              pr += (rgb >> 16) & 0xff
+              pg += (rgb >> 8) & 0xff
+              pb += rgb & 0xff
+              dx += 1
+            }
+            dy += 1
+          }
+          val r = pr / 4
+          val g = pg / 4
+          val b = pb / 4
+          digest = (digest * 31 + r) % P1
+          digest = (digest * 31 + g) % P1
+          digest = (digest * 31 + b) % P1
+          sr += r; sg += g; sb += b
+          ox += 1
+        }
+        oy += 1
+      }
+      val n = (ow.toLong * oh).max(1L)
+      MmResized(id, ow, oh, digest, sr / n, sg / n, sb / n)
+    }
+
+  /** batched decode + resize over (id, png bytes): the third stage of
+    * the brief's decode / feature-extract / RESIZE / frame-sample
+    * quartet. Identical mapPartitions plumbing as mm_feature_extract
+    * (bounded batches, columnar results, nothing on the driver); the
+    * oracle recomputes the expected 4×4 pooled image from the seed
+    * arithmetic alone, so the hash match proves the real PNG decode
+    * and the integer area-average resample are both pixel-exact. */
+  val mmResize: Q = Q(
+    "mm_resize",
+    (s, dir) => {
+      import s.implicits._
+      val batchSize = 64
+      docs(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.grouped(batchSize).flatMap { ids =>
+            resizeBatch(ids.map(id => id -> encodePng(id)))
+          }
+        }
+        .toDF()
+    },
+    // rs = the 4x4 pooled image, flat row-major RGB (i = 3*p + c,
+    // p = out pixel, c = channel): each value is the floor-mean of the
+    // four source-channel values of the 2x2 block at (2*(p%4), 2*(p//4))
+    Some(s"""WITH px AS (
+            |  SELECT doc_id,
+            |    [((1103515245 * ((doc_id*192 + i) % 2147483648) + 12345) % 2147483648) % 256
+            |      FOR i IN range(0, 192)] AS vs
+            |  FROM documents
+            |), pooled AS (
+            |  SELECT doc_id,
+            |    [CAST((vs[3*(((i//3)//4*2)*8 + ((i//3)%4)*2) + (i%3) + 1]
+            |         + vs[3*(((i//3)//4*2)*8 + ((i//3)%4)*2 + 1) + (i%3) + 1]
+            |         + vs[3*(((i//3)//4*2 + 1)*8 + ((i//3)%4)*2) + (i%3) + 1]
+            |         + vs[3*(((i//3)//4*2 + 1)*8 + ((i//3)%4)*2 + 1) + (i%3) + 1]) AS BIGINT) // 4
+            |      FOR i IN range(0, 48)] AS rs
+            |  FROM px
+            |)
+            |SELECT doc_id,
+            |  CAST(4 AS INTEGER) AS width,
+            |  CAST(4 AS INTEGER) AS height,
+            |  list_reduce(list_prepend(CAST(0 AS BIGINT), rs),
+            |    (acc, v) -> (acc*31 + v) % $P1) AS pixel_digest,
+            |  CAST(list_sum([rs[3*p+1] FOR p IN range(0, 16)]) AS BIGINT) // 16 AS mean_r,
+            |  CAST(list_sum([rs[3*p+2] FOR p IN range(0, 16)]) AS BIGINT) // 16 AS mean_g,
+            |  CAST(list_sum([rs[3*p+3] FOR p IN range(0, 16)]) AS BIGINT) // 16 AS mean_b
+            |FROM pooled""".stripMargin))
+
   /** content-addressed dedup of binary media: group by sha-256 of the
     * payload (a 32-byte shuffle key regardless of media size — the only
     * viable dedup key when items are megabytes), keep the min doc_id.
@@ -202,5 +314,5 @@ object Multimodal {
            |FROM documents GROUP BY sha256(text)
            |ORDER BY keep_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmFeatureExtract, mmDedup)
+  val all: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmFeatureExtract, mmResize, mmDedup)
 }

@@ -363,7 +363,110 @@ object TextOps {
             |  FROM c
             |) WHERE rank <= $BpeTopPairs""".stripMargin))
 
+  /** Bounded LM model sizes: top-V bigrams / top-U unigrams kept by
+    * corpus frequency (deterministic tie-break by key). The model a
+    * deployment ships is always capped like this — it must broadcast —
+    * so the cap is the 100 TB design, not a test shortcut. */
+  private val LmTopBigrams = 4096
+  private val LmTopUnigrams = 4096
+  private val LmScale = 1000000L
+
+  /** LM-frequency quality score — the CCNet/Gopher "perplexity filter"
+    * stage of a curation pipeline, re-expressed integer-exact so it
+    * oracle-verifies: train a bigram frequency model over the
+    * normalized corpus, cap it to the top-[[LmTopBigrams]] bigrams and
+    * top-[[LmTopUnigrams]] unigrams (the bounded artifact that gets
+    * broadcast), then score every document by the mean scaled
+    * conditional-probability of its adjacent word pairs —
+    * floor(1e6·c(w1 w2)/c(w1)) for in-model bigrams, unigram backoff
+    * floor(1e6·c(w2)/T) when only w2 is known, 0 otherwise. Monotone in
+    * the true LM likelihood on the model's support, but all integer
+    * floor-divisions — no logs, so Spark and DuckDB agree bit-exactly.
+    *
+    * Scale shape: training is two word-count aggregations (pairs /
+    * words) + TakeOrdered caps — the friendliest 100 TB pattern there
+    * is; the capped model (≤8k rows) broadcasts, so serving is a
+    * map-only explode + two broadcast lookups + one partial-agg
+    * reduce keyed by doc_id. Ref: reference README's ksqlDB scoring
+    * layer has no LM stage; this is pipeline-completion beyond §2. */
+  val textLmScore: Q = Q(
+    "text_lm_score",
+    (s, dir) => {
+      val ws = docs(s, dir)
+        .select(col("doc_id"), expr(words(normText("text"))).as("ws"))
+      val pairs = ws.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) < 2 THEN array()
+          |ELSE transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))
+          |END""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      val unis = ws.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val tot = unis.agg(sum(col("c1")).cast("long").as("t"))
+      // caps are TakeOrdered (distributed top-k), not a global window
+      val topUni = unis.orderBy(col("c1").desc, col("w")).limit(LmTopUnigrams)
+      val topBig = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .orderBy(col("c12").desc, col("w1"), col("w2")).limit(LmTopBigrams)
+      // denominator resolved at train time: model rows carry c1(w1)
+      val model = unis.withColumnRenamed("w", "mw")
+        .join(broadcast(topBig), col("mw") === col("w1")).drop("mw")
+      val scored = pairs
+        .join(broadcast(model), Seq("w1", "w2"), "left")
+        .join(broadcast(topUni.select(col("w").as("w2"), col("c1").as("c2"))),
+          Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), expr(
+          s"""CASE WHEN c12 IS NOT NULL THEN ($LmScale * c12) div c1
+             |WHEN c2 IS NOT NULL THEN ($LmScale * c2) div t
+             |ELSE 0L END""".stripMargin).as("sc"))
+      val agg = scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_pairs"),
+        expr("sum(sc) div count(1)").as("lm_score"))
+      ws.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("lm_score"), lit(0L)).as("lm_score"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, ${duckWords(duckNormText("text"))} AS ws
+            |  FROM documents
+            |), uni AS (
+            |  SELECT w, count(*) AS c1
+            |  FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1
+            |), tot AS (
+            |  SELECT CAST(sum(c1) AS BIGINT) AS t FROM uni
+            |), pairs AS (
+            |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            |  FROM d, unnest(range(1, len(ws))) AS r(i)
+            |), big AS (
+            |  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+            |), topbig AS (
+            |  SELECT w1, w2, c12 FROM big
+            |  ORDER BY c12 DESC, w1, w2 LIMIT $LmTopBigrams
+            |), topuni AS (
+            |  SELECT w, c1 FROM uni ORDER BY c1 DESC, w LIMIT $LmTopUnigrams
+            |), model AS (
+            |  SELECT b.w1, b.w2, b.c12, u.c1 FROM topbig b
+            |  JOIN uni u ON u.w = b.w1
+            |), scored AS (
+            |  SELECT p.doc_id,
+            |    CASE WHEN m.c12 IS NOT NULL THEN ($LmScale * m.c12) // m.c1
+            |         WHEN u2.c1 IS NOT NULL THEN ($LmScale * u2.c1) // t
+            |         ELSE 0 END AS sc
+            |  FROM pairs p
+            |  LEFT JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
+            |  LEFT JOIN topuni u2 ON u2.w = p.w2
+            |  CROSS JOIN tot
+            |), agg AS (
+            |  SELECT doc_id, count(*) AS n_pairs,
+            |    CAST(sum(sc) AS BIGINT) // count(*) AS lm_score
+            |  FROM scored GROUP BY 1
+            |)
+            |SELECT d.doc_id, coalesce(a.n_pairs, 0) AS n_pairs,
+            |  coalesce(a.lm_score, 0) AS lm_score
+            |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin))
+
   val all: Seq[Q] = Seq(textTokens, textLangid, textQuality,
     textFingerprint, textNgramFreq, textPiiRedact, textRepetition,
-    textLineDedup, bpePairCounts)
+    textLineDedup, bpePairCounts, textLmScore)
 }

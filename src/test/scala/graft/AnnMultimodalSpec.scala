@@ -74,6 +74,40 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mm resize: decode + 2x2 box-filter downsample matches the seed arithmetic") {
+    val feats = Multimodal.mmResize.run(spark, sfDir)
+      .filter("doc_id < 5").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, row) =>
+      // independent pooled recompute straight from the pixel seed:
+      // out-channel value = floor-mean of the 2x2 source block
+      def src(p: Int, c: Int): Long =
+        Multimodal.pixelValue(id, 3L * p + c).toLong
+      var digest = 0L
+      val sums = Array(0L, 0L, 0L)
+      (0 until 16).foreach { p =>
+        val (ox, oy) = (p % 4, p / 4)
+        (0 until 3).foreach { c =>
+          val v = (src((oy * 2) * 8 + ox * 2, c) +
+            src((oy * 2) * 8 + ox * 2 + 1, c) +
+            src((oy * 2 + 1) * 8 + ox * 2, c) +
+            src((oy * 2 + 1) * 8 + ox * 2 + 1, c)) / 4
+          digest = (digest * 31 + v) % graft.functions.Portable.P1
+          sums(c) += v
+        }
+      }
+      assert(row.getInt(1) == 4 && row.getInt(2) == 4)
+      assert(row.getLong(3) == digest)
+      assert((row.getLong(4), row.getLong(5), row.getLong(6)) ==
+        (sums(0) / 16, sums(1) / 16, sums(2) / 16))
+    }
+    // corrupt payloads fail loud here too
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeBatch(Seq(7L -> Array[Byte](1, 2, 3)))
+    }
+  }
+
   test("mm feature extraction: payloads are genuine PNG streams; corrupt payloads fail loud") {
     val png = Multimodal.encodePng(42L)
     // PNG signature: 89 50 4E 47 0D 0A 1A 0A

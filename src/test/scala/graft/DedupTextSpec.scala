@@ -121,4 +121,46 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == expected, s"got:\n${got.take(5)}\nexpected:\n${expected.take(5)}")
   }
+
+  test("text_lm_score matches an independent driver-side recompute") {
+    // same semantics written the obvious sequential way: bigram/unigram
+    // counts, top-4096 caps with (-count, key) tie-break, scaled
+    // integer conditional-probability with unigram backoff
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toWords(t: String): Array[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").filter(_.nonEmpty)
+    val docWords = rows.map { case (id, t) => id -> toWords(t) }
+    val uni = new scala.collection.mutable.HashMap[String, Long]()
+    val big = new scala.collection.mutable.HashMap[(String, String), Long]()
+    docWords.foreach { case (_, ws) =>
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1L)
+      ws.sliding(2).foreach {
+        case Array(a, b) => big((a, b)) = big.getOrElse((a, b), 0L) + 1L
+        case _ => ()
+      }
+    }
+    val t = uni.values.sum
+    val topUni = uni.toSeq.sortBy { case (w, c) => (-c, w) }.take(4096).toMap
+    val model = big.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(4096)
+      .map { case ((a, b), c12) => (a, b) -> (c12, uni(a)) }.toMap
+    val expected = docWords.map { case (id, ws) =>
+      val pairScores = ws.sliding(2).collect { case Array(a, b) =>
+        model.get((a, b)) match {
+          case Some((c12, c1)) => 1000000L * c12 / c1
+          case None => topUni.get(b).map(c2 => 1000000L * c2 / t).getOrElse(0L)
+        }
+      }.toSeq
+      val n = pairScores.size.toLong
+      (id, n, if (n == 0) 0L else pairScores.sum / n)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.textLmScore.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == expected,
+      s"got:\n${got.take(5)}\nexpected:\n${expected.take(5)}")
+    // scores discriminate: a corpus of distinct docs shouldn't collapse
+    // to one value
+    assert(got.map(_._3).distinct.size > 1)
+  }
 }

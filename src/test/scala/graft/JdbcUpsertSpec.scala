@@ -87,4 +87,28 @@ class JdbcUpsertSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaJdbc == viaBatch)
   }
+
+  test("MERGE-free fallback path produces the identical table (sf3 Derby-MERGE defect route)") {
+    // the portable update-then-insert loop is what every MERGE failure
+    // ultimately falls back to; run the full state-transition +
+    // redelivery + out-of-order matrix through it and require the end
+    // state to match the MERGE path bit for bit
+    val urlM = JdbcUpsert.memUrl()
+    val urlN = JdbcUpsert.memUrl()
+    JdbcUpsert.ensureTable(urlM, "snapshot")
+    JdbcUpsert.ensureTable(urlN, "snapshot")
+    val batches = Seq(
+      Seq(ins(1, 10, 100), ins(2, 11, 200), ins(3, 12, 300)),
+      Seq(upd(1, 20, 150), del(2, 13), ins(4, 14, 400)),
+      Seq(upd(1, 20, 150), del(2, 13), ins(4, 14, 400)), // redelivery
+      Seq(upd(3, 5, 999), del(4, 2)),                    // stragglers lose
+      Seq(ins(2, 30, 222)))                              // resurrect
+    batches.foreach { b =>
+      JdbcUpsert.applyBatch(toBatch(b), urlM, "snapshot")
+      JdbcUpsert.applyBatchNoMerge(toBatch(b), urlN, "snapshot")
+    }
+    assert(snapshot(urlN) == snapshot(urlM))
+    assert(snapshot(urlN) ==
+      Seq((1L, 150L, 20L), (2L, 222L, 30L), (3L, 300L, 12L), (4L, 400L, 14L)))
+  }
 }
