@@ -784,6 +784,26 @@ object Ann {
   private def duckKmeansK(countExpr: String): String =
     s"greatest(16, (($countExpr) + 127) // 128)"
 
+  /** IVF cell count for the trained coarse quantizer: [[kmeansK]]'s
+    * ~128-member occupancy bound while that is the cheaper regime,
+    * capped at FAISS's `nlist ≈ 4·√N` guidance past the crossover
+    * (N > 2^18 ≈ 262k): with k ∝ N the one-pass N×k assign that both
+    * training and index-add must run goes QUADRATIC in the corpus,
+    * while k ≈ 4√N keeps it N^1.5 — the reason every production IVF
+    * sizes nlist by √N, not by occupancy. Both branches are exact in
+    * both engines (IEEE sqrt is correctly rounded, floor of it is
+    * deterministic), and at the verify/bench SFs (N ≤ 262k) the min
+    * always resolves to [[kmeansK]], so every verified plan is
+    * unchanged — this is the 100 TB asymptotic, not a behavior fork. */
+  private[graft] def ivfK(n: Long): Int =
+    math.min(kmeansK(n).toLong,
+      math.max(16L, math.floor(4.0 * math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** The matching SQL for [[ivfK]] over a counted corpus. */
+  private def duckIvfK(countExpr: String): String =
+    s"least(${duckKmeansK(countExpr)}, " +
+      s"greatest(16, CAST(floor(4.0 * sqrt(CAST(($countExpr) AS DOUBLE))) AS BIGINT)))"
+
   private[graft] def kmeansIterate(s: SparkSession, dir: String, rounds: Int,
       k: Int = 16)
       : (DataFrame, DataFrame, DataFrame, Seq[Double]) = {
@@ -900,7 +920,11 @@ object Ann {
     (s, dir) => {
       // Corpus-scaled k (kmeansK: occupancy ~128/cluster) — with fixed
       // k=16 occupancy grew N/16 and this row ran 315 s at 30x; scaled
-      // k keeps per-cluster pair work constant, so cost is linear in N.
+      // k keeps per-cluster pair work constant (that side linear in N).
+      // The assign pass is one N×k broadcast argmax — the accepted
+      // SemDeDup training cost (the occupancy bound is what keeps the
+      // pairwise side exact and uncapped; contrast ivfK, where search
+      // cares only about probed fraction and k caps at 4·√N).
       // The count() is one scalar of driver metadata.
       val k = kmeansK(Tables(s, dir).embeddingsCount)
       val (codes, _, c1) = kmeansStage(s, dir, k)
@@ -1953,14 +1977,14 @@ object Ann {
     * [[kmeansOracleCtes]] verbatim for the one-Lloyd-stage coarse
     * quantizer (codes -> seed centroids -> assign -> integer-mean
     * update -> reassignment `a1`) at the corpus-scaled k (`pk` —
-    * [[kmeansK]] over the counted corpus, the dedup_semantic scalar-
-    * subquery construction), then renames a1 to the residual-tail
+    * [[ivfK]] over the counted corpus, the dedup_semantic scalar-
+    * subquery construction with the √N cap), then renames a1 to the residual-tail
     * contract (`assigned`) and ranks each probe's nprobe trained cells
     * (`pc` — the same cosine the assignment used, over the UPDATED
     * centroids c1n; nprobe = max(2, k/8), co-scaled with k). */
   private lazy val ivfAdcCoarseCtes: String =
     s"""pk AS (
-       |  SELECT ${duckKmeansK("count(*)")} AS kk FROM embeddings
+       |  SELECT ${duckIvfK("count(*)")} AS kk FROM embeddings
        |), ${kmeansOracleCtes("SELECT kk FROM pk")}, assigned AS (
        |  SELECT vec_id, cid AS cell FROM a1
        |), pc AS (
@@ -1986,11 +2010,12 @@ object Ann {
     * buys (fewer cell misses at the same nprobe — the dominant loss
     * term once the codebook is trained).
     *
-    * Scale shape: cell count is corpus-scaled — k = [[kmeansK]](N)
-    * holds expected occupancy at ~128 members and nprobe co-scales as
-    * max(2, k/8), so each query's candidate set stays ~constant-sized
-    * and the probed fraction of the index stays fixed at any corpus
-    * size (the verify/bench SFs floor at the historical k=16 /
+    * Scale shape: cell count is corpus-scaled — k = [[ivfK]](N):
+    * ~128-member occupancy below the 2^18 crossover, FAISS's
+    * nlist ≈ 4·√N above it (so the unavoidable N×k assign pass stays
+    * N^1.5 instead of quadratic) — and nprobe co-scales as
+    * max(2, k/8), so the probed fraction of the index stays fixed
+    * (the verify/bench SFs floor at the historical k=16 /
     * nprobe=2). Training is one assign + one update over the corpus
     * (broadcast centroids, partial-agg argmax, k x dims integer update
     * state), done ONCE offline; the online search is identical to
@@ -2002,17 +2027,18 @@ object Ann {
     "ann_ivfadc",
     (s, dir) => {
       // offline: trained coarse quantizer (one Lloyd stage). Cell
-      // count scales with the corpus — k = kmeansK(N) holds expected
-      // cell occupancy at ~128 members (dedup_semantic's contract), so
-      // per-query candidate work is constant at any corpus size; a
+      // count scales with the corpus — k = ivfK(N): ~128-member
+      // occupancy in the small regime, 4·√N past the crossover. A
       // fixed k would make every cell N/16 vectors and each query a
       // near-full scan at 100 TB. nprobe scales with k (probed
       // fraction ~nprobe/k stays ~1/8 of the index's cells' worth of
       // recall opportunity, FAISS's usual co-scaling) — both formulas
-      // pure integer arithmetic mirrored in the oracle's pk CTE; at
-      // the verify/bench SFs (N <= 2048) they floor at the historical
-      // k=16 / nprobe=2.
-      val k = kmeansK(Tables(s, dir).embeddingsCount)
+      // exactly mirrored in the oracle's pk CTE; at the verify/bench
+      // SFs (N <= 2048) they floor at the historical k=16 / nprobe=2.
+      // ivfK (not kmeansK): k ∝ N would make the N×k assign pass
+      // quadratic — the sf3 run measured it (291 s at 60k vectors) —
+      // so past N = 2^18 the cell count follows FAISS's nlist ≈ 4·√N.
+      val k = ivfK(Tables(s, dir).embeddingsCount)
       val nprobe = math.max(2, k / 8)
       val (codes, _, c1) = kmeansStage(s, dir, k)
       val cents = broadcast(c1.select(col("c_id"), col("cd"), col("cn2")))

@@ -27,6 +27,23 @@ object JdbcUpsert {
 
   private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** JDBC write parallelism cap. A database has a CONNECTION budget,
+    * not a shuffle-partition budget: at 100× the reduced batch arrived
+    * in 512 shuffle partitions and 512 concurrent embedded-Derby
+    * writers starved the engine outright ("No current connection"
+    * even after fresh reopens). The sink therefore coalesces to at
+    * most this many writer tasks — the same numPartitions cap Spark's
+    * own JDBC writer exposes — sized via `SPARK_GRAFT_JDBC_PARALLELISM`
+    * the way a deployment sizes it to the target's max_connections.
+    * Coalesce (not repartition): no extra shuffle, the reduced rows
+    * just fan in. */
+  private def sinkParallelism: Int = {
+    val v = sys.env.getOrElse("SPARK_GRAFT_JDBC_PARALLELISM", "32")
+    require(v.forall(_.isDigit) && v.toInt >= 1,
+      s"SPARK_GRAFT_JDBC_PARALLELISM must be a positive integer, got: $v")
+    v.toInt
+  }
+
   /** Fresh embedded in-memory Derby database URL, unique per call (the
     * in-container stand-in for the reference's Postgres target; the
     * sink code is identical for any MERGE-capable JDBC database). */
@@ -65,7 +82,7 @@ object JdbcUpsert {
         struct(col("scn"), col("xid"))).as("w"))
       .select(col("key"), col("w.scn"), col("w.op"), col("w.id"),
         col("w.cents"), col("w.typ"))
-    latest.foreachPartition { rows: Iterator[Row] =>
+    latest.coalesce(sinkParallelism).foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) applyRows(url, table, rows)
     }
   }
@@ -84,7 +101,7 @@ object JdbcUpsert {
         struct(col("scn"), col("xid"))).as("w"))
       .select(col("key"), col("w.scn"), col("w.op"), col("w.id"),
         col("w.cents"), col("w.typ"))
-    latest.foreachPartition { rows: Iterator[Row] =>
+    latest.coalesce(sinkParallelism).foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) applyRows(url, table, rows, noMerge = true)
     }
   }

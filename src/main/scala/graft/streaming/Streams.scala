@@ -49,7 +49,6 @@ final case class ScdRow(
   */
 object Streams {
 
-  private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Files the bounded file-source feeds admit per micro-batch — the
     * trigger-size knob a real deployment tunes to feed volume (the
@@ -84,13 +83,27 @@ object Streams {
     v
   }
 
-  /** Runs a bounded streaming DataFrame to completion into an
-    * in-memory sink and returns the sink contents. Synchronized on the
-    * session: the shuffle-partition override below mutates shared
-    * session conf, so concurrent callers must not interleave. */
+  /** Runs a bounded streaming DataFrame to completion into a
+    * file-backed sink and returns the sink contents. Synchronized on
+    * the session: the shuffle-partition override below mutates shared
+    * session conf, so concurrent callers must not interleave.
+    *
+    * File-backed, NOT the memory sink: the memory sink holds every
+    * emitted row in DRIVER memory — at 100× the ingest feed alone
+    * blew `spark.driver.maxResultSize` (measured: 28 tasks,
+    * 1.05 GiB serialized). Each micro-batch instead lands in a temp
+    * parquet directory straight from the executors via foreachBatch —
+    * append/update modes accumulate per-batch emissions exactly as
+    * the memory sink did, complete mode replaces (the memory-sink
+    * contract) — and the result is an ordinary distributed parquet
+    * read, so driver memory stays O(1) in feed size. This mirrors the
+    * scd2 design note: output belongs in the sink, never on the
+    * driver. */
   def runBounded(sdf: DataFrame, mode: String): DataFrame = {
-    val name = s"graft_stream_${ctr.incrementAndGet()}"
     val spark = sdf.sparkSession
+    val d = java.nio.file.Files.createTempDirectory("graft_bounded_sink")
+    d.toFile.deleteOnExit()
+    val dir = d.toString
     spark.synchronized {
       // stateful operators pay a per-partition-per-batch state-store
       // cost; for the bounded test feeds a handful of state partitions
@@ -99,12 +112,25 @@ object Streams {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
       try {
-        val q = sdf.writeStream.format("memory").queryName(name)
+        val q = sdf.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write
+              .mode(if (mode == "complete") "overwrite" else "append")
+              .parquet(dir)
+          }
           .outputMode(mode).start()
         try q.processAllAvailable() finally q.stop()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    spark.table(name)
+    // an all-empty feed writes no files at all; preserve the
+    // memory-sink behavior of returning an empty, correctly-typed DF
+    val wrote = {
+      val s = java.nio.file.Files.list(d)
+      try s.findFirst().isPresent finally s.close()
+    }
+    if (wrote) spark.read.schema(sdf.schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sdf.schema)
   }
 
   /** One staged stream directory per (session, source dir), reused
