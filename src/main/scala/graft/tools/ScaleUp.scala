@@ -20,25 +20,35 @@ import org.apache.spark.sql.functions._
   * This is measurement tooling, NOT a registry input: oracle
   * verification always runs on the driver's own directories.
   *
-  * `jitter` mode additionally perturbs each embedding REPLICA
-  * (i >= 1; replica 0 stays verbatim) by a deterministic per-element
-  * delta in [-0.01, 0.01] derived from xxhash64(original vec_id,
-  * replica, dim). Replicas stay near-duplicates of their original
-  * (cosine ~0.999 — the realistic shape of a crawled corpus), but
-  * exact nearest neighbours are no longer ties, so recall@k measured
-  * on a jittered corpus is a real number instead of the trivial 100%
-  * that verbatim replicas produce (any index that co-buckets identical
-  * vectors aces that test). Used by the ResidualGain scale ladder;
-  * throughput benches keep the unjittered corpus so wall-times stay
-  * comparable across rounds.
+  * `jitter[:permille]` mode additionally perturbs each embedding
+  * REPLICA (i >= 1; replica 0 stays verbatim) by a deterministic
+  * per-element delta derived from xxhash64(original vec_id, replica,
+  * dim), with amplitude `permille`/1000 (default 10 → ±0.01). Small
+  * amplitudes keep replicas near-duplicates (cosine ~0.999 — the
+  * crawled-corpus shape the dedup suite wants) but leave every
+  * replica FAMILY trivially co-bucketed, so recall@5 still saturates
+  * at 100% (measured: the family is the top-5 and every cell-based
+  * index co-locates it). A heavy amplitude (e.g. `jitter:500` →
+  * ±0.5, element scale of the vectors themselves) scatters the
+  * families into a genuinely diverse corpus where the true top-5
+  * crosses family lines — the configuration the ResidualGain scale
+  * ladder uses, because only there does index recall measure
+  * anything. Throughput benches keep the unjittered corpus so
+  * wall-times stay comparable across rounds.
   */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [factor] [jitter]")
+    require(args.length >= 2,
+      "usage: ScaleUp <srcDir> <outDir> [factor] [jitter[:permille]]")
     val (src, out) = (args(0), args(1))
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val jitter = args.lift(3).contains("jitter")
+    val jitterArg = args.lift(3).filter(_.startsWith("jitter"))
+    val jitter = jitterArg.isDefined
+    val jitterPermille = jitterArg.map {
+      case s if s.contains(":") => s.split(":")(1).toInt
+      case _ => 10
+    }.getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,7 +93,7 @@ object ScaleUp {
         else shifted.withColumn("embedding", expr(
           s"""transform(embedding, (x, d) -> cast(x +
              |  (pmod(xxhash64(vec_id - ${i * b}L, ${i}L, cast(d as bigint)), 2001) - 1000)
-             |  / 100000.0d as float))""".stripMargin))
+             |  * ${jitterPermille}L / 1000000.0d as float))""".stripMargin))
       }.reduce(_.unionByName(_))
 
     def write(name: String, df: DataFrame): Unit = {
