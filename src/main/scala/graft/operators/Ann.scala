@@ -720,7 +720,7 @@ object Ann {
     * repeat the two broadcast stages; at real scale you run them on a
     * sample (mini-batch k-means), which changes nothing structurally. */
   /** int8 code vectors (see [[clusterKmeans]]). */
-  private def kmeansCodes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def kmeansCodes(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
       .withColumn("qz", expr("graft_int8_codes(v)"))
       .select(col("vec_id"), col("qz.codes").as("qd"))
@@ -728,7 +728,7 @@ object Ann {
 
   /** argmax-cosine assignment of every vector to its nearest centroid
     * (broadcast cross join + partial-agg argmax, ann_ivf's shape). */
-  private def kmeansAssign(codes: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def kmeansAssign(codes: DataFrame, cents: DataFrame): DataFrame =
     codes.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qd"), col("qn2"), col("c_id"),
         expr(s"${dot("qd", "cd")} / sqrt(qn2 * cn2)").as("c_cos"))
@@ -794,13 +794,21 @@ object Ann {
     * both engines (IEEE sqrt is correctly rounded, floor of it is
     * deterministic), and at the verify/bench SFs (N ≤ 262k) the min
     * always resolves to [[kmeansK]], so every verified plan is
-    * unchanged — this is the 100 TB asymptotic, not a behavior fork. */
+    * unchanged — this is the 100 TB asymptotic, not a behavior fork.
+    *
+    * The min is computed ENTIRELY in Long: routing through
+    * [[kmeansK]]'s `.toInt` would wrap negative past N ≈ 2.7e11
+    * (128·2^31) — exactly the 100 TB regime this function exists for
+    * (100 TB / 256 B ≈ 4e11 vectors) — and a negative k would produce
+    * empty centroid frames while the BIGINT SQL mirror stays positive.
+    * The √N branch always wins there and its value fits an Int until
+    * N ≈ 2.9e17. */
   private[graft] def ivfK(n: Long): Int =
-    math.min(kmeansK(n).toLong,
+    math.min(math.max(16L, (n + 127L) / 128L),
       math.max(16L, math.floor(4.0 * math.sqrt(n.toDouble)).toLong)).toInt
 
   /** The matching SQL for [[ivfK]] over a counted corpus. */
-  private def duckIvfK(countExpr: String): String =
+  private[graft] def duckIvfK(countExpr: String): String =
     s"least(${duckKmeansK(countExpr)}, " +
       s"greatest(16, CAST(floor(4.0 * sqrt(CAST(($countExpr) AS DOUBLE))) AS BIGINT)))"
 
@@ -1686,7 +1694,8 @@ object Ann {
     * shortlist, exact rerank. Mirrored by the oracle's
     * [[residualTailCtes]] so the two callers cannot diverge. */
   private def residualAdcSearch(s: SparkSession, dir: String,
-      assigned: DataFrame, probeCells: DataFrame): DataFrame = {
+      assigned: DataFrame, probeCells: DataFrame,
+      qcand: Int = QCand): DataFrame = {
     val e = emb(s, dir)
     val sub = pqSubvectors(s, dir).join(assigned, "vec_id").localCheckpoint()
     // per-(cell, subspace) integer centroid of the member subvectors:
@@ -1740,7 +1749,7 @@ object Ann {
       .agg(sum(col("d")).cast("long").as("adist"))
       .withColumn("rq", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("adist"), col("n_id"))))
-      .filter(col("rq") <= QCand)
+      .filter(col("rq") <= qcand)
     shortlist
       .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
         col("probe_id") === col("vec_id")).drop("vec_id")
@@ -2023,38 +2032,50 @@ object Ann {
     * (exact integer dots, IEEE double division) for the coarse half
     * and the residual chain's exact integers for the rest —
     * oracle-hash-deterministic end to end. */
+  /** The full trained-IVFADC chain, with the two ONLINE depth knobs a
+    * deployment tunes exposed for the recall/cost-curve harness
+    * (graft.tools.RecallCurve): nprobe (probed trained cells per
+    * probe; default the registry's corpus-co-scaled max(2, k/8)) and
+    * qcand (ADC shortlist depth before exact rerank; default 40).
+    * Neither override touches the OFFLINE index — same trained cells,
+    * same codes — which is the point of the curve: one index, many
+    * operating points. The registry row runs the defaults. */
+  private[graft] def ivfAdcChain(s: SparkSession, dir: String,
+      nprobeOverride: Option[Int] = None,
+      qcand: Int = QCand): DataFrame = {
+    // offline: trained coarse quantizer (one Lloyd stage). Cell
+    // count scales with the corpus — k = ivfK(N): ~128-member
+    // occupancy in the small regime, 4·√N past the crossover. A
+    // fixed k would make every cell N/16 vectors and each query a
+    // near-full scan at 100 TB. nprobe scales with k (probed
+    // fraction ~nprobe/k stays ~1/8 of the index's cells' worth of
+    // recall opportunity, FAISS's usual co-scaling) — both formulas
+    // exactly mirrored in the oracle's pk CTE; at the verify/bench
+    // SFs (N <= 2048) they floor at the historical k=16 / nprobe=2.
+    // ivfK (not kmeansK): k ∝ N would make the N×k assign pass
+    // quadratic — the sf3 run measured it (291 s at 60k vectors) —
+    // so past N = 2^18 the cell count follows FAISS's nlist ≈ 4·√N.
+    val k = ivfK(Tables(s, dir).embeddingsCount)
+    val nprobe = nprobeOverride.getOrElse(math.max(2, k / 8))
+    val (codes, _, c1) = kmeansStage(s, dir, k)
+    val cents = broadcast(c1.select(col("c_id"), col("cd"), col("cn2")))
+    val cellScores = codes.crossJoin(cents)
+      .select(col("vec_id"), col("c_id"),
+        expr(s"${dot("qd", "cd")} / sqrt(qn2 * cn2)").as("c_cos"))
+    val assigned = cellScores.groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+    // online: nprobe trained cells per probe
+    val probeCells = cellScores.filter(expr(ProbeFilter))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("c_id").as("cell"))
+    residualAdcSearch(s, dir, assigned, probeCells, qcand)
+  }
+
   val annIvfAdc: Q = Q(
     "ann_ivfadc",
-    (s, dir) => {
-      // offline: trained coarse quantizer (one Lloyd stage). Cell
-      // count scales with the corpus — k = ivfK(N): ~128-member
-      // occupancy in the small regime, 4·√N past the crossover. A
-      // fixed k would make every cell N/16 vectors and each query a
-      // near-full scan at 100 TB. nprobe scales with k (probed
-      // fraction ~nprobe/k stays ~1/8 of the index's cells' worth of
-      // recall opportunity, FAISS's usual co-scaling) — both formulas
-      // exactly mirrored in the oracle's pk CTE; at the verify/bench
-      // SFs (N <= 2048) they floor at the historical k=16 / nprobe=2.
-      // ivfK (not kmeansK): k ∝ N would make the N×k assign pass
-      // quadratic — the sf3 run measured it (291 s at 60k vectors) —
-      // so past N = 2^18 the cell count follows FAISS's nlist ≈ 4·√N.
-      val k = ivfK(Tables(s, dir).embeddingsCount)
-      val nprobe = math.max(2, k / 8)
-      val (codes, _, c1) = kmeansStage(s, dir, k)
-      val cents = broadcast(c1.select(col("c_id"), col("cd"), col("cn2")))
-      val cellScores = codes.crossJoin(cents)
-        .select(col("vec_id"), col("c_id"),
-          expr(s"${dot("qd", "cd")} / sqrt(qn2 * cn2)").as("c_cos"))
-      val assigned = cellScores.groupBy("vec_id")
-        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
-      // online: nprobe trained cells per probe
-      val probeCells = cellScores.filter(expr(ProbeFilter))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
-        .filter(col("crn") <= nprobe)
-        .select(col("vec_id").as("probe_id"), col("c_id").as("cell"))
-      residualAdcSearch(s, dir, assigned, probeCells)
-    },
+    (s, dir) => ivfAdcChain(s, dir),
     Some(s"""WITH $ivfAdcCoarseCtes, $pqSplitCte, $residualTailCtes
             |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
             |FROM (

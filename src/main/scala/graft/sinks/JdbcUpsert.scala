@@ -36,9 +36,17 @@ object JdbcUpsert {
     * own JDBC writer exposes — sized via `SPARK_GRAFT_JDBC_PARALLELISM`
     * the way a deployment sizes it to the target's max_connections.
     * Coalesce (not repartition): no extra shuffle, the reduced rows
-    * just fan in. */
-  private def sinkParallelism: Int = {
-    val v = sys.env.getOrElse("SPARK_GRAFT_JDBC_PARALLELISM", "32")
+    * just fan in.
+    *
+    * The DEFAULT is sized by the target the URL names: 32 for a
+    * networked Postgres-class database, 4 for embedded Derby — the sf10
+    * runs measured Derby converging into a page-latch convoy (every
+    * writer parked in BasePage.setExclusive) at 32 concurrent MERGE
+    * writers, while 4 applied the same batch in 24 s. The env knob
+    * still overrides either default. */
+  private def sinkParallelism(url: String): Int = {
+    val dflt = if (url.startsWith("jdbc:derby")) "4" else "32"
+    val v = sys.env.getOrElse("SPARK_GRAFT_JDBC_PARALLELISM", dflt)
     require(v.forall(_.isDigit) && v.toInt >= 1,
       s"SPARK_GRAFT_JDBC_PARALLELISM must be a positive integer, got: $v")
     v.toInt
@@ -82,7 +90,7 @@ object JdbcUpsert {
         struct(col("scn"), col("xid"))).as("w"))
       .select(col("key"), col("w.scn"), col("w.op"), col("w.id"),
         col("w.cents"), col("w.typ"))
-    latest.coalesce(sinkParallelism).foreachPartition { rows: Iterator[Row] =>
+    latest.coalesce(sinkParallelism(url)).foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) applyRows(url, table, rows)
     }
   }
@@ -101,7 +109,7 @@ object JdbcUpsert {
         struct(col("scn"), col("xid"))).as("w"))
       .select(col("key"), col("w.scn"), col("w.op"), col("w.id"),
         col("w.cents"), col("w.typ"))
-    latest.coalesce(sinkParallelism).foreachPartition { rows: Iterator[Row] =>
+    latest.coalesce(sinkParallelism(url)).foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) applyRows(url, table, rows, noMerge = true)
     }
   }
@@ -238,6 +246,15 @@ object JdbcUpsert {
       }
     }
 
+    /** Transaction-severity: the failure rolled back (or invalidated)
+      * the whole in-flight transaction, so per-ROW recovery is unsound
+      * — only a whole-chunk replay is. SQLState class 40 is the
+      * standard's transaction-rollback class (Derby: 40001 deadlock,
+      * 40XL1 lock timeout, 40XC0 dead statement). */
+    def txnSeverity(e: java.sql.SQLException): Boolean =
+      e.isInstanceOf[java.sql.SQLTransactionRollbackException] ||
+        (e.getSQLState != null && e.getSQLState.startsWith("40"))
+
     def replay(chunk: Seq[Row]): Unit = {
       chunk.foreach { r =>
         if (r.getString(2) == "d") {
@@ -258,16 +275,27 @@ object JdbcUpsert {
             // upsert-on-conflict loop, idempotent via the guard.
             case e: java.sql.SQLException if e.getSQLState == "23505" =>
               guardedUpdate(r)
-            // Any other SQLException here is Derby's MERGE machinery
-            // itself failing on a LIVE connection (third observed mode,
-            // sf3: the batch NPE — "_actionRS is null" — recurs on the
-            // single-statement MERGE, the connection stays isValid, so
-            // the reconnect guard never fires and the task would die).
-            // MERGE is the thing that's broken, so stop using it for
-            // this row: apply the portable update-then-insert loop,
-            // which needs no MERGE support at all. Idempotent via the
-            // scn guard like every other recovery path.
-            case _: java.sql.SQLException =>
+            // A STATEMENT-severity failure here is Derby's MERGE
+            // machinery itself failing on a LIVE connection (third
+            // observed mode, sf3: the batch NPE — "_actionRS is null" —
+            // recurs on the single-statement MERGE, the connection stays
+            // isValid, so the reconnect guard never fires and the task
+            // would die). MERGE is the thing that's broken, so stop
+            // using it for this row: apply the portable
+            // update-then-insert loop, which needs no MERGE support at
+            // all. Idempotent via the scn guard like every other
+            // recovery path.
+            //
+            // TRANSACTION-severity failures (SQLState class 40:
+            // deadlock resolution, rollback, txn no longer active) must
+            // NOT be absorbed per-row: the engine has rolled back the
+            // whole in-flight transaction, so rows already applied in
+            // this chunk are gone — continuing row-by-row and
+            // committing the remainder would silently lose them.
+            // Rethrow so applyChunk's recovery replays the WHOLE chunk
+            // on a fresh connection (safe: the scn guard makes replays
+            // idempotent).
+            case e: java.sql.SQLException if !txnSeverity(e) =>
               upsertNoMerge(r)
           }
         }
@@ -276,8 +304,13 @@ object JdbcUpsert {
     }
 
     def applyChunk(chunk: Seq[Row]): Unit = {
-      if (noMerge) { replay(chunk); return }
+      // Both entry paths run under the same recovery scaffolding below:
+      // the forced-noMerge first pass is just as exposed to transient
+      // connection drops / transaction rollbacks as the MERGE batch,
+      // and recovering it is the same rollback + (reconnect-if-dead)
+      // whole-chunk replay, idempotent via the scn guard.
       try {
+        if (noMerge) { replay(chunk); return }
         chunk.foreach { r =>
           if (r.getString(2) == "d") {
             delete.setLong(1, r.getLong(0)); delete.setLong(2, r.getLong(1))

@@ -102,7 +102,7 @@ object Streams {
   def runBounded(sdf: DataFrame, mode: String): DataFrame = {
     val spark = sdf.sparkSession
     val d = java.nio.file.Files.createTempDirectory("graft_bounded_sink")
-    d.toFile.deleteOnExit()
+    registerSinkCleanup(d)
     val dir = d.toString
     spark.synchronized {
       // stateful operators pay a per-partition-per-batch state-store
@@ -113,24 +113,62 @@ object Streams {
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
       try {
         val q = sdf.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write
-              .mode(if (mode == "complete") "overwrite" else "append")
-              .parquet(dir)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            // one OVERWRITTEN subdirectory per batchId: if Spark retries
+            // a micro-batch after a partial write, the re-run replaces
+            // the subdir instead of appending duplicates (the memory
+            // sink deduped re-adds by batchId; plain parquet append
+            // would not). Subdir names avoid k=v so no partition
+            // discovery kicks in.
+            batch.write.mode("overwrite").parquet(s"$dir/b$id")
           }
           .outputMode(mode).start()
         try q.processAllAvailable() finally q.stop()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     // an all-empty feed writes no files at all; preserve the
-    // memory-sink behavior of returning an empty, correctly-typed DF
-    val wrote = {
+    // memory-sink behavior of returning an empty, correctly-typed DF.
+    // append/update accumulate every batch's emissions (read all
+    // subdirs); complete REPLACES per batch (read only the last one).
+    val subdirs = {
       val s = java.nio.file.Files.list(d)
-      try s.findFirst().isPresent finally s.close()
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p =>
+          p.getFileName.toString.startsWith("b")).toVector
+      } finally s.close()
     }
-    if (wrote) spark.read.schema(sdf.schema).parquet(dir)
+    val toRead =
+      if (mode == "complete" && subdirs.nonEmpty)
+        Seq(subdirs.maxBy(p => p.getFileName.toString.drop(1).toLong))
+      else subdirs
+    if (toRead.nonEmpty)
+      spark.read.schema(sdf.schema).parquet(toRead.map(_.toString): _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sdf.schema)
+  }
+
+  /** Bounded-sink temp dirs pending deletion; one JVM shutdown hook
+    * removes them RECURSIVELY (File.deleteOnExit silently never deletes
+    * a non-empty directory, so every runBounded call used to leak its
+    * parquet dir for the machine's lifetime). */
+  private val sinkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val sinkCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      sinkDirs.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(p)
+          val all = try walk.iterator().asScala.toVector finally walk.close()
+          all.sortBy(-_.getNameCount)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: java.io.IOException => () } // best-effort at exit
+      }
+    }))
+  private def registerSinkCleanup(p: java.nio.file.Path): Unit = {
+    sinkCleanupHook
+    sinkDirs.add(p)
   }
 
   /** One staged stream directory per (session, source dir), reused

@@ -43,11 +43,17 @@ object ScaleUp {
       "usage: ScaleUp <srcDir> <outDir> [factor] [jitter[:permille]]")
     val (src, out) = (args(0), args(1))
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val jitterArg = args.lift(3).filter(_.startsWith("jitter"))
+    // fail LOUD on a malformed 4th arg: this is measurement tooling, and
+    // silently dropping a typo'd "jiter:500" would produce an UNjittered
+    // corpus that quietly measures the wrong thing
+    val jitterArg = args.lift(3)
+    jitterArg.foreach { a =>
+      require(a.matches("jitter(:[0-9]+)?"),
+        s"4th arg must match jitter[:permille], got: $a")
+    }
     val jitter = jitterArg.isDefined
-    val jitterPermille = jitterArg.map {
+    val jitterPermille = jitterArg.collect {
       case s if s.contains(":") => s.split(":")(1).toInt
-      case _ => 10
     }.getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = SparkSession.builder()

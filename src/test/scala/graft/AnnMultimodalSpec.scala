@@ -284,4 +284,36 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(k == 5 && hits <= k && pct == hits * 100 / k)
     }
   }
+
+  test("ivfK: occupancy branch below the 2^18 crossover, 4·√N cap above") {
+    // below the crossover the N/128 occupancy bound is the min — the
+    // configuration every verified plan runs
+    assert(Ann.ivfK(2048) == 16)
+    assert(Ann.ivfK(100000) == 782)
+    assert(Ann.ivfK(100000) == Ann.kmeansK(100000))
+    // at N = 2^18 the branches meet exactly: N/128 = 2048 = 4·√N
+    assert(Ann.ivfK(262144) == 2048)
+    assert(Ann.ivfK(262144) == Ann.kmeansK(262144))
+    // past it the √N cap binds — the N^1.5 asymptotic
+    assert(Ann.ivfK(262400) == 2048) // floor(4·√262400) < N/128 = 2051
+    assert(Ann.ivfK(1000000) == 4000)
+    assert(Ann.ivfK(1000000) < Ann.kmeansK(1000000))
+    // the 100 TB regime (100 TB / 256 B ≈ 4e11 vectors): the min must
+    // be computed in Long — routing through kmeansK's .toInt wraps
+    // negative past 128·2^31 and would yield a garbage cell count
+    assert(Ann.ivfK(400000000000L) == 2529822) // floor(4·√4e11)
+    assert(Ann.ivfK(400000000000L) > 0)
+  }
+
+  test("ivfK: duckIvfK SQL mirror parity on both branches, crossover, 100 TB regime") {
+    // duckIvfK is DuckDB dialect; `//` (integer division) is the one
+    // construct Spark spells differently — mechanical translation, the
+    // arithmetic is engine-identical (BIGINT div, IEEE sqrt, floor)
+    for (n <- Seq(16L, 2048L, 100000L, 262143L, 262144L, 262145L,
+                  1000000L, 400000000000L)) {
+      val sparkSql = Ann.duckIvfK(n.toString).replace("//", " div ")
+      val got = spark.sql(s"SELECT $sparkSql AS k").head().getLong(0)
+      assert(got == Ann.ivfK(n).toLong, s"mirror diverges at n=$n")
+    }
+  }
 }
