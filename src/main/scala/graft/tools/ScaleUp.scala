@@ -102,9 +102,16 @@ object ScaleUp {
              |  * ${jitterPermille}L / 1000000.0d as float))""".stripMargin))
       }.reduce(_.unionByName(_))
 
+    // SPARK_GRAFT_SCALEUP_ONLY=embeddings[,documents,...] restricts the
+    // emitted tables — e.g. the past-2^18 AssignTiming corpus needs ONLY
+    // a big embeddings table, not 500x-scaled facts. Unset = all tables.
+    val onlyTables = sys.env.get("SPARK_GRAFT_SCALEUP_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      if (onlyTables.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      }
     }
 
     write("region", t("region"))
