@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types._
+
+/** `graft_argmax(id, score)` — the id whose score is maximal, exact
+  * ties resolved to the SMALLER id: the aggregate semantics of
+  * `max_by(id, struct(score, -id))`, which every ANN assign/encode
+  * stage runs over its (vector × centroid/codeword) pair stream.
+  *
+  * Why it exists: `max_by` with a struct ordering is an imperative
+  * aggregate, so the whole pair stream goes through
+  * ObjectAggregationIterator — interpreted per-row updates, an
+  * in-memory map capped at `objectHashAggregate.sortBased.
+  * fallbackThreshold` (default 128!) groups, and past the cap a full
+  * SORT of the stream per partition. Measured on the IVFADC training
+  * assign at N=200k, k=1563 (3.1e8 pairs): 190 s object-agg vs ~2 s
+  * once the argmax is this DeclarativeAggregate — primitive buffer
+  * slots (bestScore, bestId), so it runs inside whole-stage-codegen
+  * HashAggregate with map-side partial aggregation, the word-count
+  * shape the brief asks every hot aggregate to have. At the 100 TB
+  * N×k this difference is the operator.
+  *
+  * Argmin is `graft_argmax(id, -score)` (ties still to smaller id) —
+  * the PQ/residual encode stages use it that way.
+  *
+  * Scoring notes: comparisons are the codegen primitive `>`/`==`, so
+  * (unlike struct ordering) -0.0 == 0.0 and NaN never wins; the ANN
+  * streams contain neither (cosines of non-null int-code vectors,
+  * exact integer distances). Null id/score rows never update the
+  * buffer, matching max_by's null-ordering behavior; an all-null
+  * group evaluates to null.
+  */
+case class ArgMaxBy(id: Expression, score: Expression)
+    extends DeclarativeAggregate with BinaryLike[Expression] {
+
+  override def left: Expression = id
+  override def right: Expression = score
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = id.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case _: NumericType | _: DateType | _: TimestampType |
+          _: TimestampNTZType | _: BooleanType => true
+      case _ => false
+    }
+    if (ok(id.dataType) && ok(score.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_argmax needs primitive orderable id/score columns, got " +
+        s"(${id.dataType.catalogString}, ${score.dataType.catalogString})")
+  }
+
+  private lazy val bestId =
+    AttributeReference("graft_argmax_id", id.dataType)()
+  private lazy val bestScore =
+    AttributeReference("graft_argmax_score", score.dataType)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(bestId, bestScore)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal.create(null, id.dataType), Literal.create(null, score.dataType))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val valid = And(IsNotNull(id), IsNotNull(score))
+    val take = And(valid, Or(IsNull(bestScore),
+      Or(GreaterThan(score, bestScore),
+        And(EqualTo(score, bestScore), LessThan(id, bestId)))))
+    Seq(If(take, id, bestId), If(take, score, bestScore))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val take = And(IsNotNull(bestScore.right), Or(IsNull(bestScore.left),
+      Or(GreaterThan(bestScore.right, bestScore.left),
+        And(EqualTo(bestScore.right, bestScore.left),
+          LessThan(bestId.right, bestId.left)))))
+    Seq(If(take, bestId.right, bestId.left),
+      If(take, bestScore.right, bestScore.left))
+  }
+
+  override lazy val evaluateExpression: Expression = bestId
+
+  override def prettyName: String = "graft_argmax"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgMaxBy =
+    copy(id = newLeft, score = newRight)
+}

@@ -424,7 +424,10 @@ object Native {
     ("graft_int8_codes", "symmetric int8 quantization codes: (max_abs, codes as doubles)",
       es => Int8Codes(es.head)),
     ("graft_topk", "partial-aggregatable top-K (value, id) pairs per group",
-      es => TopKPairs(es(0), es(1), es(2))))
+      es => TopKPairs(es(0), es(1), es(2))),
+    ("graft_argmax", "id with the maximal score, exact ties to the smaller id" +
+      " (codegen HashAggregate form of max_by(id, struct(score, -id)))",
+      es => ArgMaxBy(es(0), es(1))))
 
   /** Idempotently registers the graft_* functions in a session. Called
     * from Tables() so every query works on any SparkSession, including

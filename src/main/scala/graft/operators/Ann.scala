@@ -172,7 +172,7 @@ object Ann {
         .select(col("vec_id"), col("c_id"),
           cosWith("v", "n2", "cv", "cn2").as("c_cos"))
         .groupBy("vec_id")
-        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+        .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
       val probes = assigned.filter(expr(ProbeFilter))
         .select(col("vec_id").as("probe_id"), col("cell"))
       val cand = assigned.join(broadcast(probes), "cell")
@@ -351,7 +351,7 @@ object Ann {
         .select(col("vec_id"), col("c_id"),
           cosWith("v", "n2", "cv", "cn2").as("c_cos"))
       val assigned = cellScores.groupBy("vec_id")
-        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+        .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
       // per-probe top-2 cells: a window over only |probes| x 16 rows
       val probeCells = cellScores.filter(expr(ProbeFilter))
         .withColumn("crn", row_number().over(
@@ -727,21 +727,34 @@ object Ann {
       .withColumn("qn2", expr(s"greatest(${dot("qd", "qd")}, 1e-12)"))
 
   /** argmax-cosine assignment of every vector to its nearest centroid
-    * (broadcast cross join + partial-agg argmax, ann_ivf's shape). */
+    * (broadcast cross join + partial-agg argmax, ann_ivf's shape).
+    *
+    * The N×k pair stream carries ONLY (vec_id, c_id, c_cos) — ~30
+    * bytes/pair; the 64-double qd array is re-attached afterwards by a
+    * vec_id join (N rows, riding the argmax's own hash partitioning on
+    * the winner side). The previous shape aggregated first(qd) over the
+    * pair stream, so every one of the N×k rows dragged the ~550-byte
+    * array through the hash-agg input — measured 57× slower per pair
+    * at N=200k/k=1563 (68.5 s for the fat 2-pass training pipeline vs
+    * 0.6 s for a slim one-pass reassign, AssignTiming, quiet host).
+    * At the 100 TB N×k this delta IS the operator. Results are
+    * bit-identical: qd is constant per vec_id and max(c_cos) is the
+    * winning cosine either way. */
   private[graft] def kmeansAssign(codes: DataFrame, cents: DataFrame): DataFrame =
     codes.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("qd"), col("qn2"), col("c_id"),
+      .select(col("vec_id"), col("c_id"),
         expr(s"${dot("qd", "cd")} / sqrt(qn2 * cn2)").as("c_cos"))
       .groupBy("vec_id")
-      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cid"),
-        first(col("qd")).as("qd"), // constant within the group
+      .agg(expr("graft_argmax(c_id, c_cos)").as("cid"),
         max(col("c_cos")).as("cos")) // the winning cosine, for inertia
+      .join(codes.select(col("vec_id"), col("qd")), "vec_id")
+      .select(col("vec_id"), col("cid"), col("qd"), col("cos"))
 
   /** Integer-mean centroid update from an assignment: per (cluster,
     * dim) INTEGER sums (order-independent), floor-of-double-div means
     * (not BIGINT div, whose negative truncation differs between
     * engines), reassembled into array<double> centroids for graft_dot. */
-  private def kmeansUpdate(a: DataFrame): DataFrame =
+  private[graft] def kmeansUpdate(a: DataFrame): DataFrame =
     a.select(col("cid"), posexplode(col("qd")))
       .groupBy("cid", "pos")
       .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
@@ -1140,12 +1153,17 @@ object Ann {
           val e = batch
             .select(col("vec_id"), expr(toDouble("embedding")).as("v"))
             .withColumn("n2", expr(dot("v", "v")))
+            .localCheckpoint()
+          // slim pair stream (vec_id, c_id, c_cos) into a codegen
+          // HashAggregate argmax; v/n2 re-attached by a vec_id join
+          // rather than dragged through the aggregate as first()
           e.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("v"), col("n2"), col("c_id"),
+            .select(col("vec_id"), col("c_id"),
               cosWith("v", "n2", "cv", "cn2").as("c_cos"))
             .groupBy("vec_id")
-            .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"),
-              first(col("v")).as("v"), first(col("n2")).as("n2"))
+            .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
+            .join(e, "vec_id")
+            .select(col("vec_id"), col("cell"), col("v"), col("n2"))
             .write.mode("append").partitionBy("cell")
             .parquet(s"$indexRoot/vectors")
         }
@@ -1303,7 +1321,7 @@ object Ann {
         .select(col("vec_id"), col("m"), col("c_id"),
           sqDist("sn2", "cn2", "sv", "cd").as("d"))
         .groupBy("vec_id", "m")
-        .agg(max_by(col("c_id"), struct(-col("d"), -col("c_id"))).as("code"))
+        .agg(expr("graft_argmax(c_id, -d)").as("code"))
       val lut = sub.filter(expr(ProbeFilter))
         .select(col("vec_id").as("probe_id"), col("m").as("pm"),
           col("sv").as("psv"), col("sn2").as("psn2"))
@@ -1476,14 +1494,14 @@ object Ann {
         .select(col("vec_id"), col("c_id"),
           cosWith("v", "n2", "cv", "cn2").as("c_cos"))
       val assigned = cellScores.groupBy("vec_id")
-        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+        .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
       val sub = pqSubvectors(s, dir).localCheckpoint()
       val cb = pqCodebook(sub)
       val enc = sub.join(broadcast(cb), "m")
         .select(col("vec_id"), col("m"), col("c_id"),
           sqDist("sn2", "cn2", "sv", "cd").as("d"))
         .groupBy("vec_id", "m")
-        .agg(max_by(col("c_id"), struct(-col("d"), -col("c_id"))).as("c_id"))
+        .agg(expr("graft_argmax(c_id, -d)").as("c_id"))
       val indexed = enc.join(assigned, "vec_id")
       // online: probed cells -> ADC shortlist -> exact rerank
       val probeCells = cellScores.filter(expr(ProbeFilter))
@@ -1661,12 +1679,15 @@ object Ann {
         col("rn2").as("cn2"))
       .localCheckpoint()
     (1 to ResTrainRounds).foreach { _ =>
+      // slim pair stream into the codegen HashAggregate argmin; rv is
+      // re-attached by a (vec_id, m) join against the checkpointed
+      // residual frame instead of riding every pair row as first()
       val assign = res.join(broadcast(cb), "m")
-        .select(col("vec_id"), col("m"), col("rv"), col("c_id"),
+        .select(col("vec_id"), col("m"), col("c_id"),
           sqDist("rn2", "cn2", "rv", "cd").as("d"))
         .groupBy("vec_id", "m")
-        .agg(max_by(col("c_id"), struct(-col("d"), -col("c_id"))).as("c_id"),
-          first(col("rv")).as("rv")) // constant within the group
+        .agg(expr("graft_argmax(c_id, -d)").as("c_id"))
+        .join(res.select(col("vec_id"), col("m"), col("rv")), Seq("vec_id", "m"))
       val upd = assign.select(col("m"), col("c_id"), posexplode(col("rv")))
         .groupBy("m", "c_id", "pos")
         .agg(sum(col("col").cast("long")).as("sm"), count(lit(1)).as("n"))
@@ -1725,7 +1746,7 @@ object Ann {
       .select(col("vec_id"), col("cell"), col("m"), col("c_id"),
         sqDist("rn2", "cn2", "rv", "cd").as("d"))
       .groupBy("vec_id", "cell", "m")
-      .agg(max_by(col("c_id"), struct(-col("d"), -col("c_id"))).as("code"))
+      .agg(expr("graft_argmax(c_id, -d)").as("code"))
     // online: the ADC table is built from the probe's residual
     // AGAINST EACH PROBED CELL's centroid
     val lut = sub.filter(expr(ProbeFilter))
@@ -1802,7 +1823,7 @@ object Ann {
         .select(col("vec_id"), col("c_id"),
           cosWith("v", "n2", "cv", "cn2").as("c_cos"))
       val assigned = cellScores.groupBy("vec_id")
-        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+        .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
       // online: nprobe=2 cells per probe
       val probeCells = cellScores.filter(expr(ProbeFilter))
         .withColumn("crn", row_number().over(
@@ -2063,7 +2084,7 @@ object Ann {
       .select(col("vec_id"), col("c_id"),
         expr(s"${dot("qd", "cd")} / sqrt(qn2 * cn2)").as("c_cos"))
     val assigned = cellScores.groupBy("vec_id")
-      .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+      .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
     // online: nprobe trained cells per probe
     val probeCells = cellScores.filter(expr(ProbeFilter))
       .withColumn("crn", row_number().over(

@@ -39,6 +39,8 @@ object AssignTiming {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.Native.install(spark)
+    sys.env.get("SPARK_GRAFT_OBJ_FALLBACK").foreach(v =>
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v))
 
     val n = Tables(spark, dir).embeddingsCount
     val kCapped = Ann.ivfK(n)
@@ -46,10 +48,29 @@ object AssignTiming {
     // warm the input (decode + page cache) so timings measure assign
     spark.read.parquet(s"$dir/embeddings.parquet").count()
 
+    // One Lloyd training stage + the index-add reassign — exactly the
+    // two N×k passes ann_ivfadc runs offline — stage by stage, so cost
+    // lands on a named phase instead of one opaque number.
     def timeAssign(k: Int): (Double, Long) = {
       val t0 = System.nanoTime()
-      val (codes, _, c1, _) = Ann.kmeansIterate(spark, dir, rounds = 1, k = k)
-      val assigned = Ann.kmeansAssign(codes, c1).count()
+      var last = t0
+      def lap(tag: String): Unit = {
+        val now = System.nanoTime()
+        println(f"[phase] k=$k $tag ${(now - last) / 1e9}%.1f s (cum ${(now - t0) / 1e9}%.1f)")
+        last = now
+      }
+      val codes = Ann.kmeansCodes(spark, dir).localCheckpoint()
+      codes.count(); lap("codes_ckpt")
+      val cents0 = codes.filter(col("vec_id") < k)
+        .select(col("vec_id").as("c_id"), col("qd").as("cd"),
+          col("qn2").as("cn2"))
+      val a0 = Ann.kmeansAssign(codes, cents0).localCheckpoint()
+      a0.count(); lap("train_assign_ckpt")
+      a0.agg(sum(lit(1.0) - col("cos"))).head(); lap("inertia")
+      val c1 = Ann.kmeansUpdate(a0).localCheckpoint()
+      c1.count(); lap("update_ckpt")
+      val assigned = Ann.kmeansAssign(codes, c1).localCheckpoint().count()
+      lap("reassign_ckpt")
       ((System.nanoTime() - t0) / 1e9, assigned)
     }
 
@@ -57,7 +78,7 @@ object AssignTiming {
       val (sec, assigned) = timeAssign(k)
       println(
         s"""{"tool":"assign_timing","dir":"$dir","n":$n,"label":"$label",""" +
-          s""""k":$k,"pairs":${3L * n * k},"sec":${math.round(sec * 10) / 10.0},""" +
+          s""""k":$k,"pairs":${2L * n * k},"sec":${math.round(sec * 10) / 10.0},""" +
           s""""assigned":$assigned}""")
     }
 

@@ -188,4 +188,35 @@ class NativeVsSqlSpec extends AnyFunSuite with SparkSpec {
     assert(Ann.kmeansK(60000L) == 469)
     assert(Ann.kmeansK(200000L) == 1563)
   }
+
+  test("graft_argmax ≡ max_by(id, struct(score, -id)) incl. exact ties; plans as codegen HashAggregate") {
+    import spark.implicits._
+    // adversarial stream: duplicate scores (tie → smaller id must win),
+    // negative scores, a negated-long argmin shape, singleton and
+    // thousand-member groups, ids out of order
+    val rows = (0 until 50000).map { i =>
+      val g = i % 997                       // ~50 members per group
+      val id = ((i * 2654435761L) % 10007L) // scrambled ids
+      val score = ((i * 40503L) % 101L).toDouble / 7.0 - 7.0 // many exact ties
+      (g, id, score)
+    } ++ Seq((99999, 1L, 1.0), (99999, 0L, 1.0)) // pinned exact tie
+    val df = rows.toDF("g", "id", "score")
+    val native = df.groupBy("g")
+      .agg(expr("graft_argmax(id, score)").as("a"),
+        expr("graft_argmax(id, -score)").as("amin"))
+    val oracle = df.groupBy("g")
+      .agg(max_by(col("id"), struct(col("score"), -col("id"))).as("a"),
+        max_by(col("id"), struct(-col("score"), -col("id"))).as("amin"))
+    val n = native.collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val o = oracle.collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(n == o)
+    assert(n(99999)._1 == 0L) // tie resolved to the smaller id
+    // the whole point: the argmax aggregate must be a HashAggregate
+    // inside whole-stage codegen, never ObjectHashAggregate's
+    // interpreted sort-based fallback
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
 }

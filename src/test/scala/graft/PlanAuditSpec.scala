@@ -200,7 +200,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // sum, both arriving partial-aggregated
     val p = plan("ann_pq")
     assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
-    assert(p.contains("partial_maxby") || p.contains("partial_max_by"), p)
+    // the encode argmin partial-aggregates — and since round 11 it is
+    // the codegen HashAggregate graft_argmax, never ObjectHashAggregate's
+    // interpreted sort-based fallback (the 128-group default cap would
+    // put the whole N x K pair stream through a per-partition sort)
+    assert(p.contains("partial_graft_argmax"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
     assert(p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
