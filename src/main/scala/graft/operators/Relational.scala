@@ -926,7 +926,19 @@ object Relational {
     * ulp and flip rounding boundaries) and emits a deterministic
     * `within_bounds` verdict (sketch within 2% of exact at accuracy
     * 10000) — the oracle hash-matches (group, exact quantile cents, n,
-    * within_bounds=true) exactly. */
+    * within_bounds=true) exactly.
+    *
+    * Scale shape of the exact side: the naive form (row_number window
+    * over the raw rows) sorts the WHOLE group in one task — at 3
+    * distinct flags that is 3 single-threaded sorts of N/3 rows each,
+    * measured ~100–144 s at sf10. Instead the rows first partial-agg
+    * into a (flag, cents) HISTOGRAM — integer cents have a bounded
+    * value domain, so the histogram is capped by |domain|, not N (sf10:
+    * 60M rows → 594k histogram rows), and the cap TIGHTENS as N grows
+    * past the domain size, exactly the 100 TB regime. The running-sum
+    * window then orders only distinct cents, and the value at rank r is
+    * the smallest cents whose cumulative count reaches r — identical
+    * discrete-quantile semantics, same oracle SQL. */
   val qApproxPercentile: Q = Q(
     "q_approx_percentile",
     (s, dir) => {
@@ -938,17 +950,21 @@ object Relational {
       // with other aggs forces the sort-based fallback, ~40x slower)
       val approx = li.groupBy("l_returnflag")
         .agg(expr("approx_percentile(cents, array(0.5, 0.95), 10000)").as("ap"))
-      // discrete exact quantiles: rank within the group, then pick the
-      // ceil(p*n)-th value. The window and the groupBy share the same
-      // hash partitioning on l_returnflag, so this is ONE shuffle.
-      val ranked = li
-        .withColumn("rk", row_number().over(
+      // discrete exact quantiles via the (flag, cents) histogram: the
+      // heavy input partial-aggregates map-side, the window orders only
+      // distinct cents (domain-bounded, no ties → running sum is
+      // frame-unambiguous), and rank-r value = smallest cents whose
+      // cumulative count reaches r.
+      val hist = li.groupBy("l_returnflag", "cents")
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(
           Window.partitionBy("l_returnflag").orderBy("cents")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-      val exact = ranked.groupBy("l_returnflag")
-        .agg(max(when(col("rk") === expr("(n + 1) div 2"), col("cents")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("l_returnflag")))
+      val exact = cum.groupBy("l_returnflag")
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("cents")))
             .as("exact_p50_cents"),
-          max(when(col("rk") === expr("(95 * n + 99) div 100"), col("cents")))
+          min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("cents")))
             .as("exact_p95_cents"),
           max("n").as("n"))
       exact.join(broadcast(approx), "l_returnflag")
