@@ -220,6 +220,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("every IVF-family assign/encode argmax is the codegen graft_argmax, never ObjectHashAggregate") {
+    // the N x k pair-stream aggregate is each row's dominant cost; it
+    // must plan as whole-stage-codegen HashAggregate (primitive-buffer
+    // graft_argmax) — max_by(struct) plans as ObjectHashAggregate,
+    // whose in-memory map caps at 128 groups before falling back to a
+    // full per-partition SORT of the pair stream plus interpreted
+    // per-row updates (measured 190 s vs 5.6 s on the sf10 training
+    // assign, N=200k x k=1563)
+    for (q <- Seq("ann_ivf", "ann_ivf_nprobe", "ann_ivf_pq",
+        "ann_ivf_pq_res", "ann_ivfadc", "cluster_kmeans")) {
+      val p = plan(q)
+      assert(p.contains("partial_graft_argmax"), s"$q\n" + p)
+      assert(!p.contains("max_by") && !p.contains("maxby"), s"$q\n" + p)
+      // Two ObjectHashAggregates are legitimate and stay: Catalyst's
+      // runtime bloom-filter join pruning (zero-key bloom_filter_agg —
+      // 1 group, no fallback risk) and the residual chain's codebook
+      // ARRAY ASSEMBLY (collect_list over (cell, m) — input is
+      // k×M×dims codebook rows, index-sized not corpus-sized, and
+      // collect_list is inherently imperative). Any OTHER
+      // ObjectHashAggregate is a regression. The one-line-per-node
+      // plan string carries each node's functions inline.
+      val strayOha = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString.split("\n")
+        .filter(_.contains("ObjectHashAggregate"))
+        .filterNot(_.contains("bloom_filter_agg"))
+        .filterNot(_.contains("collect_list"))
+      assert(strayOha.isEmpty, s"$q\n" + strayOha.mkString("\n"))
+    }
+  }
+
   test("pipeline_cdc composes to three bounded shuffles with a broadcast dim") {
     val p = plan("pipeline_cdc")
     // dedup on (key, scn) + materialize on key + final rollup on
