@@ -77,7 +77,10 @@ object Cdc {
     * order, xid tiebreak); keys whose latest op is a delete vanish.
     *
     * Expressed as a max_by AGGREGATION, not a ranking window: the
-    * declarative aggregate partial-aggregates map-side, so a hot key
+    * aggregate partial-aggregates map-side (max_by with a struct
+    * payload plans as ObjectHashAggregate, whose >128-group fallback
+    * still COMBINES per key while sorting — a sort-based combine, not
+    * a re-shuffle), so a hot key
     * costs one combine per input partition plus a reduce of
     * #partitions pre-aggregated rows — skew-immune by construction,
     * where a per-key row_number window funnels the hot key's entire

@@ -158,10 +158,10 @@ object Ann {
        |FROM ranked WHERE rank <= 5""".stripMargin
 
   /** IVF: the 16 vectors with vec_id < 16 act as coarse centroids;
-    * every vector is assigned to its nearest centroid via a
-    * partial-aggregatable argmax (max_by over a comparable struct —
-    * no window, one shuffle on vec_id); probes then search only their
-    * own cell. */
+    * every vector is assigned to its nearest centroid via the
+    * partial-aggregatable codegen argmax ([[graft.functions.ArgMaxBy]]
+    * — no window, one shuffle on vec_id, whole-stage HashAggregate);
+    * probes then search only their own cell. */
   val annIvf: Q = Q(
     "ann_ivf",
     (s, dir) => {
@@ -1299,7 +1299,8 @@ object Ann {
     * is ever read at query time.
     *
     *  - encode (once, offline): per (vector, subspace) argmin over the
-    *    broadcast 64-row codebook — a partial-aggregated max_by, one
+    *    broadcast 64-row codebook — the partial-aggregated codegen
+    *    argmax (`graft_argmax(c_id, -d)`), one
     *    exchange on vec_id, exactly ann_ivf's assignment shape. At
     *    100 TB this is the index build; its output is 4 small ints
     *    per vector.

@@ -81,8 +81,9 @@ object JdbcUpsert {
     * xid, op, id, cents, typ) to the JDBC target. */
   def applyBatch(batch: DataFrame, url: String, table: String): Unit = {
     // reduce the batch to the winning event per key BEFORE touching the
-    // DB: max_by is a declarative aggregate with partial aggregation,
-    // so a skewed key costs one combine, not a sorted window.
+    // DB: max_by partial-aggregates map-side (its sort-based fallback
+    // is still a per-key combine), so a skewed key costs one combine,
+    // not a sorted window.
     val latest = batch
       .groupBy("key")
       .agg(max_by(
