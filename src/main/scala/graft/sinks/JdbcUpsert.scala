@@ -120,6 +120,29 @@ object JdbcUpsert {
     * its table-lock escalation threshold under concurrent writers. */
   private val ChunkRows = 1000
 
+  /** Fresh-connection whole-chunk replay attempts after the first
+    * recovery replay (so a chunk sees at most 1 batch try + 1
+    * same-connection replay + this many fresh-connection replays
+    * before the failure propagates). */
+  private val ReplayAttempts = 3
+
+  /** Chunk-severity: per-ROW recovery is unsound for this failure —
+    * either the engine rolled back the whole in-flight transaction
+    * (SQLState class 40 — Derby: 40001 deadlock, 40XL1 lock timeout,
+    * 40XC0 dead statement — rows already applied in the chunk are
+    * gone) or the CONNECTION itself died (class 08 — e.g. Derby
+    * 08003 "No current connection", seen mid-replay under sf10 load —
+    * every further statement on it just cascades). Both need the
+    * chunk-level reconnect + whole-chunk replay (idempotent via the
+    * scn guard); only statement-severity failures may fall back to
+    * the per-row MERGE-free loop. */
+  private[graft] def chunkSeverity(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLTransactionRollbackException] ||
+      e.isInstanceOf[java.sql.SQLNonTransientConnectionException] ||
+      e.isInstanceOf[java.sql.SQLTransientConnectionException] ||
+      (e.getSQLState != null &&
+        (e.getSQLState.startsWith("40") || e.getSQLState.startsWith("08")))
+
   private def applyRows(url: String, table: String, rows: Iterator[Row],
                         noMerge: Boolean = false): Unit = {
     var conn: Connection = null
@@ -247,15 +270,6 @@ object JdbcUpsert {
       }
     }
 
-    /** Transaction-severity: the failure rolled back (or invalidated)
-      * the whole in-flight transaction, so per-ROW recovery is unsound
-      * — only a whole-chunk replay is. SQLState class 40 is the
-      * standard's transaction-rollback class (Derby: 40001 deadlock,
-      * 40XL1 lock timeout, 40XC0 dead statement). */
-    def txnSeverity(e: java.sql.SQLException): Boolean =
-      e.isInstanceOf[java.sql.SQLTransactionRollbackException] ||
-        (e.getSQLState != null && e.getSQLState.startsWith("40"))
-
     def replay(chunk: Seq[Row]): Unit = {
       chunk.foreach { r =>
         if (r.getString(2) == "d") {
@@ -287,16 +301,16 @@ object JdbcUpsert {
             // all. Idempotent via the scn guard like every other
             // recovery path.
             //
-            // TRANSACTION-severity failures (SQLState class 40:
-            // deadlock resolution, rollback, txn no longer active) must
-            // NOT be absorbed per-row: the engine has rolled back the
-            // whole in-flight transaction, so rows already applied in
-            // this chunk are gone — continuing row-by-row and
-            // committing the remainder would silently lose them.
+            // CHUNK-severity failures (transaction rolled back, or the
+            // connection died under the statement) must NOT be
+            // absorbed per-row: after a rollback, rows already applied
+            // in this chunk are gone — continuing row-by-row and
+            // committing the remainder would silently lose them — and
+            // on a dead connection the per-row fallback just cascades.
             // Rethrow so applyChunk's recovery replays the WHOLE chunk
             // on a fresh connection (safe: the scn guard makes replays
             // idempotent).
-            case e: java.sql.SQLException if !txnSeverity(e) =>
+            case e: java.sql.SQLException if !chunkSeverity(e) =>
               upsertNoMerge(r)
           }
         }
@@ -324,24 +338,30 @@ object JdbcUpsert {
       } catch {
         case _: java.sql.SQLException =>
           try conn.rollback() catch { case _: java.sql.SQLException => () }
-          // Probe once per recovery pass: `alive` is reused by the
-          // inner guard so a connection found dead here (and already
-          // reopened) is not probed a second time — the replay on the
-          // fresh connection either succeeds or propagates.
-          val alive = usable
-          if (!alive) { closeAll(); open() }
+          // First replay rides the existing connection when the probe
+          // says it's alive (cheap), then every further attempt gets a
+          // FRESH connection — sf3 showed Derby keeping a connection
+          // isValid while its statement machinery is broken
+          // mid-transaction, and sf10 showed connections dying again
+          // DURING the recovery replay (08003 mid-chunk). Attempts are
+          // bounded with a short backoff so Derby's lock manager can
+          // settle; every replay is idempotent via the scn guard, and
+          // a failure that survives the last fresh connection
+          // propagates for real.
+          if (!usable) { closeAll(); open() }
           else { merge.clearBatch(); delete.clearBatch() }
-          try replay(chunk)
-          catch {
-            // One fresh-connection retry for ANY replay failure — not
-            // only when the probe says dead: sf3 showed Derby keeping a
-            // connection isValid while its statement machinery is
-            // broken mid-transaction. Idempotent via the scn guard; a
-            // failure that survives a fresh connection then propagates
-            // for real.
-            case _: java.sql.SQLException =>
-              try conn.rollback() catch { case _: java.sql.SQLException => () }
-              closeAll(); open(); replay(chunk)
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try { replay(chunk); done = true }
+            catch {
+              case e: java.sql.SQLException if attempt < ReplayAttempts =>
+                attempt += 1
+                try conn.rollback() catch { case _: java.sql.SQLException => () }
+                closeAll()
+                Thread.sleep(50L << attempt)
+                open()
+            }
           }
       }
     }

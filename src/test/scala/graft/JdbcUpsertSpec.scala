@@ -111,4 +111,21 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(snapshot(urlN) ==
       Seq((1L, 150L, 20L), (2L, 222L, 30L), (3L, 300L, 12L), (4L, 400L, 14L)))
   }
+
+  test("chunk-severity classification: rollback and connection classes rethrow, statement classes fall back per-row") {
+    import java.sql._
+    // chunk-severe: the in-flight transaction or connection is gone —
+    // per-row recovery would lose applied rows / cascade on a corpse
+    assert(JdbcUpsert.chunkSeverity(new SQLTransactionRollbackException("deadlock", "40001")))
+    assert(JdbcUpsert.chunkSeverity(new SQLException("lock timeout", "40XL1")))
+    assert(JdbcUpsert.chunkSeverity(new SQLException("dead statement", "40XC0")))
+    assert(JdbcUpsert.chunkSeverity(new SQLNonTransientConnectionException("No current connection.", "08003")))
+    assert(JdbcUpsert.chunkSeverity(new SQLException("connection closed", "08006")))
+    assert(JdbcUpsert.chunkSeverity(new SQLTransientConnectionException("blip")))
+    // statement-severity: MERGE machinery failing on a live connection
+    // — the per-row MERGE-free loop is the right recovery
+    assert(!JdbcUpsert.chunkSeverity(new SQLException("_actionRS is null", "XJ001")))
+    assert(!JdbcUpsert.chunkSeverity(new SQLException("duplicate key", "23505")))
+    assert(!JdbcUpsert.chunkSeverity(new SQLException("no state")))
+  }
 }
