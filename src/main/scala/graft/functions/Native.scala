@@ -162,6 +162,58 @@ object Native {
       copy(child = c)
   }
 
+  /** w-word window fp60 hashes straight from the words array: element
+    * i is the 60-bit fp60 hash of the virtual string
+    * "w_i w_(i+1) ... w_(i+w-1)" — the span fingerprint of
+    * exact-substring dedup — computed without materializing the
+    * joined window strings (a w=8 window stream would otherwise
+    * allocate ~8× the document's bytes before the first shuffle).
+    * Bit-identical to
+    * `transform(Portable.duckWindows-style spans, g -> fp60(g))`;
+    * [[ShingleHashes3]] with wide=true is the w=3 special case. */
+  case class WindowHashes60(child: Expression, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(w >= 2, s"window length must be >= 2, got $w")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_window_hashes60"
+
+    override def nullSafeEval(wsAny: Any): Any = {
+      val ws = wsAny.asInstanceOf[ArrayData]
+      val n = ws.numElements()
+      if (n < w) return new GenericArrayData(Array.empty[Long])
+      val words = new Array[String](n)
+      var i = 0
+      while (i < n) { words(i) = ws.getUTF8String(i).toString; i += 1 }
+      val out = new Array[Long](n - w + 1)
+      i = 0
+      while (i <= n - w) {
+        var h1 = 0L
+        var h2 = 0L
+        var k = 0
+        while (k < w) {
+          if (k > 0) {
+            h1 = (h1 * 31 + ' '.toInt) % Portable.P1
+            h2 = (h2 * 37 + ' '.toInt) % Portable.P2
+          }
+          val s = words(i + k)
+          var j = 0
+          while (j < s.length) {
+            val cp = s.codePointAt(j)
+            h1 = (h1 * 31 + cp) % Portable.P1
+            h2 = (h2 * 37 + cp) % Portable.P2
+            j += Character.charCount(cp)
+          }
+          k += 1
+        }
+        out(i) = h1 * Portable.TWO30 + h2
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 64-permutation MinHash signature — bit-identical to
     * Portable.minhashSig. */
   case class MinHashSig64(child: Expression)
@@ -411,6 +463,8 @@ object Native {
       es => ShingleHashes3(es.head, wide = false)),
     ("graft_shingle_hashes60", "60-bit word-3-gram shingle hashes from a words array",
       es => ShingleHashes3(es.head, wide = true)),
+    ("graft_window_hashes60", "60-bit w-word window (span) hashes from a words array",
+      es => WindowHashes60(es(0), es(1).eval().asInstanceOf[Number].intValue())),
     ("graft_minhash_sig", "64-permutation MinHash signature",
       es => MinHashSig64(es.head)),
     ("graft_simhash60", "60-bit SimHash fingerprint",

@@ -81,6 +81,13 @@ object Portable {
   def shingleHashes60(wordsArr: String): String =
     s"graft_shingle_hashes60($wordsArr)"
 
+  /** 60-bit fp60 hashes of every w-word window of a WORDS-array
+    * expression (native; equivalent to hashing each space-joined
+    * window string without materializing it) — the span fingerprints
+    * of exact-substring dedup. */
+  def windowHashes60(wordsArr: String, w: Int): String =
+    s"graft_window_hashes60($wordsArr, $w)"
+
   /** 64-permutation MinHash signature from a hash-array expression.
     * Permutation i is the affine map h -> ((2i+5)h + i^2+13) mod P2;
     * computed per-document with a fold, no (doc,shingle,perm) explode. */
@@ -156,6 +163,13 @@ object Portable {
 
   def duckNormText(e: String): String =
     s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+
+  /** w-word window strings of a words-array expression — mirror of the
+    * spans [[windowHashes60]] hashes (feed through
+    * [[duckShingleHashes60]] for the hash values). */
+  def duckWindows(wordsArr: String, w: Int): String =
+    s"[array_to_string(list_slice($wordsArr, i, i + ${w - 1}), ' ') " +
+      s"FOR i IN range(1, greatest(len($wordsArr) - ${w - 2}, 1))]"
 
   def duckShingleHashes(shinglesArr: String): String =
     s"list_transform($shinglesArr, g -> ${duckCharHash("g")})"

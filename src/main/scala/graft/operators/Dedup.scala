@@ -369,6 +369,74 @@ object Dedup {
             |FROM m x JOIN m y ON x.gid = y.gid AND x.doc_id < y.doc_id
             |JOIN elig ON x.gid = egid""".stripMargin))
 
+  /** span window length for [[dedupSpans]]: 8 words ≈ the shortest
+    * span worth cutting (Lee et al. use 50 BPE tokens; 8 words on the
+    * synthetic corpus keeps sf0.01 oracle work tractable while
+    * exercising the identical plan shape). */
+  private[operators] val SpanW = 8
+
+  /** Exact duplicated-span census — the exact-substring counterpart of
+    * the MinHash rows ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022: near-dup via MinHash AND exact
+    * repeated substrings via suffix arrays). A w=8-word window whose
+    * fp60 fingerprint occurs more than once ANYWHERE in the corpus
+    * (another document, or again in the same one) is duplicated text
+    * mass; the output is each document's window count, duplicated-
+    * window count, and duplicated fraction — the quantity an
+    * exact-substring cut pass would remove.
+    *
+    * Scale design — strictly aggregate-class (§5 rule), NO pair
+    * enumeration at any stage: the window stream is one 8-byte fp60
+    * per word position (map-side native hash fused into the scan, no
+    * window strings materialized); then (doc_id, wh) partial-count,
+    * a census groupBy(wh), and a join back on wh where the census
+    * side arrives already hash-partitioned by the join key; the
+    * per-doc rollup is the final 8-byte-key shuffle. Every stage is
+    * linear in corpus words. A boilerplate span repeated 10^9 times
+    * across a web corpus is ONE census row with total=10^9 — the
+    * degenerate case that makes pair-based designs quadratic is this
+    * design's cheapest row. */
+  val dedupSpans: Q = Q(
+    "dedup_spans",
+    (s, dir) => {
+      val wh = docs(s, dir)
+        .withColumn("words", expr(words("text")))
+        .filter(expr(s"size(words) >= $SpanW"))
+        .select(col("doc_id"),
+          explode(expr(windowHashes60("words", SpanW))).as("wh"))
+      val perDoc = wh.groupBy("doc_id", "wh").agg(count(lit(1)).as("cnt"))
+      val census = perDoc.groupBy("wh").agg(sum("cnt").as("total"))
+      perDoc.join(census, "wh")
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_windows"),
+          sum(when(col("total") > 1, col("cnt")).otherwise(lit(0L)))
+            .as("dup_windows"))
+        .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+          round(col("dup_windows").cast("double") / col("n_windows"), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), x AS (
+            |  SELECT doc_id,
+            |    unnest(${duckShingleHashes60(duckWindows("words", SpanW))}) AS wh
+            |  FROM w WHERE len(words) >= $SpanW
+            |), dw AS (
+            |  SELECT doc_id, wh, count(*) AS cnt FROM x GROUP BY doc_id, wh
+            |), tot AS (
+            |  SELECT wh, sum(cnt) AS total FROM dw GROUP BY wh
+            |)
+            |SELECT dw.doc_id AS doc_id,
+            |  CAST(sum(cnt) AS BIGINT) AS n_windows,
+            |  CAST(sum(CASE WHEN total > 1 THEN cnt ELSE 0 END) AS BIGINT)
+            |    AS dup_windows,
+            |  round(CAST(sum(CASE WHEN total > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+            |    / sum(cnt), 6) AS dup_frac
+            |FROM dw JOIN tot USING (wh)
+            |GROUP BY dw.doc_id
+            |ORDER BY doc_id""".stripMargin))
+
   /** 64-permutation MinHash signatures, one row per doc. Computed as a
     * single fold per document (no 64x explode); at scale this is a
     * map-only stage fused into the scan. The 64-lane signature is
@@ -812,6 +880,6 @@ object Dedup {
             |ORDER BY da, db""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupNgramJaccard,
-    dedupContainment, dedupMinhash, dedupMinhashLsh, dedupSimhash,
-    dedupEmbedding, dedupClusters, dedupMinhashQuality)
+    dedupContainment, dedupSpans, dedupMinhash, dedupMinhashLsh,
+    dedupSimhash, dedupEmbedding, dedupClusters, dedupMinhashQuality)
 }

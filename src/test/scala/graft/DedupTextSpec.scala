@@ -122,6 +122,43 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected, s"got:\n${got.take(5)}\nexpected:\n${expected.take(5)}")
   }
 
+  test("dedup_spans matches an independent driver-side recompute") {
+    // whole-corpus recompute in plain Scala: 8-word windows joined by a
+    // single space, fp60-hashed, census'd across the corpus; a window
+    // is duplicated iff its fingerprint occurs >1 time anywhere
+    // (another doc OR again in the same doc)
+    import graft.functions.Portable.{P1, P2, TWO30}
+    def fp60(s: String): Long = {
+      var h1 = 0L; var h2 = 0L; var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        h1 = (h1 * 31 + cp) % P1
+        h2 = (h2 * 37 + cp) % P2
+        j += Character.charCount(cp)
+      }
+      h1 * TWO30 + h2
+    }
+    val winsPerDoc = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(' ').filter(_.nonEmpty)
+          .sliding(8).filter(_.length == 8)
+          .map(w => fp60(w.mkString(" "))).toVector)
+      .filter(_._2.nonEmpty).toMap
+    val totals = winsPerDoc.values.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val expected = winsPerDoc.map { case (id, ws) =>
+      id -> ((ws.size.toLong, ws.count(w => totals(w) > 1).toLong))
+    }
+    val got = operators.Dedup.dedupSpans.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // the corpus's replica families must surface as duplicated spans,
+    // and dup_frac must be a valid fraction of n_windows
+    assert(expected.values.exists(_._2 > 0))
+    expected.foreach { case (_, (nw, dw)) => assert(dw <= nw) }
+  }
+
   test("text_lm_score matches an independent driver-side recompute") {
     // same semantics written the obvious sequential way: bigram/unigram
     // counts, top-4096 caps with (-count, key) tie-break, scaled

@@ -54,6 +54,21 @@ class NativeVsSqlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("graft_window_hashes60 == fp60 over materialized w-word window strings") {
+    // w=8 (the dedup_spans setting) and w=2 (the smallest legal window)
+    for (w <- Seq(2, 8)) {
+      val spans =
+        s"CASE WHEN size(words) < $w THEN array() " +
+          s"ELSE transform(sequence(1, size(words) - ${w - 1}), i -> concat_ws(' ', slice(words, i, $w))) END"
+      val viaSql =
+        s"transform($spans, g -> aggregate(filter(split(g, ''), c -> c <> ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % $P1) * $TWO30 + " +
+          s"aggregate(filter(split(g, ''), c -> c <> ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 37 + ascii(c)) % $P2))"
+      val rows = df.select(
+        expr(s"graft_window_hashes60(words, $w)"), expr(viaSql)).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"w=$w"))
+    }
+  }
+
   test("graft_minhash_sig == SQL per-permutation array_min") {
     val sqlSig =
       s"transform(sequence(0, 63), i -> array_min(transform(hs, h -> ((2*i+5)*h + (i*i+13)) % $P2)))"

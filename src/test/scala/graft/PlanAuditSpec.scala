@@ -250,6 +250,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dedup_spans is aggregate-class: partial aggs everywhere, no pair join, no window") {
+    // the exact-substring census must never enumerate pairs: its only
+    // exchanges are the (doc_id, wh) partial-count, the wh census, the
+    // census join's probe-side re-exchange, and the per-doc rollup —
+    // each arriving map-side partial-aggregated; a boilerplate span
+    // repeated 10^9 times is one census row, never 10^18 pairs
+    val p = plan("dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), "no per-key ranking window anywhere\n" + p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 4, p)
+    // 3 aggregations x (partial + final)
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p)
+  }
+
   test("pipeline_cdc composes to three bounded shuffles with a broadcast dim") {
     val p = plan("pipeline_cdc")
     // dedup on (key, scn) + materialize on key + final rollup on
