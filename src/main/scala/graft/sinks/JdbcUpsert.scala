@@ -91,9 +91,26 @@ object JdbcUpsert {
         struct(col("scn"), col("xid"))).as("w"))
       .select(col("key"), col("w.scn"), col("w.op"), col("w.id"),
         col("w.cents"), col("w.typ"))
-    latest.coalesce(sinkParallelism(url)).foreachPartition { rows: Iterator[Row] =>
+    writerPartitioned(latest, url).foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) applyRows(url, table, rows)
     }
+  }
+
+  /** Shape the reduced batch for the writer tasks: DISJOINT key ranges,
+    * each applied in ascending key order. Concurrent writers that
+    * acquire row locks in a globally consistent order cannot deadlock
+    * each other (no wait cycle is constructible), and disjoint ranges
+    * keep each writer inside its own B-tree region so page-latch
+    * collisions happen only at range boundaries — the one full-registry
+    * sf10 run that hung did so with arbitrary-order writers parked in
+    * Derby page latches (which, unlike lock waits, have NO timeout).
+    * The range shuffle is over the post-max_by reduced stream
+    * (|keys-touched| rows), so its cost is noise next to the JDBC
+    * round-trips it protects. */
+  private def writerPartitioned(latest: DataFrame, url: String): DataFrame = {
+    val n = sinkParallelism(url)
+    if (n == 1) latest.coalesce(1).sortWithinPartitions("key")
+    else latest.repartitionByRange(n, col("key")).sortWithinPartitions("key")
   }
 
   /** The same micro-batch application forced through the MERGE-free
@@ -110,7 +127,7 @@ object JdbcUpsert {
         struct(col("scn"), col("xid"))).as("w"))
       .select(col("key"), col("w.scn"), col("w.op"), col("w.id"),
         col("w.cents"), col("w.typ"))
-    latest.coalesce(sinkParallelism(url)).foreachPartition { rows: Iterator[Row] =>
+    writerPartitioned(latest, url).foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) applyRows(url, table, rows, noMerge = true)
     }
   }
@@ -173,6 +190,18 @@ object JdbcUpsert {
         s"INSERT INTO $table (k, id, cents, typ, last_scn) VALUES (?, ?, ?, ?, ?)")
       exists = conn.prepareStatement(
         s"SELECT 1 FROM $table WHERE k = ?")
+      // Liveness floor: no statement may block a writer task forever.
+      // Lock waits already time out (Derby waitTimeout, SQLState 40XL1
+      // → chunk-severe → bounded fresh-connection replay); the query
+      // timeout converts any OTHER engine stall into a SQLException
+      // that lands in the same bounded recovery instead of an
+      // unkillable hang (one sf10 run sat 37 min in a silent convoy
+      // before being killed externally). 120 s is ~5000× the observed
+      // per-statement cost, so it can only fire on a genuine stall.
+      Seq(merge, delete, update, insert, exists).foreach { st =>
+        try st.setQueryTimeout(120)
+        catch { case _: java.sql.SQLException => () } // driver may not support it
+      }
     }
 
     def closeAll(): Unit = {
