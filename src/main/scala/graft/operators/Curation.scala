@@ -126,6 +126,107 @@ object Curation {
             |  JOIN selfc s ON x.gid = s.sgid
             |) ORDER BY doc_id, bench_id""".stripMargin))
 
+  /** Fuzzy benchmark decontamination — the MinHash face of
+    * text_contamination: instead of exact shared-shingle counts, flag
+    * corpus documents whose SIGNATURE-estimated Jaccard against any
+    * benchmark document reaches 0.5 (the Dolma/RedPajama-style "drop
+    * near-paraphrases of eval items" stage; the exact row catches
+    * verbatim leakage, this one catches lightly edited leakage). Same
+    * candidate machinery as dedup_minhash_lsh — 8x8 LSH bands with
+    * the hot-bucket census riding the self-join's own exchange — and
+    * the same rep-level contract as text_contamination: signatures
+    * are a pure function of the text, so member pairs inherit the rep
+    * pair's estimate bit-identically, and same-text corpus/bench hits
+    * (Jaccard exactly 1) come from group membership with no join at
+    * all. Nothing here enumerates corpus x bench: candidates exist
+    * only where band keys collide, band buckets are capped, and every
+    * shuffle key is 8-16 bytes. */
+  val contamFuzzy: Q = Q(
+    "contam_fuzzy",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Dedup.textGroups(s, dir)
+      val m = Dedup.groupMembers(g).select(col("doc_id"), col("gid"))
+      val cm = m.filter(col("doc_id") % 20 =!= 0)
+      val bm = m.filter(col("doc_id") % 20 === 0)
+      val sig = Dedup.groupReps(g)
+        .withColumn("words", expr(words("text")))
+        .filter(expr("size(words) >= 3"))
+        .withColumn("hashes", expr(shingleHashes("words")))
+        .select(col("doc_id").as("sgid"), expr(minhashSig("hashes")).as("sig"))
+      val bands = sig.select(col("sgid"),
+        explode(expr(minhashBands("sig"))).as("bk"))
+      val bounded = bands
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("bk")))
+        .filter(col("bn").between(2, Dedup.MaxBucket))
+        .drop("bn")
+      val cand = bounded.as("a")
+        .join(bounded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.sgid") < col("b.sgid"))
+        .select(col("a.sgid").as("ga"), col("b.sgid").as("gb"))
+        .distinct()
+      val rp = cand
+        .join(sig.as("sa"), col("ga") === col("sa.sgid"))
+        .join(sig.as("sb"), col("gb") === col("sb.sgid"))
+        .select(col("ga"), col("gb"),
+          expr(minhashEstJaccard("sa.sig", "sb.sig")).as("est"))
+        .filter(col("est") >= 0.5)
+      val dir2 = rp.select(explode(array(
+          struct(col("ga").as("cg"), col("gb").as("bg"), col("est")),
+          struct(col("gb").as("cg"), col("ga").as("bg"), col("est")))).as("p"))
+        .select(col("p.cg").as("cg"), col("p.bg").as("bg"),
+          col("p.est").as("est"))
+      val cross = dir2
+        .join(cm.as("x"), col("cg") === col("x.gid"))
+        .join(bm.as("y"), col("bg") === col("y.gid"))
+        .select(col("x.doc_id").as("doc_id"),
+          col("y.doc_id").as("bench_id"),
+          round(col("est"), 6).as("est_jaccard"))
+      val intra = cm.as("x")
+        .join(bm.as("y"), col("x.gid") === col("y.gid"))
+        .join(sig.select(col("sgid")), col("x.gid") === col("sgid"), "left_semi")
+        .select(col("x.doc_id").as("doc_id"),
+          col("y.doc_id").as("bench_id"),
+          lit(1.0).as("est_jaccard"))
+      cross.unionByName(intra).orderBy("doc_id", "bench_id")
+    },
+    Some(s"""WITH ${Dedup.duckGroupCtes},
+            |hsig AS (
+            |  SELECT doc_id, ${duckShingleHashes(duckShingles3("words"))} AS hashes
+            |  FROM w WHERE len(words) >= 3
+            |), msig AS (
+            |  SELECT doc_id AS sgid, ${duckMinhashSig("hashes")} AS sig FROM hsig
+            |), bands AS (
+            |  SELECT sgid, sig, unnest(${duckMinhashBands("sig")}) AS bk FROM msig
+            |), ok AS (
+            |  SELECT bk FROM bands GROUP BY bk
+            |  HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucket}
+            |), bounded AS (
+            |  SELECT bands.* FROM bands JOIN ok USING (bk)
+            |), rp AS (
+            |  SELECT ga, gb, est FROM (
+            |    SELECT DISTINCT a.sgid AS ga, b.sgid AS gb,
+            |      ${duckMinhashEstJaccard("a.sig", "b.sig")} AS est
+            |    FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.sgid < b.sgid
+            |  ) WHERE est >= 0.5
+            |), fdir2 AS (
+            |  SELECT ga AS cg, gb AS bg, est FROM rp
+            |  UNION ALL SELECT gb AS cg, ga AS bg, est FROM rp
+            |), fcm AS (
+            |  SELECT doc_id, gid FROM m WHERE doc_id % 20 <> 0
+            |), fbm AS (
+            |  SELECT doc_id, gid FROM m WHERE doc_id % 20 = 0
+            |)
+            |SELECT doc_id, bench_id, est_jaccard FROM (
+            |  SELECT x.doc_id AS doc_id, y.doc_id AS bench_id,
+            |    round(d.est, 6) AS est_jaccard
+            |  FROM fdir2 d JOIN fcm x ON d.cg = x.gid JOIN fbm y ON d.bg = y.gid
+            |  UNION ALL
+            |  SELECT x.doc_id, y.doc_id, CAST(1.0 AS DOUBLE)
+            |  FROM fcm x JOIN fbm y ON x.gid = y.gid
+            |  JOIN msig s ON x.gid = s.sgid
+            |) ORDER BY doc_id, bench_id""".stripMargin))
+
   /** Deterministic stratified sampling + train/val/test split: keep
     * 10% of English docs and 50% of every other language (re-balancing
     * an en-heavy corpus), then split 80/10/10 — both decisions are
@@ -587,7 +688,7 @@ object Curation {
             |GROUP BY lang
             |ORDER BY lang""".stripMargin))
 
-  val all: Seq[Q] = Seq(textContamination, sampleStratified, pipelineCurate,
-    pipelinePack, sampleMix, sampleTemperature, corpusStats, samplePerGroup,
-    pipelineCurateStream)
+  val all: Seq[Q] = Seq(textContamination, contamFuzzy, sampleStratified,
+    pipelineCurate, pipelinePack, sampleMix, sampleTemperature, corpusStats,
+    samplePerGroup, pipelineCurateStream)
 }

@@ -29,7 +29,7 @@ object Dedup {
 
   /** max LSH bucket size before the bucket is considered degenerate
     * and dropped from pair enumeration (see dedup_minhash_lsh). */
-  private val MaxBucket = 1000
+  private[operators] val MaxBucket = 1000
 
   /** max docs sharing one shingle before that shingle's block is
     * dropped from pair enumeration. A block of m docs yields m^2/2

@@ -18,6 +18,10 @@ final case class MmResized(
     doc_id: Long, width: Int, height: Int, pixel_digest: Long,
     mean_r: Long, mean_g: Long, mean_b: Long)
 
+/** Per-image perceptual hash produced by the real decode + dHash in
+  * mm_phash. */
+final case class MmPhash(doc_id: Long, phash: Long)
+
 /** Multimodal-column plumbing: media arrive as opaque `binary` columns
   * with typed metadata. The byte-level rows derive their payload
   * deterministically from `documents.text` (pure ASCII -> byte values
@@ -97,14 +101,20 @@ object Multimodal {
     * external codec needed). This is the "media arrival" side of the
     * row: what lands in the binary column is a genuine PNG stream
     * (magic bytes, IHDR, zlib-compressed scanlines). */
-  private[graft] def encodePng(id: Long): Array[Byte] = {
+  private[graft] def encodePng(id: Long): Array[Byte] =
+    encodePngWith(id, pixelValue)
+
+  /** Shared PNG-arrival encoder: an 8x8 RGB image whose flat channel
+    * values come from `px(id, i)`, written as a genuine PNG stream by
+    * the JDK encoder. */
+  private def encodePngWith(id: Long, px: (Long, Long) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var p = 0
     while (p < 64) {
-      val r = pixelValue(id, p * 3L)
-      val g = pixelValue(id, p * 3L + 1)
-      val b = pixelValue(id, p * 3L + 2)
+      val r = px(id, p * 3L)
+      val g = px(id, p * 3L + 1)
+      val b = px(id, p * 3L + 2)
       img.setRGB(p % 8, p / 8, (r << 16) | (g << 8) | b)
       p += 1
     }
@@ -298,6 +308,118 @@ object Multimodal {
             |  CAST(list_sum([rs[3*p+3] FOR p IN range(0, 16)]) AS BIGINT) // 16 AS mean_b
             |FROM pooled""".stripMargin))
 
+  /** Deterministic pixel value for the mm_phash payload: images come
+    * in 64 base FAMILIES (`id % 64` seeds the LCG) with a per-image
+    * uniform BRIGHTNESS offset (`(id / 64) % 32` added to every
+    * channel). Base values stay in [0, 223] so base + offset never
+    * clamps — the offset shifts every gray value by exactly the same
+    * amount, which is the transformation perceptual hashing exists to
+    * be invariant under: the images of one family are byte-DISTINCT
+    * (content-addressed mm_dedup keeps them all) yet perceptually
+    * identical. The payload is a pure function of `id % 2048`
+    * (family, offset) — the spec pins that equivalence at the byte
+    * level, which is what lets the oracle count distinct payloads
+    * without hashing PNG bytes. */
+  private[graft] def phPixelValue(id: Long, i: Long): Int = {
+    val fi = ((id % 64L) * 192L + i) % 2147483648L
+    val base = (((1103515245L * fi + 12345L) % 2147483648L) % 224L).toInt
+    base + ((id / 64L) % 32L).toInt
+  }
+
+  private[graft] def encodePngPh(id: Long): Array[Byte] =
+    encodePngWith(id, phPixelValue)
+
+  /** REAL decode + dHash-56: gray = (r+g+b)/3 per pixel, then one bit
+    * per horizontally adjacent pair (7 per row x 8 rows), set iff the
+    * left gray is strictly darker — the standard difference-hash,
+    * integer-exact so the oracle can recompute it from the seed
+    * arithmetic. */
+  private[graft] def phashBatch(
+      batch: Seq[(Long, Array[Byte])]): Seq[MmPhash] =
+    batch.map { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload for doc $id")
+      require(img.getWidth == 8 && img.getHeight == 8,
+        s"unexpected dims ${img.getWidth}x${img.getHeight} for doc $id")
+      val gray = new Array[Int](64)
+      var p = 0
+      while (p < 64) {
+        val rgb = img.getRGB(p % 8, p / 8)
+        gray(p) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        p += 1
+      }
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 7) {
+          hash = hash * 2 + (if (gray(y * 8 + x) < gray(y * 8 + x + 1)) 1L else 0L)
+          x += 1
+        }
+        y += 1
+      }
+      MmPhash(id, hash)
+    }
+
+  /** Perceptual-hash dedup — the near-dup counterpart of the
+    * content-addressed mm_dedup: decode each (real PNG) payload,
+    * compute dHash-56 over the decoded grays, and census the hash
+    * space. On the phash payload (64 base-image families x 32
+    * brightness variants each) the perceptual groups are exactly the
+    * families: byte-distinct variants that sha-based dedup keeps all
+    * of collapse to one phash, which is the point of the row —
+    * `n_images` vs `n_distinct_payloads` exposes how many
+    * byte-distinct near-duplicates each group absorbed. Plumbing is
+    * the standard quartet shape (bounded mapPartitions batches, real
+    * codec in the loop, nothing on the driver); the census shuffle key
+    * is an 8-byte hash regardless of media size — the same reduction
+    * class as mm_dedup, linear at any corpus scale. The oracle
+    * recomputes the dHash from the seed arithmetic alone, so the hash
+    * match proves decode + gray + bit extraction are all exact;
+    * `n_distinct_payloads` counts `doc_id % 2048` on both sides (the
+    * payload-class surrogate the generator guarantees and the spec
+    * byte-pins). */
+  val mmPhash: Q = Q(
+    "mm_phash",
+    (s, dir) => {
+      import s.implicits._
+      val batchSize = 64
+      docs(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.grouped(batchSize).flatMap { ids =>
+            phashBatch(ids.map(id => id -> encodePngPh(id)))
+          }
+        }
+        .toDF()
+        .groupBy("phash")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_images"),
+          countDistinct(expr("doc_id % 2048")).as("n_distinct_payloads"))
+        .orderBy("phash")
+    },
+    Some("""WITH px AS (
+           |  SELECT doc_id,
+           |    [((1103515245 * (((doc_id % 64) * 192 + i) % 2147483648) + 12345) % 2147483648) % 224
+           |      + ((doc_id // 64) % 32) FOR i IN range(0, 192)] AS vs
+           |  FROM documents
+           |), gr AS (
+           |  SELECT doc_id,
+           |    [(vs[3*p+1] + vs[3*p+2] + vs[3*p+3]) // 3 FOR p IN range(0, 64)] AS g
+           |  FROM px
+           |), ph AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      [CASE WHEN g[(i//7)*8 + (i%7) + 1] < g[(i//7)*8 + (i%7) + 2]
+           |            THEN 1 ELSE 0 END FOR i IN range(0, 56)]),
+           |      (acc, v) -> acc*2 + v) AS phash
+           |  FROM gr
+           |)
+           |SELECT phash, min(doc_id) AS keep_id, count(*) AS n_images,
+           |  count(DISTINCT doc_id % 2048) AS n_distinct_payloads
+           |FROM ph GROUP BY phash ORDER BY phash""".stripMargin))
+
   /** content-addressed dedup of binary media: group by sha-256 of the
     * payload (a 32-byte shuffle key regardless of media size — the only
     * viable dedup key when items are megabytes), keep the min doc_id.
@@ -314,5 +436,6 @@ object Multimodal {
            |FROM documents GROUP BY sha256(text)
            |ORDER BY keep_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmFeatureExtract, mmResize, mmDedup)
+  val all: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmFeatureExtract,
+    mmResize, mmPhash, mmDedup)
 }

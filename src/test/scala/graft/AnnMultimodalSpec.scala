@@ -119,6 +119,33 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mm phash: brightness variants are byte-distinct yet collapse to one perceptual hash") {
+    // payload-class contract the oracle's surrogate count rests on:
+    // bytes are a pure function of doc_id % 2048 ...
+    assert(Multimodal.encodePngPh(5L).sameElements(
+      Multimodal.encodePngPh(5L + 2048L)))
+    // ... and distinct brightness variants within a family are
+    // byte-DISTINCT (content-addressed dedup keeps them all)
+    assert(!Multimodal.encodePngPh(5L).sameElements(
+      Multimodal.encodePngPh(5L + 64L)))
+    // dHash is invariant under the uniform brightness shift: all 32
+    // variants of a family produce ONE hash (through the real codec)
+    val fam = (0 until 32).map(o => 5L + 64L * o)
+    val ph = Multimodal.phashBatch(fam.map(id => id -> Multimodal.encodePngPh(id)))
+    assert(ph.map(_.phash).distinct.size == 1)
+    // the 64 families land on 64 distinct hashes (census is non-trivial)
+    val fams = Multimodal.phashBatch(
+      (0L until 64L).map(f => f -> Multimodal.encodePngPh(f)))
+    assert(fams.map(_.phash).distinct.size == 64)
+    // and the registry row sees it: every census group absorbs at
+    // least as many images as distinct payloads, with some group
+    // genuinely collapsing byte-distinct near-duplicates
+    val rows = Multimodal.mmPhash.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(3)))
+    assert(rows.exists(_.getLong(3) > 1))
+  }
+
   test("incremental IVF index answers queries identically to the one-shot build") {
     val viaIndex = SparkEntry.queries("ann_incremental")(spark, sfDir)
       .collect().map(_.toSeq).toSeq

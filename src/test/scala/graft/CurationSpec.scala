@@ -62,6 +62,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy contamination: estimates bounded, split respected, exact copies always caught") {
+    val hits = SparkEntry.queries("contam_fuzzy")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // flagged docs are corpus-side, matched against benchmark ids, at
+    // or above the 0.5 operating point (MinHash estimates are k/64)
+    hits.foreach { case (doc, bench, est) =>
+      assert(doc % 20 != 0 && bench % 20 == 0)
+      assert(est >= 0.5 && est <= 1.0)
+    }
+    // every exact corpus/bench text copy must be flagged at exactly 1.0
+    // (the intra path needs no band collision — identical text IS
+    // contamination, and a fuzzy pass that missed it would be broken)
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val exact = docs.as("c").join(docs.as("b"),
+        col("c.text") === col("b.text") &&
+          col("c.doc_id") % 20 =!= 0 && col("b.doc_id") % 20 === 0)
+      .filter(expr("size(filter(split(c.text, ' '), w -> w <> '')) >= 3"))
+      .select(col("c.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = hits.map(h => (h._1, h._2)).toSet
+    assert(exact.subsetOf(got))
+    exact.foreach { p =>
+      assert(hits.find(h => (h._1, h._2) == p).get._3 == 1.0)
+    }
+  }
+
   test("pipeline_curate composes its stages consistently") {
     val curated = SparkEntry.queries("pipeline_curate")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
