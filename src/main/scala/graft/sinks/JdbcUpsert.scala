@@ -39,13 +39,24 @@ object JdbcUpsert {
     * just fan in.
     *
     * The DEFAULT is sized by the target the URL names: 32 for a
-    * networked Postgres-class database, 4 for embedded Derby — the sf10
-    * runs measured Derby converging into a page-latch convoy (every
-    * writer parked in BasePage.setExclusive) at 32 concurrent MERGE
-    * writers, while 4 applied the same batch in 24 s. The env knob
-    * still overrides either default. */
+    * networked Postgres-class database, 1 — strictly single-writer —
+    * for embedded Derby. Concurrent embedded-Derby writers on one
+    * table are UNSAFE at any count: a captured thread dump (round 11)
+    * shows a Java-level monitor deadlock inside Derby's buffer
+    * manager between just two writers — one thread in
+    * BasePage.releaseExclusive holds the StoredPage monitor and wants
+    * the BaseContainerHandle monitor (DerbyObservable.deleteObserver),
+    * while a second in BaseContainerHandle.close holds the handle and
+    * wants the page (informObservers → BasePage.update). That
+    * lock-order inversion is independent of row-lock order, key
+    * ranges, lock timeouts, and query timeouts (a monitor wait cannot
+    * be cancelled), so no writer layout makes >1 embedded writer
+    * live; it also explains the earlier "page-latch convoy"
+    * signatures at 4 and 32 writers. A networked server serializes
+    * inside its own engine and keeps the full parallel layout. The
+    * env knob still overrides either default. */
   private def sinkParallelism(url: String): Int = {
-    val dflt = if (url.startsWith("jdbc:derby")) "4" else "32"
+    val dflt = if (url.startsWith("jdbc:derby")) "1" else "32"
     val v = sys.env.getOrElse("SPARK_GRAFT_JDBC_PARALLELISM", dflt)
     require(v.forall(_.isDigit) && v.toInt >= 1,
       s"SPARK_GRAFT_JDBC_PARALLELISM must be a positive integer, got: $v")
