@@ -118,7 +118,7 @@ object JdbcUpsert {
     * The range shuffle is over the post-max_by reduced stream
     * (|keys-touched| rows), so its cost is noise next to the JDBC
     * round-trips it protects. */
-  private def writerPartitioned(latest: DataFrame, url: String): DataFrame = {
+  private[graft] def writerPartitioned(latest: DataFrame, url: String): DataFrame = {
     val n = sinkParallelism(url)
     if (n == 1) latest.coalesce(1).sortWithinPartitions("key")
     else latest.repartitionByRange(n, col("key")).sortWithinPartitions("key")

@@ -128,4 +128,30 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(!JdbcUpsert.chunkSeverity(new SQLException("duplicate key", "23505")))
     assert(!JdbcUpsert.chunkSeverity(new SQLException("no state")))
   }
+
+  test("writer layout: embedded Derby is single-writer; server targets get disjoint ascending key ranges") {
+    import spark.implicits._
+    val latest = (0L until 1000L).map(k => (k, k * 10, "c", k, k, "t"))
+      .toDF("key", "scn", "op", "id", "cents", "typ")
+    // embedded Derby: ONE writer task, no concurrency — the captured
+    // buffer-manager monitor deadlock makes any >1 layout unsafe
+    val derby = JdbcUpsert.writerPartitioned(latest, "jdbc:derby:memory:x")
+    assert(derby.rdd.getNumPartitions == 1)
+    // server-class target: N writers over DISJOINT key ranges, each
+    // applied in ascending key order — a globally consistent row-lock
+    // acquisition order, so no wait cycle is constructible
+    val srv = JdbcUpsert.writerPartitioned(latest, "jdbc:postgresql://db/x")
+    val parts = srv.select("key").rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator.single(i -> it.map(_.getLong(0)).toVector) }
+      .collect().toMap.filter(_._2.nonEmpty)
+    assert(parts.size > 1)
+    parts.values.foreach(ks => assert(ks == ks.sorted, "ascending within writer"))
+    val ranges = parts.values.map(ks => (ks.head, ks.last)).toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin, "disjoint ranges")
+      case _ => ()
+    }
+    assert(parts.values.flatten.toSet == (0L until 1000L).toSet, "no row lost")
+  }
 }
