@@ -420,6 +420,127 @@ object Multimodal {
            |  count(DISTINCT doc_id % 2048) AS n_distinct_payloads
            |FROM ph GROUP BY phash ORDER BY phash""".stripMargin))
 
+  /** Deterministic pixel value for the mm_phash_pairs payload: the
+    * near-dup generator. Like [[phPixelValue]] it groups images into
+    * base families with per-image variants, but a variant here
+    * additionally BUMPS 0–2 of its pixels by +80 gray levels
+    * (positions seeded from (family, variant), byte-distinct via a
+    * small uniform brightness term) — an edit that flips at most two
+    * dHash bits per bumped pixel, so variants of one family sit at
+    * small NONZERO hamming distances from each other: the "same
+    * image, slightly edited" population a perceptual near-dup pass
+    * exists to catch. The family count is CORPUS-SCALED (nFam =
+    * max(64, N/16), the embBits design rule): members-per-family —
+    * and therefore output pairs — stay constant-density as the
+    * corpus grows, the way real near-dup populations do; a fixed
+    * family count would make the output quadratic in N. Base ≤ 159,
+    * brightness ≤ 15, bump +80 → max 254, never clamps. */
+  private[graft] def phPairPixelValue(id: Long, i: Long, nFam: Long): Int = {
+    val f = id % nFam
+    val v = (id / nFam) % 32L
+    val fi = (f * 192L + i) % 2147483648L
+    val base = (((1103515245L * fi + 12345L) % 2147483648L) % 160L).toInt
+    val p = i / 3L
+    val nb = (v % 3L).toInt
+    var bump = 0
+    var j = 0
+    while (j < nb) {
+      if ((f * 31L + v * 7L + j * 13L) % 64L == p) bump = 80
+      j += 1
+    }
+    base + (v % 16L).toInt + bump
+  }
+
+  private[graft] def encodePngPair(id: Long, nFam: Long): Array[Byte] =
+    encodePngWith(id, phPairPixelValue(_, _, nFam))
+
+  /** family count for the mm_phash_pairs payload at corpus size n. */
+  private[graft] def pairFamilies(n: Long): Long = math.max(64L, n / 16L)
+
+  /** Perceptual NEAR-dup image pairs — the hamming-distance face of
+    * mm_phash (dedup_simhash's pattern applied to images, the
+    * DataComp-style image-dedup stage): decode, dHash-56, then pairs
+    * within hamming ≤ 6 via 4×14-bit hamming-LSH band blocking with
+    * the exact distance verified inside blocks. Blocking recall is
+    * EXACT for hamming ≤ 3 (pigeonhole: 3 flipped bits cannot touch
+    * all 4 bands) and partial for 4–6, the standard trade. Scale
+    * shape is dedup_simhash's: band buckets carry (id, 8-byte hash),
+    * the per-bucket truncation window rides the self-join's own
+    * exchange ([[Dedup.MaxEmbBucket]] cap), the pair stream is
+    * band-local, and the verify is one integer XOR+popcount — no
+    * stage touches pixels after the map-side decode. */
+  val mmPhashPairs: Q = Q(
+    "mm_phash_pairs",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val batchSize = 64
+      val nFam = pairFamilies(Tables(s, dir).documentsCount)
+      val ph = docs(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.grouped(batchSize).flatMap { ids =>
+            phashBatch(ids.map(id => id -> encodePngPair(id, nFam)))
+          }
+        }
+        .toDF()
+      val bands = ph.select(col("doc_id"), col("phash"),
+        explode(expr("transform(sequence(0, 3), b -> b*16384 + " +
+          "((phash div shiftleft(CAST(1 AS BIGINT), 14*b)) % 16384))")).as("bk"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bk")
+            .orderBy(expr(Dedup.embPriority("doc_id")), col("doc_id"))))
+        .filter(col("rn") <= Dedup.MaxEmbBucket).drop("rn")
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .distinct()
+    },
+    Some(s"""WITH fc AS (
+            |  SELECT greatest(64, count(*) // 16) AS nf FROM documents
+            |), bp AS (
+            |  SELECT doc_id, (doc_id % nf) AS f, ((doc_id // nf) % 32) AS v,
+            |    [(doc_id % nf)*31 + ((doc_id // nf) % 32)*7 + j*13
+            |      FOR j IN range(0, ((doc_id // nf) % 32) % 3)] AS bumps0
+            |  FROM documents CROSS JOIN fc
+            |), px AS (
+            |  SELECT doc_id,
+            |    [((1103515245 * ((f*192 + i) % 2147483648) + 12345) % 2147483648) % 160
+            |      + (v % 16)
+            |      + (CASE WHEN list_contains(list_transform(bumps0, x -> x % 64), i // 3)
+            |              THEN 80 ELSE 0 END)
+            |      FOR i IN range(0, 192)] AS vs
+            |  FROM bp
+            |), gr AS (
+            |  SELECT doc_id,
+            |    [(vs[3*p+1] + vs[3*p+2] + vs[3*p+3]) // 3 FOR p IN range(0, 64)] AS g
+            |  FROM px
+            |), ph AS (
+            |  SELECT doc_id,
+            |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |      [CASE WHEN g[(i//7)*8 + (i%7) + 1] < g[(i//7)*8 + (i%7) + 2]
+            |            THEN 1 ELSE 0 END FOR i IN range(0, 56)]),
+            |      (acc, v) -> acc*2 + v) AS phash
+            |  FROM gr
+            |), bands0 AS (
+            |  SELECT doc_id, phash,
+            |    unnest([b*16384 + ((phash // (CAST(1 AS BIGINT) << (14*b))) % 16384)
+            |      FOR b IN range(0, 4)]) AS bk
+            |  FROM ph
+            |), bands AS (
+            |  SELECT doc_id, phash, bk FROM bands0
+            |  QUALIFY row_number() OVER (PARTITION BY bk
+            |    ORDER BY ${Dedup.embPriority("doc_id")}, doc_id) <= ${Dedup.MaxEmbBucket}
+            |)
+            |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+            |  bit_count(xor(a.phash, b.phash)) AS hamming
+            |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.phash, b.phash)) <= 6""".stripMargin))
+
   /** content-addressed dedup of binary media: group by sha-256 of the
     * payload (a 32-byte shuffle key regardless of media size — the only
     * viable dedup key when items are megabytes), keep the min doc_id.
@@ -437,5 +558,5 @@ object Multimodal {
            |ORDER BY keep_id""".stripMargin))
 
   val all: Seq[Q] = Seq(mmBinaryMeta, mmFrameSample, mmFeatureExtract,
-    mmResize, mmPhash, mmDedup)
+    mmResize, mmPhash, mmPhashPairs, mmDedup)
 }

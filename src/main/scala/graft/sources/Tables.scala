@@ -38,6 +38,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * Several registry rows need it in the same run; the memo turns
     * those repeated metadata scans into one. */
   def embeddingsCount: Long = Tables.cachedCount(spark, s"$dir/embeddings.parquet")
+
+  /** Memoized row count of the documents table — sizes the
+    * corpus-scaled near-dup family count in mm_phash_pairs the same
+    * way [[embeddingsCount]] sizes the embedding-bucket knobs. */
+  def documentsCount: Long = Tables.cachedCount(spark, s"$dir/documents.parquet")
 }
 
 object Tables {

@@ -146,6 +146,42 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_.getLong(3) > 1))
   }
 
+  test("mm phash pairs: banded blocking is exactly-recalling at hamming <= 3, verified vs brute force") {
+    // family count is corpus-scaled (constant near-dup density)
+    val nf = Multimodal.pairFamilies(
+      graft.sources.Tables(spark, sfDir).documentsCount)
+    // payload contract: a bumped variant lands at small NONZERO
+    // hamming from its family base; a bump-free variant at zero
+    def ph(id: Long): Long =
+      Multimodal.phashBatch(Seq(id -> Multimodal.encodePngPair(id, nf))).head.phash
+    // v=1 bumps ONE pixel: hamming to the v=0 base is <= 2 for every
+    // family (a bump touches at most two adjacent comparisons), and
+    // nonzero for SOME family (a bump may leave both comparisons'
+    // outcomes unchanged, so no single family is guaranteed to move)
+    val d1 = (0L until 64L).map(f => java.lang.Long.bitCount(ph(f + nf) ^ ph(f)))
+    assert(d1.forall(_ <= 2) && d1.exists(_ > 0))
+    assert(ph(5L + 3 * nf) == ph(5L))    // v=3: v%3==0, no bumps
+    assert(!Multimodal.encodePngPair(5L + 3 * nf, nf).sameElements(
+      Multimodal.encodePngPair(5L, nf))) // ...but byte-distinct (brightness)
+    // brute-force ground truth over the whole sf0.001 corpus
+    val ids = graft.sources.Tables(spark, sfDir).documents
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val hashes = ids.map(id => id -> ph(id)).toMap
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      h = java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j)))
+      if h <= 6
+    } yield (ids(i), ids(j), h.toLong)).toSet
+    val got = Multimodal.mmPhashPairs.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    // every reported pair is a TRUE hamming<=6 pair...
+    assert(got.subsetOf(brute))
+    // ...and blocking recall is EXACT for hamming <= 3 (pigeonhole:
+    // 3 flipped bits cannot touch all 4 bands)
+    val mustHave = brute.filter(_._3 <= 3)
+    assert(mustHave.nonEmpty && mustHave.subsetOf(got))
+  }
+
   test("incremental IVF index answers queries identically to the one-shot build") {
     val viaIndex = SparkEntry.queries("ann_incremental")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
