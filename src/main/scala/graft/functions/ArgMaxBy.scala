@@ -27,12 +27,15 @@ import org.apache.spark.sql.types._
   * Argmin is `graft_argmax(id, -score)` (ties still to smaller id) —
   * the PQ/residual encode stages use it that way.
   *
-  * Scoring notes: comparisons are the codegen primitive `>`/`==`, so
-  * (unlike struct ordering) -0.0 == 0.0 and NaN never wins; the ANN
-  * streams contain neither (cosines of non-null int-code vectors,
-  * exact integer distances). Null id/score rows never update the
-  * buffer, matching max_by's null-ordering behavior; an all-null
-  * group evaluates to null.
+  * Scoring notes: comparisons are Spark's GreaterThan/EqualTo, which
+  * on doubles use SQL ordering (SQLOrderingUtil.compareDoubles) in
+  * BOTH codegen and interpreted paths — NaN orders LARGEST and would
+  * win, and -0.0 == 0.0, exactly like max_by/struct ordering (no
+  * behavioral divergence from the aggregate this replaces). The ANN
+  * streams contain no NaN (cosines of non-null int-code vectors with
+  * clamped >= 1e-12 norms, exact integer distances). Null id/score
+  * rows never update the buffer, matching max_by's null-ordering
+  * behavior; an all-null group evaluates to null.
   */
 case class ArgMaxBy(id: Expression, score: Expression)
     extends DeclarativeAggregate with BinaryLike[Expression] {

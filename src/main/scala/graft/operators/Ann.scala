@@ -529,6 +529,20 @@ object Ann {
     * usual rerank headroom for int8 ANN. */
   private val QCand = 40
 
+  /** ADC shortlist depth (candidates kept after the integer ADC pass,
+    * before exact rerank) for the IVF-PQ/IVFADC family. 80, not
+    * QCand's 40: the committed recall-cost curve (RECALL_CURVE.json,
+    * round 11) measured recall@5 FLAT in nprobe but 92% vs 72% going
+    * 40 → 80 at every nprobe, at indistinguishable chain cost
+    * (4.9–5.8 s either way) — shortlist truncation, not cell misses,
+    * was the dominant loss term, so the default buys the recall where
+    * the curve says it lives. Cost shape at 100 TB: the rerank fetches
+    * raw vectors for 80 instead of 40 finalists per probe — still
+    * O(probes), unchanged index IO. The int8 row (ann_quantized) keeps
+    * QCand: its codes approximate far better than 4-subspace PQ, so
+    * the curve's finding does not transfer. */
+  private val AdcShortlist = 80
+
   /** vectors + their int8 codes (same quantization as vec_quantize:
     * floor-half-up against the per-vector maxabs, seeded 1e-12).
     * Codes are carried as doubles — every product |code| <= 127 is
@@ -1477,10 +1491,10 @@ object Ann {
     * never the raw vector. The ONLINE search (a) partition-prunes to
     * the probe's nprobe=2 nearest cells, (b) scores ONLY those cells'
     * candidates by ADC table lookups (integer sums — no vector math,
-    * no raw-vector reads), (c) exact-reranks the [[QCand]]-deep ADC
-    * shortlist with true cosines. At 100 TB each query touches
+    * no raw-vector reads), (c) exact-reranks the [[AdcShortlist]]-deep
+    * ADC shortlist with true cosines. At 100 TB each query touches
     * 2/k of the index rows, reads 4 ints per candidate, and fetches
-    * raw vectors for only QCand finalists — the IO shape that makes
+    * raw vectors for only AdcShortlist finalists — the IO shape that makes
     * vector search affordable. Every stage is the already-verified
     * arithmetic of its parent row, so the composition hash-matches the
     * composed oracle. */
@@ -1524,7 +1538,7 @@ object Ann {
         .agg(sum(col("d")).cast("long").as("adist"))
         .withColumn("rq", row_number().over(
           Window.partitionBy("probe_id").orderBy(col("adist"), col("n_id"))))
-        .filter(col("rq") <= QCand)
+        .filter(col("rq") <= AdcShortlist)
       shortlist
         .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
           col("probe_id") === col("vec_id")).drop("vec_id")
@@ -1595,7 +1609,7 @@ object Ann {
        |      row_number() OVER (PARTITION BY probe_id
        |        ORDER BY adist, n_id) AS rq
        |    FROM adcp
-       |  ) WHERE rq <= $QCand
+       |  ) WHERE rq <= $AdcShortlist
        |), reranked AS (
        |  SELECT s.probe_id, s.n_id, ${duckCosine("ep.v", "en.v")} AS cos
        |  FROM short s
@@ -1717,7 +1731,7 @@ object Ann {
     * [[residualTailCtes]] so the two callers cannot diverge. */
   private def residualAdcSearch(s: SparkSession, dir: String,
       assigned: DataFrame, probeCells: DataFrame,
-      qcand: Int = QCand): DataFrame = {
+      qcand: Int = AdcShortlist): DataFrame = {
     val e = emb(s, dir)
     val sub = pqSubvectors(s, dir).join(assigned, "vec_id").localCheckpoint()
     // per-(cell, subspace) integer centroid of the member subvectors:
@@ -1951,7 +1965,7 @@ object Ann {
        |      row_number() OVER (PARTITION BY probe_id
        |        ORDER BY adist, n_id) AS rq
        |    FROM adcr
-       |  ) WHERE rq <= $QCand
+       |  ) WHERE rq <= $AdcShortlist
        |), rerankedr AS (
        |  SELECT s.probe_id, s.n_id, ${duckCosine("ep.v", "en.v")} AS cos
        |  FROM shortr s
@@ -2058,13 +2072,15 @@ object Ann {
     * deployment tunes exposed for the recall/cost-curve harness
     * (graft.tools.RecallCurve): nprobe (probed trained cells per
     * probe; default the registry's corpus-co-scaled max(2, k/8)) and
-    * qcand (ADC shortlist depth before exact rerank; default 40).
+    * qcand (ADC shortlist depth before exact rerank; default
+    * [[AdcShortlist]] = 80, adopted from the round-11 recall-cost
+    * curve — see AdcShortlist's doc).
     * Neither override touches the OFFLINE index — same trained cells,
     * same codes — which is the point of the curve: one index, many
     * operating points. The registry row runs the defaults. */
   private[graft] def ivfAdcChain(s: SparkSession, dir: String,
       nprobeOverride: Option[Int] = None,
-      qcand: Int = QCand): DataFrame = {
+      qcand: Int = AdcShortlist): DataFrame = {
     // offline: trained coarse quantizer (one Lloyd stage). Cell
     // count scales with the corpus — k = ivfK(N): ~128-member
     // occupancy in the small regime, 4·√N past the crossover. A

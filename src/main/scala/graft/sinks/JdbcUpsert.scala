@@ -53,10 +53,16 @@ object JdbcUpsert {
     * be cancelled), so no writer layout makes >1 embedded writer
     * live; it also explains the earlier "page-latch convoy"
     * signatures at 4 and 32 writers. A networked server serializes
-    * inside its own engine and keeps the full parallel layout. The
-    * env knob still overrides either default. */
+    * inside its own engine and keeps the full parallel layout — that
+    * includes Derby's OWN network server (`jdbc:derby://host/db`),
+    * whose engine-side threads take those monitors inside one server
+    * process with lock-manager mediation, so only the EMBEDDED form
+    * (`jdbc:derby:` not followed by `//`) is forced single-writer.
+    * The env knob still overrides either default. */
   private def sinkParallelism(url: String): Int = {
-    val dflt = if (url.startsWith("jdbc:derby")) "1" else "32"
+    val embeddedDerby =
+      url.startsWith("jdbc:derby") && !url.startsWith("jdbc:derby://")
+    val dflt = if (embeddedDerby) "1" else "32"
     val v = sys.env.getOrElse("SPARK_GRAFT_JDBC_PARALLELISM", dflt)
     require(v.forall(_.isDigit) && v.toInt >= 1,
       s"SPARK_GRAFT_JDBC_PARALLELISM must be a positive integer, got: $v")

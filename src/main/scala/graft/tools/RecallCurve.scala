@@ -57,14 +57,19 @@ object RecallCurve {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val sec = (System.nanoTime() - t0) / 1e9
       val hits = exact.count(approx.contains)
-      val recallPct = hits * 100 / exact.size
+      // percentages in double (one-decimal rounding): integer division
+      // floored mean recall and reported probed_fraction 0 for any
+      // nprobe < k/100 (ADVICE r11)
+      val recallPct = math.round(hits * 1000.0 / exact.size) / 10.0
       val perProbe = probes.toSeq.sorted.map { p =>
         val ex = exact.filter(_._1 == p)
-        s"""{"probe_id":$p,"recall_pct":${ex.count(approx.contains) * 100 / ex.size}}"""
+        val pr = math.round(ex.count(approx.contains) * 1000.0 / ex.size) / 10.0
+        s"""{"probe_id":$p,"recall_pct":$pr}"""
       }.mkString("[", ",", "]")
+      val probedPct = math.round(np * 1000.0 / k) / 10.0
       println(s"[curve] nprobe=$np shortlist=$sl recall=$recallPct% " +
         f"(${sec}%.1f s)")
-      f"""{"nprobe":$np,"shortlist":$sl,"probed_fraction_pct":${np * 100 / k},"mean_recall_pct":$recallPct,"chain_sec":$sec%.1f,"per_probe":$perProbe}"""
+      f"""{"nprobe":$np,"shortlist":$sl,"probed_fraction_pct":$probedPct,"mean_recall_pct":$recallPct,"chain_sec":$sec%.1f,"per_probe":$perProbe}"""
     }
 
     val doc = points.mkString(
