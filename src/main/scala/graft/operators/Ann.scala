@@ -713,10 +713,11 @@ object Ann {
   /** Deterministic k-means over the int8-quantized vectors — the
     * clustering stage of cluster-balanced curation (group the corpus
     * by embedding neighborhood, then sample/dedup per cluster instead
-    * of globally). One full Lloyd iteration: seed centroids = codes of
-    * vec_id < 16, assign (argmax cosine), recompute centroids,
-    * reassign; output per-cluster membership before/after plus a
-    * centroid digest.
+    * of globally). One full Lloyd iteration per level: seed centroids
+    * = codes of the k lowest vec_ids (globally for the coarse level,
+    * per cell for the local level), assign (argmax cosine), recompute
+    * centroids, reassign; cluster_kmeans outputs per-final-cluster
+    * membership before/after plus a centroid digest.
     *
     * Every arithmetic step is ORDER-INDEPENDENT, which is what makes a
     * clustering loop oracle-comparable at all: coordinates are int8
@@ -794,18 +795,18 @@ object Ann {
     * column pruning, so lineage replay would recompute it per consumer
     * (the same truncation dedup_clusters applies) — and the loop would
     * otherwise replay all prior rounds per action. */
-  /** Corpus-scaled cluster count for the k-means blocking: k = max(16,
-    * ceil(N / 128)) holds expected cluster occupancy at ~128 members —
-    * constant per-cluster pair work at any corpus size, the same
-    * scale contract as [[Dedup.embBits]] (pre-r9 k was FIXED at 16, so
-    * occupancy grew N/16 and the cap truncated every cluster at
-    * scale). Pure integer arithmetic, mirrored verbatim in the
-    * oracles' params CTE. At the verify/bench SFs (N <= 2048) this
-    * floors at 16 — the historical configuration. Centroid frames stay
-    * broadcast-sized: k grows as N/128 rows of 64 doubles (~800 KB at
-    * N = 200k). */
-  private[graft] def kmeansK(n: Long): Int =
-    math.max(16L, (n + 127L) / 128L).toInt
+  /** The occupancy-bound cluster count: k = max(16, ceil(N / 128))
+    * holds expected cluster occupancy at ~128 members. Since round 12
+    * this is no longer any row's FLAT cluster count — a k ∝ N flat
+    * assign is N×k = O(N²/128) pairs, the registry's last quadratic
+    * (what dedup_semantic ran through round 11) — it survives only as
+    * (a) the occupancy branch inside [[ivfK]]'s min and (b) the
+    * flat-linear arm of the AssignTiming A/B. Returns Long: the old
+    * `.toInt` wrapped negative past N ≈ 2.7e11 (128·2^31), inside the
+    * 100 TB regime (~4e11 vectors); [[ivfK]] already computed its min
+    * in Long for exactly that reason. */
+  private[graft] def kmeansK(n: Long): Long =
+    math.max(16L, (n + 127L) / 128L)
 
   /** The matching SQL for [[kmeansK]] over a counted corpus. */
   private def duckKmeansK(countExpr: String): String =
@@ -823,15 +824,15 @@ object Ann {
     * always resolves to [[kmeansK]], so every verified plan is
     * unchanged — this is the 100 TB asymptotic, not a behavior fork.
     *
-    * The min is computed ENTIRELY in Long: routing through
-    * [[kmeansK]]'s `.toInt` would wrap negative past N ≈ 2.7e11
-    * (128·2^31) — exactly the 100 TB regime this function exists for
-    * (100 TB / 256 B ≈ 4e11 vectors) — and a negative k would produce
-    * empty centroid frames while the BIGINT SQL mirror stays positive.
-    * The √N branch always wins there and its value fits an Int until
-    * N ≈ 2.9e17. */
+    * The min is computed ENTIRELY in Long (as is [[kmeansK]] itself
+    * since round 12): an Int-narrowed occupancy branch would wrap
+    * negative past N ≈ 2.7e11 (128·2^31) — exactly the 100 TB regime
+    * this function exists for (100 TB / 256 B ≈ 4e11 vectors) — and a
+    * negative k would produce empty centroid frames while the BIGINT
+    * SQL mirror stays positive. The √N branch always wins there and
+    * its value fits an Int until N ≈ 2.9e17. */
   private[graft] def ivfK(n: Long): Int =
-    math.min(math.max(16L, (n + 127L) / 128L),
+    math.min(kmeansK(n),
       math.max(16L, math.floor(4.0 * math.sqrt(n.toDouble)).toLong)).toInt
 
   /** The matching SQL for [[ivfK]] over a counted corpus. */
@@ -863,6 +864,98 @@ object Ann {
       : (DataFrame, DataFrame, DataFrame) = {
     val (codes, a0, c1, _) = kmeansIterate(s, dir, rounds = 1, k = k)
     (codes, a0, c1)
+  }
+
+  /** The LOCAL half of the two-level (hierarchical) k-means: takes a
+    * coarse assignment `a1` (vec_id, cid, qd) and runs an
+    * occupancy-128 one-Lloyd-stage k-means INSIDE each coarse cell —
+    * per cell of n members, kloc = ceil(n/128) sub-clusters, seeds =
+    * the cell's kloc lowest vec_ids, assign (argmax cosine, ties to
+    * the smaller local id), integer-mean update, reassign. Returns
+    * (lc1: per-(cid, lcid) updated local centroids + n_before,
+    *  la1: the final (vec_id, cid, lcid) assignment).
+    *
+    * This is the subquadratic replacement for the flat k ∝ N assign
+    * (the registry's last scale-killer through round 11): with coarse
+    * cells at [[ivfK]](N) ≈ 4·√N past the crossover, coarse assign is
+    * N×4√N = O(N^1.5) pairs and the local assign is
+    * Σ_c occ(c)·ceil(occ(c)/128) ≈ N·√N/512 = O(N^1.5) — while the
+    * final clusters keep the ~128 expected occupancy that bounds every
+    * downstream within-cluster pair pass, the same contract the flat
+    * scheme bought at O(N²/128). Below the crossover occ ≈ 128 already,
+    * kloc = 1 everywhere, and the local stage degenerates to one
+    * mean-recentering per cell.
+    *
+    * Scale shape: the local-centroid frame is ~N/128 rows — far past
+    * broadcast at corpus scale (the flat scheme's ~2 GB broadcast at
+    * N = 1e9 was its second killer) — so BOTH local assigns are
+    * SHUFFLE equi-joins on cid: each cell meets only its own ≤
+    * ceil(occ/128) centroids, and the join key is the coarse cell id,
+    * the same key the membership window already partitioned by (a
+    * degenerate hot cell is AQE-skew-splittable; the downstream
+    * MaxEmbBucket cap still bounds the pair side regardless). All
+    * arithmetic is the global stage's order-independent integer
+    * arithmetic (int8 codes, integer sums, floor-of-double-div means,
+    * shared-fold cosines), so the whole two-level pipeline stays
+    * oracle-hash-deterministic; mirrored CTE-for-stage by
+    * [[kmeans2OracleCtes]]. `mem` and `lc1` are localCheckpoint-ed
+    * (each is consumed by several downstream stages); `la1` is NOT —
+    * consumers see the argmax HashAggregate in their own plans (the
+    * PlanAudit argmax pin), and a self-joining consumer reuses the
+    * aggregate's exchange. */
+  private[graft] def kmeans2Local(a1: DataFrame): (DataFrame, DataFrame) = {
+    val wCell = Window.partitionBy("cid")
+    val mem = a1
+      .withColumn("qn2", expr(s"greatest(${dot("qd", "qd")}, 1e-12)"))
+      .withColumn("rn", row_number().over(wCell.orderBy("vec_id")))
+      .withColumn("nc", count(lit(1)).over(wCell))
+      .withColumn("kloc", expr("(nc + 127) div 128"))
+      .drop("nc")
+      .localCheckpoint()
+    val seeds = mem.filter(col("rn") <= col("kloc"))
+      .select(col("cid"), col("rn").cast("long").as("lcid"),
+        col("qd").as("ld"), col("qn2").as("ln2"))
+    // argmax-cosine assignment to the cell's own local centroids: a
+    // shuffle equi-join on cid (never a broadcast — the centroid side
+    // is corpus-sized/128), then the same slim partial-agg argmax as
+    // every coarse assign (the N×kloc pair stream carries ~30 B/pair)
+    def assignLocal(cents: DataFrame): DataFrame =
+      mem.select(col("vec_id"), col("cid"), col("qd"), col("qn2"))
+        .join(cents, "cid")
+        .select(col("vec_id"), col("cid"), col("lcid"),
+          expr(s"${dot("qd", "ld")} / sqrt(qn2 * ln2)").as("lcos"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(expr("graft_argmax(lcid, lcos)").as("lcid"))
+    val la0 = assignLocal(seeds)
+    // integer-mean update per (cell, local cluster): kmeansUpdate's
+    // exact arithmetic with the composite key
+    val lc1 = la0.join(mem.select(col("vec_id"), col("qd")), "vec_id")
+      .select(col("cid"), col("lcid"), posexplode(col("qd")))
+      .groupBy("cid", "lcid", "pos")
+      .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", floor(col("s").cast("double") / col("n")).cast("double"))
+      .groupBy("cid", "lcid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("ld"),
+        max("n").as("n_before"))
+      .withColumn("ln2", expr(s"greatest(${dot("ld", "ld")}, 1e-12)"))
+      .localCheckpoint()
+    val la1 = assignLocal(
+      lc1.select(col("cid"), col("lcid"), col("ld"), col("ln2")))
+    (lc1, la1)
+  }
+
+  /** The full two-level k-means over the embeddings corpus: coarse
+    * one-Lloyd-stage k-means at [[ivfK]](N) cells (the trained-coarse
+    * machinery ann_ivfadc verifies), then [[kmeans2Local]] inside each
+    * cell. Total assign work O(N^1.5); final clusters keyed
+    * (cid, lcid) at ~128 expected occupancy. */
+  private[graft] def kmeans2Stage(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val kc = ivfK(Tables(s, dir).embeddingsCount)
+    val (codes, _, c1) = kmeansStage(s, dir, kc)
+    val a1 = kmeansAssign(codes, c1).select(col("vec_id"), col("cid"), col("qd"))
+    kmeans2Local(a1)
   }
 
   /** Shared oracle CTE chain for the one-Lloyd-stage k-means
@@ -913,70 +1006,134 @@ object Ann {
             |  ) WHERE rn = 1
             |)""".stripMargin
 
+  /** [[kmeansOracleCtes]] extended stage-for-stage with the LOCAL half
+    * of the two-level k-means ([[kmeans2Local]]): per-cell membership
+    * ranks and kloc = ceil(n/128) (`mem`), the kloc lowest-id seeds
+    * (`ls0`), local argmax assignment with ties to the smaller local
+    * id (`la0`), integer-mean update (`lsums`/`lc1`/`lc1n`), and the
+    * final reassignment (`la1`, keyed (cid, lcid)). */
+  private def kmeans2OracleCtes(kExpr: String): String =
+    s"""${kmeansOracleCtes(kExpr)},
+       |mem AS (
+       |  SELECT a1.vec_id, a1.cid, qn.qd, qn.qn2,
+       |    row_number() OVER (PARTITION BY a1.cid ORDER BY a1.vec_id) AS rn,
+       |    (count(*) OVER (PARTITION BY a1.cid) + 127) // 128 AS kloc
+       |  FROM a1 JOIN qn ON a1.vec_id = qn.vec_id
+       |), ls0 AS (
+       |  SELECT cid, rn AS lcid, qd AS ld, qn2 AS ln2 FROM mem
+       |  WHERE rn <= kloc
+       |), la0 AS (
+       |  SELECT vec_id, cid, lcid, qd FROM (
+       |    SELECT m.vec_id, m.cid, s.lcid, m.qd,
+       |      row_number() OVER (PARTITION BY m.vec_id
+       |        ORDER BY ${duckDot("m.qd", "s.ld")} / sqrt(m.qn2 * s.ln2) DESC,
+       |          s.lcid) AS r
+       |    FROM mem m JOIN ls0 s ON m.cid = s.cid
+       |  ) WHERE r = 1
+       |), lsums AS (
+       |  SELECT cid, lcid, t.x['pos'] AS pos,
+       |    CAST(sum(t.x['code']) AS BIGINT) AS s, count(*) AS n
+       |  FROM la0, unnest([{'pos': i, 'code': CAST(qd[i] AS BIGINT)}
+       |    FOR i IN range(1, len(qd) + 1)]) AS t(x)
+       |  GROUP BY 1, 2, 3
+       |), lc1 AS (
+       |  SELECT cid, lcid,
+       |    list(floor(CAST(s AS DOUBLE) / n) ORDER BY pos) AS ld,
+       |    max(n) AS n_before
+       |  FROM lsums GROUP BY 1, 2
+       |), lc1n AS (
+       |  SELECT cid, lcid, ld, n_before,
+       |    greatest(${duckDot("ld", "ld")}, 1e-12) AS ln2 FROM lc1
+       |), la1 AS (
+       |  SELECT vec_id, cid, lcid FROM (
+       |    SELECT m.vec_id, m.cid, c.lcid,
+       |      row_number() OVER (PARTITION BY m.vec_id
+       |        ORDER BY ${duckDot("m.qd", "c.ld")} / sqrt(m.qn2 * c.ln2) DESC,
+       |          c.lcid) AS r
+       |    FROM mem m JOIN lc1n c ON m.cid = c.cid
+       |  ) WHERE r = 1
+       |)""".stripMargin
+
+  /** Corpus clustering as the TWO-LEVEL scheme (round 12; the flat
+    * one-stage form survives inside it as the coarse half and in the
+    * kmeansIterate convergence spec): coarse cells at [[ivfK]](N),
+    * then [[kmeans2Local]]'s occupancy-128 k-means inside each cell.
+    * Output is one row per FINAL cluster (cc_id = coarse cell,
+    * lc_id = local sub-cluster): members at local-assign time
+    * (n_before), members after the local reassign (n_after — a
+    * sub-cluster can win or lose members when its centroid moves off
+    * its seed), and the local-centroid digest. At the verify SFs
+    * (N ≤ 2048, kc = 16, most cells under 128 members) most cells
+    * carry a single sub-cluster and the output is the familiar
+    * ~16-row table; the oracle mirrors the full two-level chain so
+    * any occupancy split is verified, not special-cased. */
   val clusterKmeans: Q = Q(
     "cluster_kmeans",
     (s, dir) => {
-      val (codes, _, c1) = kmeansStage(s, dir)
-      val n1 = kmeansAssign(codes, c1)
-        .groupBy("cid").agg(count(lit(1)).as("n_after"))
-      // k-row side table: broadcast, or the planner sort-merge-joins it
-      c1.join(broadcast(n1), col("c_id") === n1("cid"), "left").drop("cid")
-        .select(col("c_id"), col("n_before"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"),
-          expr(sigDigest("transform(cd, x -> CAST(x AS BIGINT) + 127)"))
+      val (lc1, la1) = kmeans2Stage(s, dir)
+      val n1 = la1.groupBy("cid", "lcid").agg(count(lit(1)).as("n_after"))
+      // both sides are ~N/128 rows at scale: a shuffle equi-join on the
+      // composite key (NOT a broadcast — the flat row's k-row broadcast
+      // assumption died with the flat scheme)
+      lc1.join(n1, Seq("cid", "lcid"), "left")
+        .select(col("cid").as("cc_id"), col("lcid").as("lc_id"),
+          col("n_before"), coalesce(col("n_after"), lit(0L)).as("n_after"),
+          expr(sigDigest("transform(ld, x -> CAST(x AS BIGINT) + 127)"))
             .as("centroid_digest"))
-        .orderBy("c_id")
+        .orderBy("cc_id", "lc_id")
     },
-    Some(s"""WITH ${kmeansOracleCtes()},
-            |n0 AS (SELECT cid, count(*) AS n_before FROM a0 GROUP BY 1
-            |), n1 AS (SELECT cid, count(*) AS n_after FROM a1 GROUP BY 1)
-            |SELECT c1n.c_id,
-            |  coalesce(n0.n_before, 0) AS n_before,
+    Some(s"""WITH pk AS (
+            |  SELECT ${duckIvfK("count(*)")} AS kk FROM embeddings
+            |), ${kmeans2OracleCtes("SELECT kk FROM pk")},
+            |n1 AS (SELECT cid, lcid, count(*) AS n_after FROM la1 GROUP BY 1, 2)
+            |SELECT c.cid AS cc_id, c.lcid AS lc_id, c.n_before,
             |  coalesce(n1.n_after, 0) AS n_after,
-            |  ${duckSigDigest("list_transform(cd, x -> CAST(x AS BIGINT) + 127)")}
+            |  ${duckSigDigest("list_transform(ld, x -> CAST(x AS BIGINT) + 127)")}
             |    AS centroid_digest
-            |FROM c1n
-            |LEFT JOIN n0 ON c1n.c_id = n0.cid
-            |LEFT JOIN n1 ON c1n.c_id = n1.cid
-            |ORDER BY c_id""".stripMargin))
+            |FROM lc1n c
+            |LEFT JOIN n1 ON c.cid = n1.cid AND c.lcid = n1.lcid
+            |ORDER BY cc_id, lc_id""".stripMargin))
 
-  /** SemDeDup-style semantic near-dup detection: the k-means clusters
-    * are the BLOCKING key — exact float cosines are computed only
-    * WITHIN a cluster, never across the corpus. This is
-    * dedup_embedding with a learned partition of the space instead of
-    * random hyperplanes: at 100 TB the candidate set per vector is its
-    * cluster (|corpus|/k in expectation, tunable by k), the pair join
-    * is a self-join on the cluster id, and everything upstream is the
-    * already-audited one-Lloyd-stage pipeline. Pairs at cosine >= 0.4
-    * (dedup_embedding's threshold, so the two blocking strategies are
-    * directly comparable on the same data). */
+  /** SemDeDup-style semantic near-dup detection: the two-level
+    * k-means clusters are the BLOCKING key — exact float cosines are
+    * computed only WITHIN a final (cid, lcid) cluster, never across
+    * the corpus. This is dedup_embedding with a learned partition of
+    * the space instead of random hyperplanes: at 100 TB the candidate
+    * set per vector is its ~128-member final cluster, the pair join is
+    * a self-join on the composite cluster key, and everything upstream
+    * is the already-audited coarse Lloyd stage plus [[kmeans2Local]].
+    * Pairs at cosine >= 0.4 (dedup_embedding's threshold, so the two
+    * blocking strategies are directly comparable on the same data). */
   val dedupSemantic: Q = Q(
     "dedup_semantic",
     (s, dir) => {
-      // Corpus-scaled k (kmeansK: occupancy ~128/cluster) — with fixed
-      // k=16 occupancy grew N/16 and this row ran 315 s at 30x; scaled
-      // k keeps per-cluster pair work constant (that side linear in N).
-      // The assign pass is one N×k broadcast argmax — the accepted
-      // SemDeDup training cost (the occupancy bound is what keeps the
-      // pairwise side exact and uncapped; contrast ivfK, where search
-      // cares only about probed fraction and k caps at 4·√N).
-      // The count() is one scalar of driver metadata.
-      val k = kmeansK(Tables(s, dir).embeddingsCount)
-      val (codes, _, c1) = kmeansStage(s, dir, k)
-      val a1 = kmeansAssign(codes, c1).select(col("vec_id"), col("cid"))
+      // Two-level blocking (round 12 — kills the flat N×(N/128) assign,
+      // the registry's last quadratic): coarse cells at ivfK(N) ≈ 4√N
+      // past the crossover, then occupancy-128 local k-means per cell;
+      // total assign work O(N^1.5) with NO corpus-sized broadcast
+      // anywhere (the flat scheme's k×dims centroid broadcast hit ~2 GB
+      // at N = 1e9). The blocking key is the FINAL (cid, lcid) cluster,
+      // whose ~128 expected occupancy keeps the exact-cosine pair side
+      // linear in N — the same contract the flat scheme bought
+      // quadratically. Below the 2^18 crossover the coarse half is
+      // IDENTICAL to the old flat assign (ivfK = kmeansK there); the
+      // local half just re-centers cells under 128 members and splits
+      // the ones above.
+      val (_, la1) = kmeans2Stage(s, dir)
       // The MaxEmbBucket cap remains as the skew guard (a degenerate
       // cluster — e.g. one vector value repeated N times — still gets
       // sampled down instead of exploding the join); at the
       // verify/bench SFs every cluster is under it, unchanged.
-      val bounded = a1
+      val bounded = la1
         .withColumn("rn", row_number().over(
-          Window.partitionBy("cid")
+          Window.partitionBy("cid", "lcid")
             .orderBy(expr(Dedup.embPriority("vec_id")), col("vec_id"))))
         .filter(col("rn") <= Dedup.MaxEmbBucket).drop("rn")
       val e = emb(s, dir).select(col("vec_id"), col("v"), col("n2"))
       val cand = bounded.as("a")
         .join(bounded.as("b"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+          col("a.cid") === col("b.cid") && col("a.lcid") === col("b.lcid") &&
+            col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       cand
         .join(e.as("ea"), col("va") === col("ea.vec_id"))
@@ -986,16 +1143,17 @@ object Ann {
         .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
     },
     Some(s"""WITH pk AS (
-            |  SELECT ${duckKmeansK("count(*)")} AS kk FROM embeddings
-            |), ${kmeansOracleCtes("SELECT kk FROM pk")},
+            |  SELECT ${duckIvfK("count(*)")} AS kk FROM embeddings
+            |), ${kmeans2OracleCtes("SELECT kk FROM pk")},
             |ab AS (
-            |  SELECT vec_id, cid FROM a1
-            |  QUALIFY row_number() OVER (PARTITION BY cid
+            |  SELECT vec_id, cid, lcid FROM la1
+            |  QUALIFY row_number() OVER (PARTITION BY cid, lcid
             |    ORDER BY ${Dedup.embPriority("vec_id")}, vec_id)
             |    <= ${Dedup.MaxEmbBucket}),
             |pairs AS (
             |  SELECT a.vec_id AS va, b.vec_id AS vb
-            |  FROM ab a JOIN ab b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+            |  FROM ab a JOIN ab b ON a.cid = b.cid AND a.lcid = b.lcid
+            |    AND a.vec_id < b.vec_id),
             |scored AS (
             |  SELECT va, vb, ${duckCosine("ea.v", "eb.v")} AS cos
             |  FROM pairs
@@ -1067,10 +1225,10 @@ object Ann {
         .orderBy("strategy")
     },
     Some(s"""WITH pk AS (
-            |  SELECT ${duckKmeansK("count(*)")} AS kk,
+            |  SELECT ${duckIvfK("count(*)")} AS kk,
             |    ${Dedup.duckEmbBitsFrom("count(*)")} AS bits
             |  FROM embeddings
-            |), ${kmeansOracleCtes("SELECT kk FROM pk")},
+            |), ${kmeans2OracleCtes("SELECT kk FROM pk")},
             |params AS (
             |  SELECT greatest(1, CAST(ceil(count(*) / 2048.0) AS BIGINT)) AS s
             |  FROM e
@@ -1094,15 +1252,15 @@ object Ann {
             |  WHERE ${duckCosine("a.v", "b.v")} >= 0.4
             |), km AS (
             |  SELECT a.vec_id AS va, b.vec_id AS vb
-            |  FROM (SELECT vec_id, cid FROM a1
-            |        QUALIFY row_number() OVER (PARTITION BY cid
+            |  FROM (SELECT vec_id, cid, lcid FROM la1
+            |        QUALIFY row_number() OVER (PARTITION BY cid, lcid
             |          ORDER BY ${Dedup.embPriority("vec_id")}, vec_id)
             |          <= ${Dedup.MaxEmbBucket}) a
-            |  JOIN (SELECT vec_id, cid FROM a1
-            |        QUALIFY row_number() OVER (PARTITION BY cid
+            |  JOIN (SELECT vec_id, cid, lcid FROM la1
+            |        QUALIFY row_number() OVER (PARTITION BY cid, lcid
             |          ORDER BY ${Dedup.embPriority("vec_id")}, vec_id)
             |          <= ${Dedup.MaxEmbBucket}) b
-            |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+            |    ON a.cid = b.cid AND a.lcid = b.lcid AND a.vec_id < b.vec_id
             |  JOIN e ea ON a.vec_id = ea.vec_id
             |  JOIN e eb ON b.vec_id = eb.vec_id
             |  WHERE ${duckCosine("ea.v", "eb.v")} >= 0.4

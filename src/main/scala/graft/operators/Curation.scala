@@ -582,25 +582,51 @@ object Curation {
   /** The curation topology as ONE live streaming query — the
     * training-data twin of pipeline_cdc_stream: document batches
     * stream in, each batch is quality-gated map-side (the same three
-    * Gopher-style gates as pipeline_curate), the survivors pass
-    * through the PERSISTENT incremental near-dup index
-    * ([[IncrementalDedup.applyBatch]] — O(batch + touched index
-    * buckets) per batch, arrival-order independent), and the gated
-    * rows land in a curated staging area. The final corpus report —
-    * per-language doc and token counts of everything that survived
-    * both gates — must hash-match an oracle that recomputes the whole
-    * thing from scratch in one pass: proof the streamed curation
-    * equals the batch curation under an arbitrary split. */
+    * Gopher-style gates as pipeline_curate), DECONTAMINATED against a
+    * static broadcast benchmark band index (contam_fuzzy's machinery
+    * in the live path — est-Jaccard >= 0.5 vs any eval item drops the
+    * doc, round 12), the survivors pass through the PERSISTENT
+    * incremental near-dup index ([[IncrementalDedup.applyBatch]] —
+    * O(batch + touched index buckets) per batch, arrival-order
+    * independent), and the gated rows land in a curated staging area.
+    * The final corpus report — per-language doc and token counts of
+    * everything that survived all three gates — must hash-match an
+    * oracle that recomputes the whole thing from scratch in one pass:
+    * proof the streamed curation equals the batch curation under an
+    * arbitrary split. */
   /** Start the streamed curation topology (map-side quality gates ->
-    * persistent incremental near-dup index -> curated staging) over a
-    * staged documents directory. Caller owns the query lifecycle;
-    * a durable `checkpoint` makes the run restartable — PipelineSpec
-    * proves stop/restart equals the uninterrupted run. */
+    * fuzzy DECONTAMINATION gate -> persistent incremental near-dup
+    * index -> curated staging) over a staged documents directory.
+    * Caller owns the query lifecycle; a durable `checkpoint` makes the
+    * run restartable — PipelineSpec proves stop/restart equals the
+    * uninterrupted run.
+    *
+    * `benchSig` (b_id, sig): the STATIC benchmark-signature table —
+    * contam_fuzzy's band machinery composed into the live path. An
+    * eval suite is small and known up front, so both its signature
+    * table and its exploded band index are built ONCE at topology
+    * start (localCheckpoint) and BROADCAST into every micro-batch:
+    * per batch the cost is one band equi-join of the batch's bands
+    * against the broadcast index plus an est-Jaccard check on the
+    * (few) candidates — O(batch), nothing corpus-sized, nothing
+    * re-derived per batch. A batch doc whose signature-estimated
+    * Jaccard against ANY benchmark doc reaches 0.5 (contam_fuzzy's
+    * near-paraphrase threshold; a verbatim eval item self-matches at
+    * est = 1) is dropped BEFORE it can enter the dedup index or the
+    * curated lake. None = no decontamination stage (the restart
+    * spec's configuration). */
   private[graft] def startCurateTopology(
       s: org.apache.spark.sql.SparkSession, staged: String,
       indexRoot: String, curatedDir: String,
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None,
+      benchSig: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val bench = benchSig.map { bs =>
+      val sig = bs.localCheckpoint()
+      val bands = sig.select(col("b_id"),
+        explode(expr(minhashBands("sig"))).as("bk")).localCheckpoint()
+      (sig, bands)
+    }
     val schema = s.read.parquet(staged).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", graft.streaming.Streams.filesPerTrigger).parquet(staged)
@@ -615,8 +641,26 @@ object Curation {
           .filter(expr("size(array_distinct(words)) * 10 >= n_words * 3"))
           .persist() // batch-scoped; released below, not left to GC
         try {
-          IncrementalDedup.applyBatch(gated.select("doc_id", "text"), indexRoot)
-          gated.select("doc_id", "lang", "n_words")
+          // every quality-gated doc has >= 5 words, so a signature
+          // always exists; candidates only where band keys collide
+          val decon = bench.fold(gated) { case (bsig, bbands) =>
+            val csig = gated
+              .withColumn("hashes", expr(shingleHashes("words")))
+              .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
+            val candPairs = csig.select(col("doc_id"),
+                explode(expr(minhashBands("sig"))).as("bk"))
+              .join(broadcast(bbands), "bk")
+              .select("doc_id", "b_id").distinct()
+            val cont = candPairs
+              .join(csig, "doc_id")
+              .join(broadcast(bsig.select(col("b_id"), col("sig").as("bsig2"))),
+                "b_id")
+              .filter(expr(minhashEstJaccard("sig", "bsig2")) >= 0.5)
+              .select("doc_id").distinct()
+            gated.join(cont, Seq("doc_id"), "left_anti")
+          }
+          IncrementalDedup.applyBatch(decon.select("doc_id", "text"), indexRoot)
+          decon.select("doc_id", "lang", "n_words")
             .write.mode("append").parquet(curatedDir)
         } finally { gated.unpersist(); () }
       }
@@ -652,7 +696,17 @@ object Curation {
         })
       val indexRoot = graft.sources.Formats.scratchDir("graft_curate_index")
       val curatedDir = graft.sources.Formats.scratchDir("graft_curated") + "/rows"
-      val q = startCurateTopology(s, staged, indexRoot, curatedDir)
+      // the static benchmark side (contam_fuzzy's stand-in eval suite:
+      // every 20th doc), built from the SOURCE table — an eval suite is
+      // external and NOT quality-gated
+      val benchSig = Tables(s, dir).documents
+        .filter(col("doc_id") % 20 === 0)
+        .withColumn("words", expr(words("text")))
+        .filter(expr("size(words) >= 3"))
+        .withColumn("hashes", expr(shingleHashes("words")))
+        .select(col("doc_id").as("b_id"), expr(minhashSig("hashes")).as("sig"))
+      val q = startCurateTopology(s, staged, indexRoot, curatedDir,
+        benchSig = Some(benchSig))
       try q.processAllAvailable() finally q.stop()
       curateTopologyResult(s, indexRoot, curatedDir)
     },
@@ -664,11 +718,29 @@ object Curation {
             |  WHERE len(words) >= 5
             |    AND len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 10 <= length(text) * 3
             |    AND len(list_distinct(words)) * 10 >= len(words) * 3
-            |), hs AS (
-            |  SELECT doc_id, ${duckShingleHashes(duckShingles3("words"))} AS hashes
-            |  FROM gated WHERE len(words) >= 3
+            |), sigall AS (
+            |  SELECT doc_id, ${duckMinhashSig(duckShingleHashes(duckShingles3("words")))} AS sig
+            |  FROM gated
+            |), bsig AS (
+            |  SELECT doc_id AS b_id,
+            |    ${duckMinhashSig(duckShingleHashes(duckShingles3("words")))} AS sig
+            |  FROM w0 WHERE doc_id % 20 = 0 AND len(words) >= 3
+            |), cont AS (
+            |  SELECT DISTINCT p.doc_id FROM (
+            |    SELECT DISTINCT c.doc_id, b.b_id
+            |    FROM (SELECT doc_id, unnest(${duckMinhashBands("sig")}) AS bk
+            |          FROM sigall) c
+            |    JOIN (SELECT b_id, unnest(${duckMinhashBands("sig")}) AS bk
+            |          FROM bsig) b USING (bk)
+            |  ) p
+            |  JOIN sigall cs ON p.doc_id = cs.doc_id
+            |  JOIN bsig bs ON p.b_id = bs.b_id
+            |  WHERE ${duckMinhashEstJaccard("cs.sig", "bs.sig")} >= 0.5
+            |), gated2 AS (
+            |  SELECT * FROM gated
+            |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
             |), sig AS (
-            |  SELECT doc_id, ${duckMinhashSig("hashes")} AS sig FROM hs
+            |  SELECT s.* FROM sigall s JOIN gated2 USING (doc_id)
             |), bands AS (
             |  SELECT doc_id, unnest(${duckMinhashBands("sig")}) AS bk FROM sig
             |), pairs AS (
@@ -683,7 +755,7 @@ object Curation {
             |SELECT lang, count(*) AS n_docs,
             |  CAST(sum(len(words)) AS BIGINT) AS sum_words,
             |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-            |FROM gated
+            |FROM gated2
             |WHERE doc_id NOT IN (SELECT db FROM rej)
             |GROUP BY lang
             |ORDER BY lang""".stripMargin))

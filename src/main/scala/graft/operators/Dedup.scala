@@ -437,6 +437,90 @@ object Dedup {
             |GROUP BY dw.doc_id
             |ORDER BY doc_id""".stripMargin))
 
+  /** The CUT half of the Lee-et-al. exact-substring operator
+    * ([[dedupSpans]] is the census; this row REMOVES the duplicated
+    * mass): every word covered by any w=8 window whose fp60 occurs
+    * more than once in the corpus is excised; the output is each
+    * document's word count, cut-word count, and an ORDER-SENSITIVE
+    * digest (md5) of the kept text — the artifact a training-data
+    * pipeline ships downstream.
+    *
+    * Scale design — aggregate/join-class end to end, NO pair
+    * enumeration and NO per-doc quadratic HOF: the duplicated-
+    * fingerprint set is the census' >1 slice (like text_line_dedup's
+    * boilerplate set it is output of a full-corpus aggregate, so it is
+    * NEVER statically broadcast — billions of rows at web scale; AQE
+    * may demote the join from measured sizes); duplicated window
+    * positions expand ×w to covered word indices (bounded fan-out);
+    * the kept stream is one LEFT ANTI join of the exploded words
+    * against the covered set on (doc_id, idx) — every stage linear in
+    * corpus words, shuffles keyed by 8-byte hashes or (doc, idx)
+    * composites. The per-doc reassembly sorts ONLY within a document
+    * (collect + array_sort under the doc_id aggregate). */
+  val dedupSpansCut: Q = Q(
+    "dedup_spans_cut",
+    (s, dir) => {
+      val d = docs(s, dir).withColumn("words", expr(words("text")))
+      val wh = d.filter(expr(s"size(words) >= $SpanW"))
+        .select(col("doc_id"),
+          posexplode(expr(windowHashes60("words", SpanW))))
+        .select(col("doc_id"), (col("pos") + lit(1)).cast("long").as("pos"),
+          col("col").as("wh"))
+      val dup = wh.groupBy("wh").agg(count(lit(1)).as("total"))
+        .filter(col("total") > 1).select("wh")
+      val dpos = wh.join(dup, "wh").select(col("doc_id"), col("pos"))
+      val cov = dpos.select(col("doc_id"),
+          explode(expr(s"sequence(pos, pos + ${SpanW - 1})")).as("idx"))
+        .distinct()
+      val wx = d.select(col("doc_id"), posexplode(col("words")))
+        .select(col("doc_id"), (col("pos") + lit(1)).cast("long").as("idx"),
+          col("col").as("word"))
+      val kept = wx.join(cov, Seq("doc_id", "idx"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("kept_words"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(idx, word))), x -> x.word)"))
+            .as("kept_text"))
+      d.select(col("doc_id"), size(col("words")).cast("long").as("n_words"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          (col("n_words") - coalesce(col("kept_words"), lit(0L)))
+            .as("cut_words"),
+          md5(coalesce(col("kept_text"), lit(""))).as("kept_digest"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
+            |), xp AS (
+            |  SELECT doc_id, t.x['pos'] AS pos, t.x['wh'] AS wh
+            |  FROM (SELECT doc_id,
+            |          ${duckShingleHashes60(duckWindows("words", SpanW))} AS whs
+            |        FROM w WHERE len(words) >= $SpanW),
+            |    unnest([{'pos': i, 'wh': whs[i]}
+            |      FOR i IN range(1, len(whs) + 1)]) AS t(x)
+            |), dup AS (
+            |  SELECT wh FROM xp GROUP BY wh HAVING count(*) > 1
+            |), dpos AS (
+            |  SELECT doc_id, pos FROM xp JOIN dup USING (wh)
+            |), cov AS (
+            |  SELECT DISTINCT doc_id, u.i AS idx
+            |  FROM dpos, unnest(range(pos, pos + $SpanW)) AS u(i)
+            |), wx AS (
+            |  SELECT doc_id, t.x['i'] AS idx, t.x['w'] AS word
+            |  FROM w, unnest([{'i': i, 'w': words[i]}
+            |    FOR i IN range(1, len(words) + 1)]) AS t(x)
+            |), kept AS (
+            |  SELECT doc_id, count(*) AS kept_words,
+            |    string_agg(word, ' ' ORDER BY idx) AS kept_text
+            |  FROM wx ANTI JOIN cov USING (doc_id, idx)
+            |  GROUP BY doc_id
+            |)
+            |SELECT w.doc_id, len(words) AS n_words,
+            |  len(words) - coalesce(kept_words, 0) AS cut_words,
+            |  md5(coalesce(kept_text, '')) AS kept_digest
+            |FROM w LEFT JOIN kept USING (doc_id)
+            |ORDER BY w.doc_id""".stripMargin))
+
   /** 64-permutation MinHash signatures, one row per doc. Computed as a
     * single fold per document (no 64x explode); at scale this is a
     * map-only stage fused into the scan. The 64-lane signature is
@@ -880,6 +964,7 @@ object Dedup {
             |ORDER BY da, db""".stripMargin))
 
   val all: Seq[Q] = Seq(dedupExact, dedupExactNorm, dedupNgramJaccard,
-    dedupContainment, dedupSpans, dedupMinhash, dedupMinhashLsh,
-    dedupSimhash, dedupEmbedding, dedupClusters, dedupMinhashQuality)
+    dedupContainment, dedupSpans, dedupSpansCut, dedupMinhash,
+    dedupMinhashLsh, dedupSimhash, dedupEmbedding, dedupClusters,
+    dedupMinhashQuality)
 }

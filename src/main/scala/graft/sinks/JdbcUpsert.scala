@@ -59,7 +59,7 @@ object JdbcUpsert {
     * process with lock-manager mediation, so only the EMBEDDED form
     * (`jdbc:derby:` not followed by `//`) is forced single-writer.
     * The env knob still overrides either default. */
-  private def sinkParallelism(url: String): Int = {
+  private[graft] def sinkParallelism(url: String): Int = {
     val embeddedDerby =
       url.startsWith("jdbc:derby") && !url.startsWith("jdbc:derby://")
     val dflt = if (embeddedDerby) "1" else "32"

@@ -44,7 +44,9 @@ object AssignTiming {
 
     val n = Tables(spark, dir).embeddingsCount
     val kCapped = Ann.ivfK(n)
-    val kLinear = Ann.kmeansK(n)
+    // tool corpora stay far below the Int ceiling; kmeansK itself is
+    // Long (its value is astronomically past Int only past N ≈ 2.7e11)
+    val kLinear = Ann.kmeansK(n).toInt
     // warm the input (decode + page cache) so timings measure assign
     spark.read.parquet(s"$dir/embeddings.parquet").count()
 
@@ -84,6 +86,25 @@ object AssignTiming {
 
     emit("capped_ivfK", kCapped)
     if (mode == "both" && kLinear != kCapped) emit("linear_kmeansK", kLinear)
+
+    // The TWO-LEVEL total (round 12): coarse stage at ivfK(N) — the
+    // same two N×k passes emit("capped_ivfK") times — PLUS the local
+    // occupancy-128 stage inside each cell (seed/assign/update/
+    // reassign on the cid-join pair stream). This is dedup_semantic /
+    // cluster_kmeans's whole assign bill; against "linear_kmeansK"
+    // (the flat scheme those rows ran through round 11) it is the
+    // committed crossover evidence for the hierarchical design.
+    {
+      val t0 = System.nanoTime()
+      val (_, la1) = Ann.kmeans2Stage(spark, dir)
+      val finalAssigned = la1.count()
+      val clusters = la1.select("cid", "lcid").distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(
+        s"""{"tool":"assign_timing","dir":"$dir","n":$n,"label":"two_level",""" +
+          s""""k":$kCapped,"coarse_pairs":${2L * n * kCapped},"sec":${math.round(sec * 10) / 10.0},""" +
+          s""""assigned":$finalAssigned,"final_clusters":$clusters}""")
+    }
     spark.stop()
   }
 }

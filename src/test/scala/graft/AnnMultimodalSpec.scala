@@ -379,4 +379,47 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(got == Ann.ivfK(n).toLong, s"mirror diverges at n=$n")
     }
   }
+
+  test("two-level local k-means: ceil(n/128) sub-clusters per cell, reassign stays in-cell") {
+    // Drive kmeans2Local with a SYNTHETIC coarse assignment so the
+    // occupancy split branch actually executes at spec SF (production
+    // cells here are all under 128 members and would take kloc = 1):
+    // cell 0 gets ~90% of the corpus (kloc >= 2), cell 1 the rest.
+    import org.apache.spark.sql.functions._
+    val codes = Ann.kmeansCodes(spark, sfDir)
+    val a1 = codes.select(col("vec_id"),
+      when(col("vec_id") % 10 === 0, lit(1L)).otherwise(lit(0L)).as("cid"),
+      col("qd"))
+    val occ = a1.groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kloc = occ.map { case (c, o) => c -> (o + 127) / 128 }
+    assert(kloc(0L) >= 2, s"test corpus too small to force a split: $occ")
+    assert(kloc(1L) == 1)
+    val (lc1, la1) = Ann.kmeans2Local(a1)
+    // lc1: exactly the seeded sub-clusters, local ids dense 1..kloc(c)
+    val lcByCell = lc1.select("cid", "lcid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    for ((c, k) <- kloc)
+      assert(lcByCell(c) == (1L to k), s"cell $c sub-cluster ids")
+    // la1: a partition of the corpus — every vector exactly once, in
+    // its own coarse cell, with a valid local id; the under-128 cell
+    // must NOT split
+    val cellOf = a1.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val asg = la1.select("vec_id", "cid", "lcid").collect()
+    assert(asg.length == cellOf.size)
+    assert(asg.map(_.getLong(0)).distinct.length == cellOf.size)
+    asg.foreach { r =>
+      assert(r.getLong(1) == cellOf(r.getLong(0)), "local stage moved a vector across cells")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= kloc(r.getLong(1)))
+    }
+    assert(asg.filter(_.getLong(1) == 1L).forall(_.getLong(2) == 1L))
+    // the split is real: the big cell's members land in >1 sub-cluster
+    assert(asg.filter(_.getLong(1) == 0L).map(_.getLong(2)).distinct.length >= 2)
+    // n_before totals the corpus (every vector contributed to exactly
+    // one local mean)
+    val nb = lc1.agg(sum("n_before")).head().getLong(0)
+    assert(nb == cellOf.size)
+  }
 }

@@ -154,4 +154,72 @@ class JdbcUpsertSpec extends SparkSpec {
     }
     assert(parts.values.flatten.toSet == (0L until 1000L).toSet, "no row lost")
   }
+
+  test("writer sizing by URL class: embedded Derby 1; Derby NETWORK SERVER and Postgres 32") {
+    assume(sys.env.get("SPARK_GRAFT_JDBC_PARALLELISM").isEmpty,
+      "env knob overrides the URL-derived defaults; unset it for this test")
+    assert(JdbcUpsert.sinkParallelism("jdbc:derby:memory:x;create=true") == 1)
+    assert(JdbcUpsert.sinkParallelism("jdbc:derby:/on/disk/db") == 1)
+    // Derby's OWN network server serializes engine-side like any
+    // server: it keeps the full parallel disjoint-range layout
+    assert(JdbcUpsert.sinkParallelism("jdbc:derby://localhost:1527/memory:x") == 32)
+    assert(JdbcUpsert.sinkParallelism("jdbc:postgresql://db:5432/x") == 32)
+  }
+
+  test("multi-writer path EXECUTES against Derby Network Server where derbynet/derbyclient exist") {
+    // The round-11 buffer-manager monitor deadlock forces EMBEDDED
+    // Derby to one writer, which left the range-partitioned 32-writer
+    // layout — the shape a production Postgres sink actually runs —
+    // exercised by nothing real. Derby ships a network server
+    // (derbynet.jar) whose engine serializes those monitors inside one
+    // server process; running the parallel layout against
+    // jdbc:derby://localhost makes the multi-writer path real.
+    def has(c: String): Boolean =
+      try { Class.forName(c); true } catch { case _: Throwable => false }
+    val server = has("org.apache.derby.drda.NetworkServerControl")
+    val client = has("org.apache.derby.client.ClientAutoloadedDriver") ||
+      has("org.apache.derby.client.net.NetConnection")
+    assume(server && client,
+      "LOUD: this container ships only derby/derbyshared/derbytools in /opt/spark/jars — " +
+        "org.apache.derby.drda.NetworkServerControl (derbynet.jar) " +
+        s"${if (server) "present" else "ABSENT"}, derbyclient " +
+        s"${if (client) "present" else "ABSENT"} — so the N>1 writer " +
+        "path cannot execute against a server-class Derby HERE. It runs " +
+        "(and this test verifies end state) wherever derbynet+derbyclient " +
+        "are on the classpath; the layout contracts it would exercise are " +
+        "pinned by the two tests above, and embedded Derby stays strictly " +
+        "single-writer (captured JVM monitor deadlock, round 11).")
+    // in-process DRDA server on a loopback ephemeral-ish port (reflective:
+    // derbynet is not a compile-time dependency)
+    val ncc = Class.forName("org.apache.derby.drda.NetworkServerControl")
+    val inst = ncc.getConstructor(classOf[java.net.InetAddress], classOf[Int])
+      .newInstance(java.net.InetAddress.getByName("127.0.0.1"),
+        Integer.valueOf(15270))
+    ncc.getMethod("start", classOf[java.io.PrintWriter])
+      .invoke(inst, null: java.io.PrintWriter)
+    try {
+      val ping = ncc.getMethod("ping")
+      var up = false
+      var i = 0
+      while (!up && i < 100) {
+        try { ping.invoke(inst); up = true }
+        catch { case _: Throwable => Thread.sleep(100); i += 1 }
+      }
+      assert(up, "network server did not come up")
+      val url = "jdbc:derby://127.0.0.1:15270/memory:netdb;create=true"
+      assert(JdbcUpsert.sinkParallelism(url) == 32, "network URL must keep the parallel layout")
+      JdbcUpsert.ensureTable(url, "snapshot")
+      // enough keys that repartitionByRange(32) actually spreads across
+      // concurrent writer tasks, plus update/delete churn on top
+      JdbcUpsert.applyBatch(
+        toBatch((0L until 2000L).map(k => ins(k, 10, k * 10))), url, "snapshot")
+      JdbcUpsert.applyBatch(
+        toBatch((0L until 2000L by 2).map(k => upd(k, 20, k)) ++
+          (1L until 2000L by 4).map(k => del(k, 21))), url, "snapshot")
+      val got = snapshot(url)
+      val expect = ((0L until 2000L by 2).map(k => (k, k, 20L)) ++
+        (3L until 2000L by 4).map(k => (k, k * 10, 10L))).sorted
+      assert(got == expect)
+    } finally ncc.getMethod("shutdown").invoke(inst)
+  }
 }

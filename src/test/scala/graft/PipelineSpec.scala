@@ -78,20 +78,40 @@ class PipelineSpec extends SparkSpec {
     assert(ParquetUpsert.pointLookup(spark, s"$lakeRoot/ORDERS", 2L).collect().isEmpty)
   }
 
-  test("streamed curation equals one-shot curation (gates + index in a single batch)") {
+  test("streamed curation equals one-shot curation (gates + decon + index in a single batch)") {
+    import graft.functions.Portable._
     val viaStream = SparkEntry.queries("pipeline_curate_stream")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
     val gated = graft.sources.Tables(spark, sfDir).documents
-      .withColumn("words", expr(graft.functions.Portable.words("text")))
+      .withColumn("words", expr(words("text")))
       .withColumn("n_words", expr("size(words)"))
       .filter(col("n_words") >= 5)
       .filter(expr("regexp_count(text, '[^A-Za-z0-9 ]') * 10 <= length(text) * 3"))
       .filter(expr("size(array_distinct(words)) * 10 >= n_words * 3"))
       .select("doc_id", "text", "lang", "n_words")
+    // fuzzy decontamination (round 12), recomputed from scratch: drop
+    // gated docs whose band-collision est-Jaccard vs any benchmark doc
+    // (every 20th of the SOURCE table, >= 3 words) reaches 0.5
+    val bsig = graft.sources.Tables(spark, sfDir).documents
+      .filter(col("doc_id") % 20 === 0)
+      .withColumn("words", expr(words("text")))
+      .filter(expr("size(words) >= 3"))
+      .withColumn("bhashes", expr(shingleHashes("words")))
+      .select(col("doc_id").as("b_id"), expr(minhashSig("bhashes")).as("bsig"))
+    val csig = gated
+      .withColumn("chashes", expr(shingleHashes(words("text"))))
+      .select(col("doc_id"), expr(minhashSig("chashes")).as("sig"))
+    val cont = csig
+      .select(col("doc_id"), col("sig"), explode(expr(minhashBands("sig"))).as("bk"))
+      .join(bsig.select(col("b_id"), col("bsig"),
+        explode(expr(minhashBands("bsig"))).as("bk")), "bk")
+      .filter(expr(minhashEstJaccard("sig", "bsig")) >= 0.5)
+      .select("doc_id").distinct()
+    val gated2 = gated.join(cont, Seq("doc_id"), "left_anti")
     val root = Files.createTempDirectory("graft_curate_oneshot").toString
-    graft.operators.IncrementalDedup.applyBatch(gated.select("doc_id", "text"), root)
-    val oneShot = graft.operators.IncrementalDedup.accepted(spark, gated, root)
-      .join(gated, "doc_id")
+    graft.operators.IncrementalDedup.applyBatch(gated2.select("doc_id", "text"), root)
+    val oneShot = graft.operators.IncrementalDedup.accepted(spark, gated2, root)
+      .join(gated2, "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words").cast("long")).as("sum_words"),
@@ -99,6 +119,8 @@ class PipelineSpec extends SparkSpec {
       .orderBy("lang")
       .collect().map(_.toSeq).toSeq
     assert(viaStream.nonEmpty && viaStream == oneShot)
+    // the gate is real on this corpus: something must actually be dropped
+    assert(cont.count() > 0, "decon gate dropped nothing at spec SF")
   }
 
   test("the pipeline stream parses the feed exactly once") {
