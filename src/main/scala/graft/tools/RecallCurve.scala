@@ -73,7 +73,7 @@ object RecallCurve {
     }
 
     val doc = points.mkString(
-      s"""{"metric":"ivfadc_recall_cost_curve","dir":"$dir","n":$n,"k":$k,"default_nprobe":$defaultNprobe,"points":[""",
+      s"""{"metric":"ivfadc_recall_cost_curve","dir":"$dir","n":$n,"k":$k,"default_nprobe":$defaultNprobe,"default_shortlist":80,"note":"shortlist 80 IS the registry default since round 12 (AdcShortlist, operators/Ann.scala) -- adopted from this curve's round-11 finding: recall flat in nprobe, 92 vs 72 @5 going 40->80 at flat cost","points":[""",
       ",", "]}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc + "\n")
     spark.stop()
