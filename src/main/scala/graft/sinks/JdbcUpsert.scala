@@ -69,6 +69,14 @@ object JdbcUpsert {
     v.toInt
   }
 
+  /** DriverManager connect that first registers the in-repo serializing
+    * gate driver when the URL asks for it — executor JVMs resolve
+    * `jdbc:graftserial:` without anything having touched the object. */
+  private def getConn(url: String): Connection = {
+    if (url.startsWith(SerialDriver.Prefix)) SerialDriver.ensureRegistered()
+    DriverManager.getConnection(url)
+  }
+
   /** Fresh embedded in-memory Derby database URL, unique per call (the
     * in-container stand-in for the reference's Postgres target; the
     * sink code is identical for any MERGE-capable JDBC database). */
@@ -82,7 +90,7 @@ object JdbcUpsert {
   /** DDL for the materialized target ("key" is reserved in Derby, the
     * column is k). */
   def ensureTable(url: String, table: String): Unit = {
-    val conn = DriverManager.getConnection(url)
+    val conn = getConn(url)
     try {
       val st = conn.createStatement()
       try st.executeUpdate(
@@ -190,7 +198,7 @@ object JdbcUpsert {
     // scn wins; unmatched rows insert. Tombstones delete, guarded by the
     // same monotonic-scn condition.
     def open(): Unit = {
-      conn = DriverManager.getConnection(url)
+      conn = getConn(url)
       conn.setAutoCommit(false)
       merge = conn.prepareStatement(
         s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 s ON t.k = ?

@@ -88,4 +88,39 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
       s.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("fmt_parquet_bucketed row: join keys never shuffle; answer matches a fresh plain join") {
+    // isolated session (broadcast off) so the fact-fact join can't hide
+    // behind a broadcast at toy SF — at 100 TB neither side broadcasts
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val row = Formats.fmtParquetBucketed.run(s, sfDir)
+    val plan = row.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the agg and orderBy may exchange on THEIR keys; the bucketed join
+    // keys must not — that shuffle is what the write-time layout bought
+    assert(!plan.contains("hashpartitioning(l_orderkey"),
+      s"lineitem side must read co-located buckets; plan was:\n$plan")
+    assert(!plan.contains("hashpartitioning(o_orderkey"),
+      s"orders side must read co-located buckets; plan was:\n$plan")
+    val got = row.collect().map(_.toSeq)
+    import org.apache.spark.sql.functions.{count => cnt, _}
+    val t = graft.sources.Tables(s, sfDir)
+    val fresh = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(cnt(lit(1)).as("n"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sum_price_cents"),
+        min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toSeq)
+    assert(got.toSeq == fresh.toSeq)
+  }
+
+  test("fmt_parquet_partitioned row: status filter prunes at plan time") {
+    val row = Formats.fmtParquetPartitioned.run(spark, sfDir)
+    val plan = explain(row)
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"status filter must prune partition directories; plan was:\n$plan")
+    assert(row.count() == 1) // one status group survives the filter
+  }
 }
