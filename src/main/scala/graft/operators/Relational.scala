@@ -1250,6 +1250,59 @@ object Relational {
            |SELECT grp, rank, cents, o_orderkey FROM r WHERE rank <= 3
            |ORDER BY grp, rank""".stripMargin))
 
+  /** Count-min-sketch heavy hitters — the constant-memory frequency
+    * sketch a 100 TB stream aggregates where exact per-key counts are
+    * a luxury (d=4 hash rows × w=65536 buckets; every event increments
+    * one cell per row, a key's estimate is the MIN over its d cells —
+    * always ≥ the true count, over by at most ~εN with ε ≈ 2/w except
+    * with probability ~(collision rate)^d).
+    *
+    * Scale shape: the sketch build explodes d cells per event but
+    * PARTIAL-AGGREGATES map-side onto ≤ d·w cells per partition, so
+    * the shuffle moves ≤ d·w rows per partition regardless of stream
+    * size, and the finished sketch (≤262k cells, ~5 MB) broadcasts to
+    * the estimate join. Like q_approx_distinct, the sketch itself is
+    * hash-seeded engine detail, so the row emits the DETERMINISTIC
+    * verdict instead: exact top-10 keys with `est_ge_exact` (CMS
+    * one-sided error — structurally always true) and `within_eps`
+    * (est ≤ exact + 2N/w), both hash-matched as true against the
+    * oracle's constants. */
+  val qApproxTopkCms: Q = {
+    val D = 4
+    val W = 65536
+    Q(
+      "q_approx_topk",
+      (s, dir) => {
+        val li = t(s, dir).lineitem.select(col("l_suppkey"))
+        val buckets =
+          s"transform(sequence(0, ${D - 1}), i -> named_struct(" +
+            s"'r', i, 'b', pmod(xxhash64(l_suppkey, i), $W)))"
+        val cells = li.select(explode(expr(buckets)).as("c"))
+          .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+          .agg(count(lit(1)).as("cell_n"))
+        val totals = li.agg(count(lit(1)).as("total_n"))
+        val top = li.groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("l_suppkey")).limit(10)
+        top.select(col("l_suppkey"), col("exact_n"),
+            explode(expr(buckets)).as("c"))
+          .select(col("l_suppkey"), col("exact_n"),
+            col("c.r").as("r"), col("c.b").as("b"))
+          .join(broadcast(cells), Seq("r", "b"))
+          .groupBy("l_suppkey", "exact_n")
+          .agg(min("cell_n").as("est_n"))
+          .crossJoin(broadcast(totals))
+          .select(col("l_suppkey"), col("exact_n"),
+            (col("est_n") >= col("exact_n")).as("est_ge_exact"),
+            (col("est_n") <= col("exact_n") + lit(2L) * col("total_n") / lit(W.toLong))
+              .as("within_eps"))
+          .orderBy(col("exact_n").desc, col("l_suppkey"))
+      },
+      Some("""SELECT l_suppkey, count(*) AS exact_n,
+             |  true AS est_ge_exact, true AS within_eps
+             |FROM lineitem GROUP BY l_suppkey
+             |ORDER BY exact_n DESC, l_suppkey LIMIT 10""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, q3TopkJoin, q5MultiJoin, q6FilterAgg, qSemiJoin, qAntiJoin,
     qOuterAgg, qWindowRank, qWindowRunning, qDistinct, qApproxDistinct,
@@ -1258,6 +1311,6 @@ object Relational {
     qHoppingWindow, qTumblingWindow, qEventsJson, qAsofJoin,
     qApproxPercentile, qRangeJoin, qCube, qProfile, qSetOps,
     qSessionizeSkew, qFullOuter, qCorrelated, qUnpivot, qWindowFrames,
-    qTopkAgg, qAsofNative, qAsofForward, qAsofNearest, qAsofTolerance,
-    qRollup)
+    qTopkAgg, qApproxTopkCms, qAsofNative, qAsofForward, qAsofNearest,
+    qAsofTolerance, qRollup)
 }
