@@ -110,6 +110,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_approx_topk: sketch and exact sides shuffle once each, estimate join broadcasts") {
+    val p = plan("q_approx_topk")
+    // two hash exchanges total: the (r, b) cell aggregation and the
+    // exact per-key count — both partial-aggregated, so each moves at
+    // most d*w / |keys| rows per partition, never the event stream
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("partial_count"), "cell build must map-side combine: " + p)
+    // the finished sketch (<= d*w cells) broadcasts into the estimate
+    // join; the candidate side is 10 rows
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ann brute force broadcasts the probe side") {
     val p = plan(Ann.annBruteforce.name)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
