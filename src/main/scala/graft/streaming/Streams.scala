@@ -984,9 +984,59 @@ object Streams {
            |SELECT grp, rank, cents, event_id FROM r WHERE rank <= 3
            |ORDER BY grp, rank""".stripMargin))
 
+  /** Streaming count-min sketch — q_approx_topk's sketch maintained
+    * INCREMENTALLY over the event stream: the d×w cell counts are an
+    * ordinary streaming aggregation (one state row per touched cell,
+    * ≤ d·w rows of state TOTAL regardless of stream length — the
+    * whole point of a sketch as streaming state, vs per-key counts
+    * whose state grows with the key domain). Cells update per
+    * micro-batch; counts are monotone, so the final sketch is the
+    * max emitted per cell. The verdict output mirrors the batch row:
+    * exact top-10 keys (from the completed table — the oracle side's
+    * ground truth) with the CMS one-sided-error and εN-bound booleans,
+    * which hash-match as constants. */
+  val qStreamApproxTopk: Q = {
+    val D = 4
+    val W = 65536
+    Q(
+      "q_stream_approx_topk",
+      (s, dir) => {
+        val buckets =
+          s"transform(sequence(0, ${D - 1}), i -> named_struct(" +
+            s"'r', i, 'b', pmod(xxhash64(user_id, i), $W)))"
+        val cellsAgg = eventsStream(s, dir)
+          .select(explode(expr(buckets)).as("c"))
+          .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+          .agg(count(lit(1)).as("cell_n"))
+        val cells = runBounded(cellsAgg, "update")
+          .groupBy("r", "b").agg(max("cell_n").as("cell_n"))
+        val ev = graft.sources.Tables(s, dir).events.select(col("user_id"))
+        val totals = ev.agg(count(lit(1)).as("total_n"))
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+        top.select(col("user_id"), col("exact_n"),
+            explode(expr(buckets)).as("c"))
+          .select(col("user_id"), col("exact_n"),
+            col("c.r").as("r"), col("c.b").as("b"))
+          .join(broadcast(cells), Seq("r", "b"))
+          .groupBy("user_id", "exact_n")
+          .agg(min("cell_n").as("est_n"))
+          .crossJoin(broadcast(totals))
+          .select(col("user_id"), col("exact_n"),
+            (col("est_n") >= col("exact_n")).as("est_ge_exact"),
+            (col("est_n") <= col("exact_n") + lit(2L) * col("total_n") / lit(W.toLong))
+              .as("within_eps"))
+          .orderBy(col("exact_n").desc, col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS exact_n,
+             |  true AS est_ge_exact, true AS within_eps
+             |FROM events GROUP BY user_id
+             |ORDER BY exact_n DESC, user_id LIMIT 10""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(cdcStreamIngest, cdcStreamMaterialize, cdcUpsertSink,
     cdcJdbcUpsert, cdcStreamDedup, cdcStreamDedupWm, cdcSchemaEvolve, qStreamTumbling,
     qStreamHopping, qStreamSession, qStreamJoin, cdcStreamEnrich,
     cdcStreamScd2, cdcStreamRoute, cdcStreamChangelogAgg, qStreamTopk,
-    pipelineCdcStream)
+    qStreamApproxTopk, pipelineCdcStream)
 }
