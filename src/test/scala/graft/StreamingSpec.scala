@@ -309,7 +309,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // serialization, not just the in-memory map's.
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
-    val rows = Seq("cdc_stream_scd2", "q_stream_topk")
+    val rows = Seq("cdc_stream_scd2", "q_stream_topk", "q_stream_approx_topk")
     def run(name: String): Seq[Seq[Any]] =
       SparkEntry.queries(name)(spark, sfDir).collect().map(_.toSeq).toSeq
     val expected = rows.map(n => n -> run(n)).toMap
