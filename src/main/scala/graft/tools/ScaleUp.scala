@@ -79,13 +79,18 @@ object ScaleUp {
     val vB = base(t("embeddings"), "vec_id")
 
     /** N replicas, each with the listed key columns shifted by its
-      * replica index times that key's domain size. */
+      * replica index times that key's domain size. Replication is ONE
+      * explode of a replica-index sequence, not an N-way union: the
+      * left-deep union tree this used to build made Catalyst analysis
+      * superlinear in the factor (factor 2000 sat >9 min in PLANNING
+      * before a single task ran), while the explode plan is
+      * constant-size at any factor. Repartition spreads the ballooned
+      * partitions back across the cores for the write. */
     def scaled(df: DataFrame, shifts: (String, Long)*): DataFrame =
-      (0 until factor).map { i =>
-        shifts.foldLeft(df) { case (d, (c, b)) =>
-          d.withColumn(c, col(c) + lit(i * b))
-        }
-      }.reduce(_.unionByName(_))
+      shifts.foldLeft(
+        df.withColumn("__i", explode(expr(s"sequence(0L, ${factor - 1}L)")))) {
+        case (d, (c, b)) => d.withColumn(c, col(c) + col("__i") * lit(b))
+      }.drop("__i").repartition(cpus * 2)
 
     /** Embedding replicas with a deterministic per-element jitter
       * (replica 0 verbatim). Keyed on the ORIGINAL vec_id so the same
@@ -93,14 +98,16 @@ object ScaleUp {
       * factor. The interpreted-HOF cost doesn't matter in a one-off
       * generator. */
     def scaledJittered(df: DataFrame, b: Long): DataFrame =
-      (0 until factor).map { i =>
-        val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * b))
-        if (i == 0) shifted
-        else shifted.withColumn("embedding", expr(
-          s"""transform(embedding, (x, d) -> cast(x +
-             |  (pmod(xxhash64(vec_id - ${i * b}L, ${i}L, cast(d as bigint)), 2001) - 1000)
-             |  * ${jitterPermille}L / 1000000.0d as float))""".stripMargin))
-      }.reduce(_.unionByName(_))
+      df.withColumn("__i", explode(expr(s"sequence(0L, ${factor - 1}L)")))
+        // jitter keyed on the ORIGINAL vec_id (pre-shift), exactly the
+        // xxhash64(vec_id - i*b, i, d) the union form computed
+        .withColumn("embedding", expr(
+          s"""CASE WHEN __i = 0L THEN embedding ELSE
+             |transform(embedding, (x, d) -> cast(x +
+             |  (pmod(xxhash64(vec_id, __i, cast(d as bigint)), 2001) - 1000)
+             |  * ${jitterPermille}L / 1000000.0d as float)) END""".stripMargin))
+        .withColumn("vec_id", col("vec_id") + col("__i") * lit(b))
+        .drop("__i").repartition(cpus * 2)
 
     // SPARK_GRAFT_SCALEUP_ONLY=embeddings[,documents,...] restricts the
     // emitted tables — e.g. the past-2^18 AssignTiming corpus needs ONLY
