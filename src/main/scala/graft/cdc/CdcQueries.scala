@@ -511,8 +511,70 @@ object CdcQueries {
             |  ON key = p_key AND valid_from <= as_of AND as_of < valid_to_x
             |ORDER BY key, as_of""".stripMargin))
 
+  /** One ParquetUpsert lake staging of the full change feed per
+    * (session, source dir): the materialized current-state table the
+    * pull queries serve from, built ONCE (the fmt-row asymmetry —
+    * materialize once, query every day) so bench iterations time the
+    * LOOKUPS, not the build. */
+  private val stagedLakes =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def lakeTable(s: SparkSession, dir: String): String =
+    stagedLakes.computeIfAbsent((s.sparkContext.applicationId, dir), { _ =>
+      val target = graft.sources.Formats.scratchDir("graft_pull") + "/tbl"
+      val batch = parsed(s, dir).select(
+        col("key"), col("scn"), col("xid"), col("op"),
+        when(col("op") === "d", col("before.id"))
+          .otherwise(col("after.id")).as("id"),
+        when(col("op") === "d", col("before.cents"))
+          .otherwise(col("after.cents")).as("cents"),
+        when(col("op") === "d", col("before.type"))
+          .otherwise(col("after.type")).as("typ"))
+      graft.sinks.ParquetUpsert.applyBatch(batch, target)
+      target
+    })
+
+  /** The probed keys, fixed A PRIORI — a pull query's key comes from
+    * the caller, never from scanning the table (that would be a push
+    * query). A key that is absent or currently tombstoned correctly
+    * returns no row on BOTH sides, so the fixed list is
+    * scale-factor-safe by construction. */
+  private[graft] val PullKeys: Seq[Long] = 1L to 8L
+
+  /** ksqlDB-style PULL query (reference README, ksqlDB section: the
+    * consumer surface is push + pull) as a registry row: the CURRENT
+    * state of specific keys, each served by
+    * [[graft.sinks.ParquetUpsert.pointLookup]] from the ONE hash
+    * bucket directory the key's writer-recorded bucket count maps it
+    * to — at 100 TB each lookup opens a few-GB `bucket=N` tree, never
+    * the table (pruning + writer/reader bucket-count agreement are
+    * spec-pinned in ParquetUpsertSpec; the registry row's plan pins
+    * PartitionFilters in CdcSpec). Tombstoned keys return no row. The
+    * oracle recomputes each key's latest state from the raw feed. */
+  val qPullLookup: Q = Q(
+    "q_pull_lookup",
+    (s, dir) => {
+      val target = lakeTable(s, dir)
+      PullKeys.map(k => graft.sinks.ParquetUpsert.pointLookup(s, target, k))
+        .reduce(_.unionByName(_))
+        .select(col("key"), col("id"), col("cents"), col("typ").as("type"),
+          col("scn").as("last_scn"))
+        .orderBy("key")
+    },
+    Some(s"""WITH feed AS ($feedSql), p AS ($parsedSql),
+            |ranked AS (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY key ORDER BY scn DESC, xid DESC) AS rn
+            |  FROM p)
+            |SELECT key, after_id AS id, after_cents AS cents,
+            |  after_type AS type, scn AS last_scn
+            |FROM ranked WHERE rn = 1 AND op <> 'd'
+            |  AND key IN (${PullKeys.mkString(", ")})
+            |ORDER BY key""".stripMargin))
+
   val all: Seq[Q] = Seq(cdcParse, cdcUnwrap, cdcDeleteRewrite,
     cdcDedupEvents, cdcMaterialize, cdcSnapshotJoin, cdcKafkaWire,
     cdcAvroRoundtrip, cdcAvroEvolve, cdcBootstrap, cdcTxnAssemble,
-    cdcScd2History, cdcDeadLetter, cdcCompact, pipelineCdc, cdcTimeTravel)
+    cdcScd2History, cdcDeadLetter, cdcCompact, pipelineCdc, cdcTimeTravel,
+    qPullLookup)
 }

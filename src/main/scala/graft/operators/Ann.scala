@@ -904,6 +904,27 @@ object Ann {
     * PlanAudit argmax pin), and a self-joining consumer reuses the
     * aggregate's exchange. */
   private[graft] def kmeans2Local(a1: DataFrame): (DataFrame, DataFrame) = {
+    val (lc1, la1, _) = kmeans2LocalIterate(a1, rounds = 1, inertia = false)
+    (lc1, la1)
+  }
+
+  /** R-round form of the local stage: seed -> repeat [assign,
+    * integer-mean update] R times -> final reassign. R = 1 with
+    * inertia off IS [[kmeans2Local]] (the registry configuration) —
+    * plan-identical, since the per-round lcos max is pruned when
+    * unused. Every round is the same order-independent arithmetic as
+    * the flat scheme's [[kmeansIterate]], so ANY round count stays
+    * oracle-comparable — the contract the flat convergence spec pins
+    * globally, pinned for the LOCAL stage by the kmeans2 convergence
+    * spec (inertia = sum over members of 1 − winning local cosine,
+    * captured on each round's assignment BEFORE its update, exactly
+    * the flat spec's measure restricted to within-cell geometry).
+    * With inertia on, each round's assignment is localCheckpoint-ed
+    * (consumed by the inertia action AND the update); off, the
+    * assignment stays pure lineage and no extra action runs. */
+  private[graft] def kmeans2LocalIterate(a1: DataFrame, rounds: Int,
+      inertia: Boolean): (DataFrame, DataFrame, Seq[Double]) = {
+    require(rounds >= 1, "kmeans2LocalIterate needs at least one local round")
     val wCell = Window.partitionBy("cid")
     val mem = a1
       .withColumn("qn2", expr(s"greatest(${dot("qd", "qd")}, 1e-12)"))
@@ -918,31 +939,44 @@ object Ann {
     // argmax-cosine assignment to the cell's own local centroids: a
     // shuffle equi-join on cid (never a broadcast — the centroid side
     // is corpus-sized/128), then the same slim partial-agg argmax as
-    // every coarse assign (the N×kloc pair stream carries ~30 B/pair)
+    // every coarse assign (the N×kloc pair stream carries ~30 B/pair).
+    // The winning cosine rides along for inertia; Catalyst prunes the
+    // max when no consumer reads it (the registry path).
     def assignLocal(cents: DataFrame): DataFrame =
       mem.select(col("vec_id"), col("cid"), col("qd"), col("qn2"))
         .join(cents, "cid")
         .select(col("vec_id"), col("cid"), col("lcid"),
           expr(s"${dot("qd", "ld")} / sqrt(qn2 * ln2)").as("lcos"))
         .groupBy(col("vec_id"), col("cid"))
-        .agg(expr("graft_argmax(lcid, lcos)").as("lcid"))
-    val la0 = assignLocal(seeds)
+        .agg(expr("graft_argmax(lcid, lcos)").as("lcid"),
+          max(col("lcos")).as("lcos"))
     // integer-mean update per (cell, local cluster): kmeansUpdate's
     // exact arithmetic with the composite key
-    val lc1 = la0.join(mem.select(col("vec_id"), col("qd")), "vec_id")
-      .select(col("cid"), col("lcid"), posexplode(col("qd")))
-      .groupBy("cid", "lcid", "pos")
-      .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
-      .withColumn("m", floor(col("s").cast("double") / col("n")).cast("double"))
-      .groupBy("cid", "lcid")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-        .as("ld"),
-        max("n").as("n_before"))
-      .withColumn("ln2", expr(s"greatest(${dot("ld", "ld")}, 1e-12)"))
-      .localCheckpoint()
-    val la1 = assignLocal(
-      lc1.select(col("cid"), col("lcid"), col("ld"), col("ln2")))
-    (lc1, la1)
+    def updateLocal(la: DataFrame): DataFrame =
+      la.join(mem.select(col("vec_id"), col("qd")), "vec_id")
+        .select(col("cid"), col("lcid"), posexplode(col("qd")))
+        .groupBy("cid", "lcid", "pos")
+        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m", floor(col("s").cast("double") / col("n")).cast("double"))
+        .groupBy("cid", "lcid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("ld"),
+          max("n").as("n_before"))
+        .withColumn("ln2", expr(s"greatest(${dot("ld", "ld")}, 1e-12)"))
+        .localCheckpoint()
+    var cents = seeds
+    var lc: DataFrame = null
+    val inertias = Seq.newBuilder[Double]
+    (1 to rounds).foreach { _ =>
+      var la = assignLocal(cents)
+      if (inertia) {
+        la = la.localCheckpoint()
+        inertias += la.agg(sum(lit(1.0) - col("lcos"))).head().getDouble(0)
+      }
+      lc = updateLocal(la)
+      cents = lc.select(col("cid"), col("lcid"), col("ld"), col("ln2"))
+    }
+    (lc, assignLocal(cents).drop("lcos"), inertias.result())
   }
 
   /** The full two-level k-means over the embeddings corpus: coarse
@@ -951,11 +985,18 @@ object Ann {
     * cell. Total assign work O(N^1.5); final clusters keyed
     * (cid, lcid) at ~128 expected occupancy. */
   private[graft] def kmeans2Stage(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) =
+    kmeans2Local(kmeans2CoarseAssign(s, dir))
+
+  /** The coarse half alone — the (vec_id, cid, qd) assignment the
+    * local stage partitions on (exposed so the convergence spec can
+    * drive [[kmeans2LocalIterate]] at R > 1 on the real coarse
+    * geometry). */
+  private[graft] def kmeans2CoarseAssign(s: SparkSession, dir: String)
+      : DataFrame = {
     val kc = ivfK(Tables(s, dir).embeddingsCount)
     val (codes, _, c1) = kmeansStage(s, dir, kc)
-    val a1 = kmeansAssign(codes, c1).select(col("vec_id"), col("cid"), col("qd"))
-    kmeans2Local(a1)
+    kmeansAssign(codes, c1).select(col("vec_id"), col("cid"), col("qd"))
   }
 
   /** Shared oracle CTE chain for the one-Lloyd-stage k-means

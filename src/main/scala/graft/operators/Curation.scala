@@ -640,29 +640,47 @@ object Curation {
             "regexp_count(text, '[^A-Za-z0-9 ]') * 10 <= length(text) * 3"))
           .filter(expr("size(array_distinct(words)) * 10 >= n_words * 3"))
           .persist() // batch-scoped; released below, not left to GC
+        // batch-scoped signature cache, released with gated: the
+        // 64-lane minhash over every batch doc is the topology's
+        // single most expensive map-side stage, and BOTH consumers
+        // need it (the decon gate's est-Jaccard test, the dedup
+        // index) — persist it so it runs ONCE per micro-batch
+        var csigCache: Option[org.apache.spark.sql.DataFrame] = None
         try {
           // every quality-gated doc has >= 5 words, so a signature
           // always exists; candidates only where band keys collide
-          val decon = bench.fold(gated) { case (bsig, bbands) =>
-            val csig = gated
-              .withColumn("hashes", expr(shingleHashes("words")))
-              .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
-            val candPairs = csig.select(col("doc_id"),
-                explode(expr(minhashBands("sig"))).as("bk"))
-              .join(broadcast(bbands), "bk")
-              .select("doc_id", "b_id").distinct()
-            val cont = candPairs
-              .join(csig, "doc_id")
-              .join(broadcast(bsig.select(col("b_id"), col("sig").as("bsig2"))),
-                "b_id")
-              .filter(expr(minhashEstJaccard("sig", "bsig2")) >= 0.5)
-              .select("doc_id").distinct()
-            gated.join(cont, Seq("doc_id"), "left_anti")
+          val (decon, deconSig) = bench match {
+            case None => (gated, None)
+            case Some((bsig, bbands)) =>
+              val csig = gated
+                .withColumn("hashes", expr(shingleHashes("words")))
+                .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
+                .persist()
+              csigCache = Some(csig)
+              val candPairs = csig.select(col("doc_id"),
+                  explode(expr(minhashBands("sig"))).as("bk"))
+                .join(broadcast(bbands), "bk")
+                .select("doc_id", "b_id").distinct()
+              val cont = candPairs
+                .join(csig, "doc_id")
+                .join(broadcast(bsig.select(col("b_id"), col("sig").as("bsig2"))),
+                  "b_id")
+                .filter(expr(minhashEstJaccard("sig", "bsig2")) >= 0.5)
+                .select("doc_id").distinct()
+              // survivors' signatures = csig minus the contaminated —
+              // exactly sigOf(decon) (every gated doc has >= 5 words,
+              // so sigOf's >= 3-word filter passes everything): the
+              // precomputed-sig contract applyBatch pins
+              (gated.join(cont, Seq("doc_id"), "left_anti"),
+                Some(csig.join(cont, Seq("doc_id"), "left_anti")))
           }
-          IncrementalDedup.applyBatch(decon.select("doc_id", "text"), indexRoot)
+          IncrementalDedup.applyBatch(
+            decon.select("doc_id", "text"), indexRoot, deconSig)
           decon.select("doc_id", "lang", "n_words")
             .write.mode("append").parquet(curatedDir)
-        } finally { gated.unpersist(); () }
+        } finally {
+          csigCache.foreach(_.unpersist()); gated.unpersist(); ()
+        }
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }

@@ -82,14 +82,25 @@ object IncrementalDedup {
 
   /** Process one arrival batch of (doc_id, text): log rejections
     * against the index-so-far (and within the batch), then append the
-    * batch's bands and signatures to the index. */
-  def applyBatch(batch: DataFrame, indexRoot: String): Unit = {
+    * batch's bands and signatures to the index.
+    *
+    * `precomputedSig`, when given, MUST equal `sigOf(batch)` — same
+    * (doc_id, sig) rows, same 64-lane minhash arithmetic. It exists
+    * for callers that already computed the batch's signatures for
+    * their own purposes (the curation topology's decontamination gate
+    * computes them for the est-Jaccard test against the benchmark
+    * suite), so the heaviest map-side stage — shingle → 64-lane
+    * minhash over every batch doc — runs ONCE per micro-batch instead
+    * of twice. Correctness is indifferent (the oracle hash pins it);
+    * this is the per-batch constant factor. */
+  def applyBatch(batch: DataFrame, indexRoot: String,
+                 precomputedSig: Option[DataFrame] = None): Unit = {
     val sp = batch.sparkSession
     // batch-scoped persist, released in the finally: a signature set is
     // the batch's largest intermediate (64 longs/doc), and blocks that
     // linger past the batch (as localCheckpoint's would, until GC)
     // starve later queries' execution memory in a shared JVM
-    val sig = sigOf(batch).persist()
+    val sig = precomputedSig.getOrElse(sigOf(batch)).persist()
     val bands = bandsOf(sig).persist()
     val cand = {
       val touched = bands.select("ibkt").distinct()

@@ -1265,18 +1265,17 @@ object Relational {
     * hash-seeded engine detail, so the row emits the DETERMINISTIC
     * verdict instead: exact top-10 keys with `est_ge_exact` (CMS
     * one-sided error — structurally always true) and `within_eps`
-    * (est ≤ exact + 2N/w), both hash-matched as true against the
-    * oracle's constants. */
+    * (est ≤ exact + [[Cms.EpsMul]]·N/w — see Cms for why the
+    * multiplier carries margin and what a failure means), both
+    * hash-matched as true against the oracle's constants. Geometry
+    * (d, w, cell hashing) lives in [[Cms]], shared with the streaming
+    * twin so the two rows cannot drift. */
   val qApproxTopkCms: Q = {
-    val D = 4
-    val W = 65536
     Q(
       "q_approx_topk",
       (s, dir) => {
         val li = t(s, dir).lineitem.select(col("l_suppkey"))
-        val buckets =
-          s"transform(sequence(0, ${D - 1}), i -> named_struct(" +
-            s"'r', i, 'b', pmod(xxhash64(l_suppkey, i), $W)))"
+        val buckets = Cms.buckets("l_suppkey") // geometry shared with the stream twin
         val cells = li.select(explode(expr(buckets)).as("c"))
           .groupBy(col("c.r").as("r"), col("c.b").as("b"))
           .agg(count(lit(1)).as("cell_n"))
@@ -1293,7 +1292,8 @@ object Relational {
           .crossJoin(broadcast(totals))
           .select(col("l_suppkey"), col("exact_n"),
             (col("est_n") >= col("exact_n")).as("est_ge_exact"),
-            (col("est_n") <= col("exact_n") + lit(2L) * col("total_n") / lit(W.toLong))
+            (col("est_n") <= col("exact_n")
+              + lit(Cms.EpsMul) * col("total_n") / lit(Cms.W.toLong))
               .as("within_eps"))
           .orderBy(col("exact_n").desc, col("l_suppkey"))
       },

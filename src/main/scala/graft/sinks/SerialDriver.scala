@@ -35,9 +35,12 @@ import java.util.concurrent.locks.ReentrantLock
   * across calls until `commit`/`rollback`/`close` completes — so two
   * transactions can never interleave inside the embedded engine and the
   * monitor-deadlock preconditions are unconstructible by design. A
-  * writer parked at the gate is interruptible: task kill surfaces as a
-  * `SQLTransientConnectionException`, which the sink's severity
-  * classifier already treats as chunk-severe.
+  * writer parked at the gate is interruptible, and the wait is BOUNDED
+  * ([[SerialDriver.gateTimeoutMs]]): task kill and gate-wait expiry
+  * (a holder that died without close() — the corpse case) both surface
+  * as `SQLTransientConnectionException`, which the sink's severity
+  * classifier already treats as chunk-severe — a wedged gate degrades
+  * to per-chunk recovery, never a JVM-wide hang.
   *
   * This is deliberately test-infrastructure-grade concurrency (a real
   * server interleaves row-locked transactions; this gate does not) —
@@ -79,17 +82,41 @@ object SerialDriver {
   val Prefix = "jdbc:graftserial:"
 
   /** One engine gate per JVM — fair, so queued writers drain FIFO the
-    * way a server's accept queue does. */
-  private val gate = new ReentrantLock(true)
+    * way a server's accept queue does. A `var` behind a volatile read
+    * so [[resetGateForTest]] can replace a gate wedged by a simulated
+    * writer corpse (a ReentrantLock is owner-thread-bound: nothing can
+    * unlock a dead holder's lock, so recovery = new lock, and the
+    * corpse's old lock becomes unreachable garbage). Each Session
+    * records the exact lock instance it acquired and releases THAT, so
+    * a swap mid-flight can never unlock the wrong gate. */
+  @volatile private var gate = new ReentrantLock(true)
+
+  /** How long a writer waits at the gate before concluding the holder
+    * is a corpse (died without routing close() through the proxy —
+    * abrupt thread death, executor OOM). Expiry surfaces as
+    * `SQLTransientConnectionException`, which the sink's severity
+    * classifier treats as chunk-severe: a wedged gate degrades to the
+    * existing per-chunk recovery path instead of a JVM-wide hang.
+    * Generous (3 min) because a legitimate queue of 32 writers behind
+    * per-chunk transactions clears in seconds even under host
+    * pressure; tests shrink it. */
+  @volatile private[graft] var gateTimeoutMs: Long = 180000L
+
+  /** Replace a (possibly corpse-held) gate with a fresh one. Test-only:
+    * sessions still holding the old lock keep releasing the old lock;
+    * new arrivals queue on the new one. */
+  private[graft] def resetGateForTest(): Unit = { gate = new ReentrantLock(true) }
 
   /** Peak number of sessions simultaneously at the gate (holder +
     * queued). The multi-writer spec asserts this exceeded 1: proof that
     * genuinely concurrent writer tasks arrived, rather than the layout
-    * having quietly collapsed to one task. */
+    * having quietly collapsed to one task. AtomicInteger max-accumulate
+    * — a volatile read-compare-write lost the larger value exactly when
+    * two writers arrived together, i.e. when concurrency was real. */
   private val atGate = new AtomicInteger(0)
-  @volatile private var peakAtGate = 0
-  private[graft] def peakConcurrentWriters: Int = peakAtGate
-  private[graft] def resetStats(): Unit = { peakAtGate = 0 }
+  private val peakAtGate = new AtomicInteger(0)
+  private[graft] def peakConcurrentWriters: Int = peakAtGate.get()
+  private[graft] def resetStats(): Unit = { peakAtGate.set(0) }
 
   private val registered = new AtomicBoolean(false)
 
@@ -107,26 +134,38 @@ object SerialDriver {
     * acquiring thread, which is what ReentrantLock requires. */
   private final class Session {
     @volatile var autoCommit = true // JDBC default on a fresh connection
-    @volatile var holds = false
+    /** The lock instance this session holds (null = not holding). Must
+      * be the same object enter() acquired — see the gate swap note. */
+    @volatile var held: ReentrantLock = null
 
-    def enter(): Unit = if (!holds) {
+    def enter(): Unit = if (held == null) {
+      val g = gate // pin the instance: lock and unlock the SAME object
       val n = atGate.incrementAndGet()
-      if (n > peakAtGate) peakAtGate = n // benign race: monotone-enough for a >1 assert
-      try gate.lockInterruptibly()
-      catch {
-        case ie: InterruptedException =>
-          atGate.decrementAndGet()
-          Thread.currentThread().interrupt()
-          throw new java.sql.SQLTransientConnectionException(
-            "interrupted while queued at the graftserial gate", "08000", ie)
+      peakAtGate.accumulateAndGet(n, Math.max)
+      val acquired =
+        try g.tryLock(gateTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case ie: InterruptedException =>
+            atGate.decrementAndGet()
+            Thread.currentThread().interrupt()
+            throw new java.sql.SQLTransientConnectionException(
+              "interrupted while queued at the graftserial gate", "08000", ie)
+        }
+      if (!acquired) {
+        atGate.decrementAndGet()
+        throw new java.sql.SQLTransientConnectionException(
+          s"gave up after ${gateTimeoutMs} ms queued at the graftserial " +
+            "gate — the holder likely died without closing its " +
+            "connection; treat as chunk-severe and retry", "08000")
       }
-      holds = true
+      held = g
     }
 
-    def release(): Unit = if (holds) {
-      holds = false
+    def release(): Unit = if (held != null) {
+      val g = held
+      held = null
       atGate.decrementAndGet()
-      gate.unlock()
+      g.unlock()
     }
 
     def exitIfAutoCommit(): Unit = if (autoCommit) release()

@@ -163,7 +163,13 @@ object Formats {
 
   private def bucketTables(s: SparkSession, dir: String): (String, String) =
     stagedBuckets.computeIfAbsent((s.sparkContext.applicationId, dir), { _ =>
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      // collision-resistant table-name tag: two distinct source dirs
+      // with colliding String.hashCode would otherwise OVERWRITE each
+      // other's staged tables (mode overwrite) while the per-dir cache
+      // kept serving the stale names — silently wrong joins
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
       val (liT, ordT) = (s"graft_bkt_li_$tag", s"graft_bkt_ord_$tag")
       val root = scratchDir("graft_bkt")
       val t = Tables(s, dir)

@@ -996,14 +996,12 @@ object Streams {
     * ground truth) with the CMS one-sided-error and εN-bound booleans,
     * which hash-match as constants. */
   val qStreamApproxTopk: Q = {
-    val D = 4
-    val W = 65536
+    import graft.operators.Cms
     Q(
       "q_stream_approx_topk",
       (s, dir) => {
-        val buckets =
-          s"transform(sequence(0, ${D - 1}), i -> named_struct(" +
-            s"'r', i, 'b', pmod(xxhash64(user_id, i), $W)))"
+        // geometry shared with the batch twin by construction (Cms)
+        val buckets = Cms.buckets("user_id")
         val cellsAgg = eventsStream(s, dir)
           .select(explode(expr(buckets)).as("c"))
           .groupBy(col("c.r").as("r"), col("c.b").as("b"))
@@ -1024,7 +1022,8 @@ object Streams {
           .crossJoin(broadcast(totals))
           .select(col("user_id"), col("exact_n"),
             (col("est_n") >= col("exact_n")).as("est_ge_exact"),
-            (col("est_n") <= col("exact_n") + lit(2L) * col("total_n") / lit(W.toLong))
+            (col("est_n") <= col("exact_n")
+              + lit(Cms.EpsMul) * col("total_n") / lit(Cms.W.toLong))
               .as("within_eps"))
           .orderBy(col("exact_n").desc, col("user_id"))
       },

@@ -422,4 +422,44 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     val nb = lc1.agg(sum("n_before")).head().getLong(0)
     assert(nb == cellOf.size)
   }
+
+  test("two-level local Lloyd: R rounds converge, and R=1 IS the registry's kmeans2Local") {
+    // same synthetic coarse assignment as above so the split branch
+    // (kloc >= 2 in cell 0) gives the local rounds something to move
+    import org.apache.spark.sql.functions._
+    val codes = Ann.kmeansCodes(spark, sfDir)
+    val a1 = codes.select(col("vec_id"),
+      when(col("vec_id") % 10 === 0, lit(1L)).otherwise(lit(0L)).as("cid"),
+      col("qd")).localCheckpoint()
+    // convergence: local inertia (sum of 1 − winning within-cell
+    // cosine, captured on each round's assignment BEFORE its update —
+    // the flat kmeansIterate spec's measure restricted to the local
+    // stage) must improve on the seeds, then never rise
+    val (lc3, la3, inertias) = Ann.kmeans2LocalIterate(a1, rounds = 3, inertia = true)
+    assert(inertias.length == 3)
+    assert(inertias.head > 0.0)
+    assert(inertias(1) < inertias(0),
+      s"the first local update must strictly improve on the seeds: $inertias")
+    assert(inertias.sliding(2).forall { case Seq(x, y) => y <= x + 1e-9 },
+      s"local inertia must be non-increasing round over round: $inertias")
+    // R > 1 keeps every structural contract the R=1 oracle pins: la3
+    // is still a partition of the corpus that never crosses cells
+    val n = a1.count()
+    assert(la3.count() == n)
+    assert(la3.select("vec_id").distinct().count() == n)
+    assert(la3.join(a1.select(col("vec_id"), col("cid").as("cc")), "vec_id")
+      .filter(col("cid") =!= col("cc")).count() == 0,
+      "extra local rounds must never move a vector across coarse cells")
+    assert(lc3.count() > 0)
+    // and R=1 through the iterate form is EXACTLY the registry path —
+    // the two registry rows (cluster_kmeans, dedup_semantic) run
+    // kmeans2Local, which delegates at rounds=1 with inertia off; the
+    // inertia flag must not change the arithmetic either
+    def rows(df: org.apache.spark.sql.DataFrame, keys: String*) =
+      df.orderBy(keys.map(col): _*).collect().map(_.toSeq).toSeq
+    val (lcReg, laReg) = Ann.kmeans2Local(a1)
+    val (lcIt, laIt, _) = Ann.kmeans2LocalIterate(a1, rounds = 1, inertia = true)
+    assert(rows(lcIt, "cid", "lcid") == rows(lcReg, "cid", "lcid"))
+    assert(rows(laIt, "vec_id") == rows(laReg, "vec_id"))
+  }
 }

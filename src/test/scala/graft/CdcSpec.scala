@@ -97,4 +97,26 @@ class CdcSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
   }
+
+  test("q_pull_lookup: bucket pruning survives into the registry row's plan; answers match the snapshot") {
+    val row = CdcQueries.qPullLookup.run(spark, sfDir)
+    // the ksqlDB pull contract at 100 TB: each keyed lookup must reach
+    // the scan as a PARTITION filter on the bucket directory, so one
+    // `bucket=N` tree is opened per key, never the table
+    // (ParquetUpsertSpec pins the scanned-file set; this pins the
+    // registry row's own plan shape)
+    val plan = row.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"pull lookups must prune to bucket directories; plan was:\n$plan")
+    // answers: each fixed key's current state, exactly the batch
+    // materialized snapshot restricted to those keys (tombstoned and
+    // absent keys contribute no row on either side)
+    val got = row.collect().map(_.toSeq).toSeq
+    val snap = Cdc.materialize(parsed)
+      .filter(col("key").isin(CdcQueries.PullKeys.map(Long.box): _*))
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    assert(got == snap)
+    assert(got.nonEmpty, "the fixed pull keys should exist at the spec SF")
+  }
 }

@@ -304,4 +304,54 @@ class JdbcUpsertSpec extends SparkSpec {
       assert(got == expect)
     } finally ncc.getMethod("shutdown").invoke(inst)
   }
+
+  test("gate-wait is bounded: a writer corpse degrades to chunk-severe, never a JVM hang") {
+    import graft.sinks.SerialDriver
+    import java.sql.DriverManager
+    SerialDriver.ensureRegistered()
+    val url = SerialDriver.Prefix + JdbcUpsert.memUrl()
+    JdbcUpsert.ensureTable(url, "snapshot")
+    val savedTimeout = SerialDriver.gateTimeoutMs
+    SerialDriver.gateTimeoutMs = 500L
+    try {
+      // A acquires the gate mid-transaction and DIES without close() —
+      // the corpse case (abrupt thread death, executor OOM) where
+      // nothing routes the release through the proxy. Spark's own
+      // foreachPartition cleanup does close connections on ordinary
+      // task failure; this is the path where even that never ran.
+      val corpse = new Thread(() => {
+        val c = DriverManager.getConnection(url)
+        c.setAutoCommit(false) // gate HELD from here; thread exits, no close
+      })
+      corpse.setDaemon(true)
+      corpse.start()
+      corpse.join(30000)
+      assert(!corpse.isAlive, "corpse thread should have exited")
+      // the next writer must NOT hang: the bounded gate wait surfaces
+      // the transient failure the sink's severity classifier already
+      // treats as chunk-severe (same class as an interrupt at the gate)
+      val t0 = System.nanoTime()
+      val ex = intercept[java.sql.SQLTransientConnectionException] {
+        DriverManager.getConnection(url)
+      }
+      val waitedMs = (System.nanoTime() - t0) / 1000000L
+      assert(ex.getMessage.contains("graftserial"), ex.getMessage)
+      assert(waitedMs >= 400 && waitedMs < 30000,
+        s"expected a ~500ms bounded wait, waited ${waitedMs}ms")
+    } finally {
+      SerialDriver.gateTimeoutMs = savedTimeout
+      // a ReentrantLock is owner-thread-bound: nothing can unlock the
+      // corpse's lock, so recovery is a FRESH gate — later writers
+      // queue on the new one, the old lock is unreachable garbage
+      SerialDriver.resetGateForTest()
+    }
+    // and the gate is fully usable again after the reset
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("INSERT INTO snapshot (k, id, cents, typ, last_scn) " +
+        "VALUES (990001, 99, 99, 't', 1)")
+      st.close()
+    } finally c.close()
+  }
 }
