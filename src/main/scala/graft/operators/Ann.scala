@@ -2364,9 +2364,71 @@ object Ann {
             |  ON b.probe_id = a.probe_id AND b.n_id = a.n_id
             |GROUP BY 1 ORDER BY b.probe_id""".stripMargin))
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas ±1 variant):
+    * 64-dim embeddings down to 16 dims through a DETERMINISTIC sign
+    * matrix — sign(j,k) from an LCG on the flattened index, so the
+    * "random" matrix needs no stored state, no broadcast, and is
+    * identical in both engines. Input is the int8 code vector (the
+    * same quantization vec_quantize pins), so every projected
+    * coordinate is an exact BIGINT sum (|y_k| ≤ 64·127) — no float
+    * accumulation order to disagree on.
+    *
+    * Scale shape: map-only — a pure per-row fold that fuses into the
+    * parquet scan with ZERO shuffles at any corpus size; the array
+    * cells are surfaced as a scalar digest + L1/first-coordinate
+    * scalars (the driver comparator cannot hash array cells). This is
+    * the standard cheap front-end before pair-heavy stages: a 4×
+    * narrower vector makes every downstream distance pass (LSH
+    * bucketing, candidate verify) proportionally cheaper while JL
+    * preserves pairwise geometry to O(1/√16) distortion. */
+  val vecProject: Q = {
+    // y_k = Σ_j codes[j] · sign(j·16+k); sign(i) = 1 − 2·((a·i+c) mod m mod 2)
+    val sign =
+      "(1 - 2 * (((CAST(1103515245 AS BIGINT) * (j * 16 + k) + 12345) % 2147483648) % 2))"
+    Q(
+      "vec_project",
+      (s, dir) => Tables(s, dir).embeddings
+        .withColumn("codes", expr(
+          s"transform(graft_int8_codes(${toDouble("embedding")}).codes, " +
+            "x -> CAST(x AS BIGINT))"))
+        .withColumn("y", expr(
+          "transform(sequence(0, 15), k -> aggregate(sequence(0, 63), " +
+            s"CAST(0 AS BIGINT), (acc, j) -> acc + codes[j] * $sign))"))
+        .select(col("vec_id"),
+          expr(sigDigest("transform(y, v -> v + 8192)")).as("proj_digest"),
+          expr("aggregate(y, CAST(0 AS BIGINT), (acc, v) -> acc + abs(v))")
+            .as("proj_l1"),
+          expr("y[0]").as("proj_first"))
+        .orderBy("vec_id"),
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              |), m AS (
+              |  SELECT vec_id, v,
+              |    list_reduce(list_prepend(CAST(1e-12 AS DOUBLE),
+              |      list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
+              |  FROM e
+              |), q AS (
+              |  SELECT vec_id,
+              |    list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)) AS codes
+              |  FROM m
+              |), p AS (
+              |  SELECT vec_id,
+              |    list_transform(range(0, 16), k ->
+              |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |        list_transform(range(0, 64), j -> codes[j + 1] * $sign)),
+              |        (acc, t) -> acc + t)) AS y
+              |  FROM q)
+              |SELECT vec_id,
+              |  ${duckSigDigest("list_transform(y, v -> v + 8192)")} AS proj_digest,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(y, v -> abs(v))), (acc, v) -> acc + v) AS proj_l1,
+              |  y[1] AS proj_first
+              |FROM p ORDER BY vec_id""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
     annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall,
     annIncremental, annPq, annRecallPq, annIvfPq, annRecallIvfPq,
-    annIvfPqRes, annRecallIvfPqRes, annIvfAdc, annRecallIvfAdc)
+    annIvfPqRes, annRecallIvfPqRes, annIvfAdc, annRecallIvfAdc, vecProject)
 }

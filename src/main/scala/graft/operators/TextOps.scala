@@ -466,7 +466,60 @@ object TextOps {
             |  coalesce(a.lm_score, 0) AS lm_score
             |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin))
 
+  /** tf-idf keyword extraction — the per-document salient-term pass a
+    * curation pipeline uses for topic tagging / clustering features.
+    * The score is `tf * N div df` in pure BIGINT arithmetic: at fixed
+    * corpus size N this ranks per document exactly like tf/df (and
+    * monotonically like tf·idf for the ranks that matter), while
+    * avoiding ln(), whose libm rounding is not pinned across engines.
+    * Top-3 terms per doc, ties to the lexicographically smaller word.
+    *
+    * Scale shape: one explode (×n_words) feeding a partial-aggregated
+    * tf on (doc_id, word); df is a second aggregation OVER tf (already
+    * one row per (doc, word) — no second pass over the corpus); the
+    * tf⋈df join shuffles on word (the vocabulary is corpus-scaled —
+    * NEVER broadcast); the 1-row totals frame broadcasts; the per-doc
+    * top-k is a window on the doc_id partitioning. Four bounded
+    * exchanges end to end, each on a key the next stage needs. */
+  val textTfidf: Q = Q(
+    "text_tfidf",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.withColumn("w", expr(normText("text")))
+        .select(col("doc_id"), explode(expr(words("w"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val totals = d.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "word")
+        .crossJoin(broadcast(totals))
+        .withColumn("score", expr("tf * n_docs div df"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("word"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("word"), col("tf"),
+          col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, unnest(${duckWords(duckNormText("text"))}) AS word
+            |  FROM documents
+            |), tf AS (
+            |  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+            |), df AS (
+            |  SELECT word, count(*) AS df FROM tf GROUP BY 1
+            |), tot AS (SELECT count(*) AS n_docs FROM documents),
+            |scored AS (
+            |  SELECT doc_id, word, tf, df.df, tf * n_docs // df.df AS score
+            |  FROM tf JOIN df USING (word) CROSS JOIN tot
+            |), r AS (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+            |  FROM scored)
+            |SELECT doc_id, rank, word, tf, df, score FROM r WHERE rank <= 3
+            |ORDER BY doc_id, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(textTokens, textLangid, textQuality,
     textFingerprint, textNgramFreq, textPiiRedact, textRepetition,
-    textLineDedup, bpePairCounts, textLmScore)
+    textLineDedup, bpePairCounts, textLmScore, textTfidf)
 }

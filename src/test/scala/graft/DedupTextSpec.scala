@@ -200,4 +200,64 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     // to one value
     assert(got.map(_._3).distinct.size > 1)
   }
+
+  test("text_tfidf: dense top-3 ranks per doc, score arithmetic matches a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TextOps.textTfidf.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per doc: ranks dense 1..k (k <= 3), scores non-increasing with
+    // rank, word strictly increasing within a tied score
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length),
+        "ranks must be dense from 1")
+      assert(byRank.length <= 3)
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getLong(5), b.getLong(5))
+          assert(sa > sb || (sa == sb && a.getString(2) < b.getString(2)),
+            s"order violated: $a then $b")
+        case _ => ()
+      }
+    }
+    // score = tf * N div df, recomputed independently from the corpus
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(expr(
+        graft.functions.Portable.words(graft.functions.Portable.normText("text"))))
+        .as("word"))
+      .groupBy("doc_id", "word").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val (d, w) = (r.getLong(0), r.getString(2))
+      assert(r.getLong(3) == tf((d, w)), s"tf mismatch for ($d, $w)")
+      assert(r.getLong(4) == df(w), s"df mismatch for $w")
+      assert(r.getLong(5) == r.getLong(3) * n / r.getLong(4), "score arithmetic")
+    }
+  }
+
+  test("vec_project: exact integer JL projection, verified against a scalar recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Ann.vecProject.run(spark, sfDir).collect()
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.length == nVecs, "one projected row per vector")
+    // recompute the projection for every vector from the int8 codes
+    // with plain Scala arithmetic — same LCG signs, same fold
+    val codes = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(graft_int8_codes(transform(embedding, x -> CAST(x AS DOUBLE))).codes, x -> CAST(x AS BIGINT)) AS c")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def sign(i: Int): Long =
+      1L - 2L * (((1103515245L * i + 12345L) % 2147483648L) % 2L)
+    rows.foreach { r =>
+      val c = codes(r.getLong(0))
+      val y = (0 until 16).map(k =>
+        (0 until 64).map(j => c(j) * sign(j * 16 + k)).sum)
+      val digest = y.foldLeft(0L)((acc, v) => (acc * 1000003L + (v + 8192L)) % 2147483647L)
+      assert(r.getLong(1) == digest, s"digest mismatch for vec ${r.getLong(0)}")
+      assert(r.getLong(2) == y.map(math.abs).sum, "l1 mismatch")
+      assert(r.getLong(3) == y.head, "first coordinate mismatch")
+    }
+  }
 }
