@@ -449,6 +449,41 @@ object Native {
       copy(child = c)
   }
 
+  /** 16-dim Johnson–Lindenstrauss ±1 projection of an int8 code
+    * vector (Achlioptas signs from an LCG on the flattened (j, k)
+    * index — no stored matrix). Bit-identical to the interpreted-HOF
+    * formulation pinned in NativeVsSqlSpec; exists because the HOF
+    * form walks an expression tree per (j, k) cell (~1024 interpreted
+    * evals per row — measured 13.5 s over 2k vectors where this loop
+    * is milliseconds), and vec_project's whole point is a projection
+    * cheap enough to run ahead of every pair-heavy stage. */
+  case class JlProject16(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_jl_project"
+
+    override def nullSafeEval(cAny: Any): Any = {
+      val c = cAny.asInstanceOf[ArrayData]
+      val n = c.numElements()
+      val out = new Array[Long](16)
+      var j = 0
+      while (j < n) {
+        val cj = c.getDouble(j).toLong
+        val base = j * 16
+        var k = 0
+        while (k < 16) {
+          val s = 1L - 2L * (((1103515245L * (base + k) + 12345L) % 2147483648L) % 2L)
+          out(k) += cj * s
+          k += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[Native.type].getName, null, name, usage, "")
 
@@ -477,6 +512,8 @@ object Native {
       es => Int8Quantize(es.head)),
     ("graft_int8_codes", "symmetric int8 quantization codes: (max_abs, codes as doubles)",
       es => Int8Codes(es.head)),
+    ("graft_jl_project", "16-dim JL +/-1 projection of an int8 code vector (LCG signs)",
+      es => JlProject16(es.head)),
     ("graft_topk", "partial-aggregatable top-K (value, id) pairs per group",
       es => TopKPairs(es(0), es(1), es(2))),
     ("graft_argmax", "id with the maximal score, exact ties to the smaller id" +

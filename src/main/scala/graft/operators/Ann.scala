@@ -2381,19 +2381,27 @@ object Ann {
     * narrower vector makes every downstream distance pass (LSH
     * bucketing, candidate verify) proportionally cheaper while JL
     * preserves pairwise geometry to O(1/√16) distortion. */
-  val vecProject: Q = {
+  /** The interpreted-HOF formulation of the projection fold over a
+    * BIGINT `codes` column — NativeVsSqlSpec pins graft_jl_project
+    * bit-identical to it; the hot path runs the native loop (the HOF
+    * form walks an expression tree per (j, k) cell — ~1024 interpreted
+    * evals per row, measured 13.5 s over 2k vectors). */
+  private[graft] val jlProjectSql: String = {
     // y_k = Σ_j codes[j] · sign(j·16+k); sign(i) = 1 − 2·((a·i+c) mod m mod 2)
+    val sign =
+      "(1 - 2 * (((CAST(1103515245 AS BIGINT) * (j * 16 + k) + 12345) % 2147483648) % 2))"
+    "transform(sequence(0, 15), k -> aggregate(sequence(0, 63), " +
+      s"CAST(0 AS BIGINT), (acc, j) -> acc + codes[j] * $sign))"
+  }
+
+  val vecProject: Q = {
     val sign =
       "(1 - 2 * (((CAST(1103515245 AS BIGINT) * (j * 16 + k) + 12345) % 2147483648) % 2))"
     Q(
       "vec_project",
       (s, dir) => Tables(s, dir).embeddings
-        .withColumn("codes", expr(
-          s"transform(graft_int8_codes(${toDouble("embedding")}).codes, " +
-            "x -> CAST(x AS BIGINT))"))
         .withColumn("y", expr(
-          "transform(sequence(0, 15), k -> aggregate(sequence(0, 63), " +
-            s"CAST(0 AS BIGINT), (acc, j) -> acc + codes[j] * $sign))"))
+          s"graft_jl_project(graft_int8_codes(${toDouble("embedding")}).codes)"))
         .select(col("vec_id"),
           expr(sigDigest("transform(y, v -> v + 8192)")).as("proj_digest"),
           expr("aggregate(y, CAST(0 AS BIGINT), (acc, v) -> acc + abs(v))")

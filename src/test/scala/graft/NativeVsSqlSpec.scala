@@ -153,6 +153,21 @@ class NativeVsSqlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("graft_jl_project == SQL HOF formulation on real vectors") {
+    // the HOF form is ~1024 interpreted expression evals per row — the
+    // reason the native loop exists — but it IS the semantics; any
+    // native-loop edit that forks the signs or the fold dies here
+    val e = graft.sources.Tables(spark, sfDir).embeddings.limit(20)
+      .withColumn("codes", expr(
+        s"transform(graft_int8_codes(${Portable.toDouble("embedding")}).codes, x -> CAST(x AS BIGINT))"))
+    val rows = e.select(
+        expr(s"graft_jl_project(graft_int8_codes(${Portable.toDouble("embedding")}).codes)"),
+        expr(graft.operators.Ann.jlProjectSql))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("graft_dot and graft_hyperplane_keys == SQL folds on real vectors") {
     val e = graft.sources.Tables(spark, sfDir).embeddings.limit(20)
       .withColumn("v", expr(Portable.toDouble("embedding")))
