@@ -17,6 +17,15 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every registered query carries a DuckDB oracle (no rows-only checks)") {
+    // the driver downgrades oracle-less rows to a weaker rows>0 check;
+    // the registry's standing claim is that EVERY row is hash-verified
+    // against an independent engine — a new row without an oracle
+    // should fail here, not silently weaken the gate
+    val missing = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"rows without oracles: $missing")
+  }
+
   test("oracle strings interpolate the real cap values, never init-order zeros") {
     // a Scala val referenced from an EARLIER val's initializer is
     // still 0 while the object initializes; an oracle string built
