@@ -112,4 +112,30 @@ class IncrementalDedupSpec extends SparkSpec {
       IncrementalDedup.applyBatch(docsDf(2L -> base), root)
     }
   }
+
+  test("precomputed signatures are behaviorally identical to the self-computed path") {
+    // the contract the curation topology's decon gate relies on
+    // (round 13: one 64-lane minhash pass per micro-batch): handing
+    // applyBatch sigOf(batch) precomputed must leave the SAME
+    // rejection log and the SAME indexed signatures as letting it
+    // compute them itself, across a multi-batch arrival history
+    val batches = Seq(
+      docsDf(10L -> base, 20L -> other),
+      docsDf(11L -> base, 5L -> base),
+      docsDf(30L -> (base + " extra trailing words appended here"),
+        21L -> other))
+    val selfRoot = Files.createTempDirectory("graft_inc_self").toString
+    val preRoot = Files.createTempDirectory("graft_inc_pre").toString
+    batches.foreach { b =>
+      IncrementalDedup.applyBatch(b, selfRoot)
+      IncrementalDedup.applyBatch(b, preRoot,
+        precomputedSig = Some(IncrementalDedup.sigOf(b)))
+    }
+    assert(rejectedIds(preRoot) == rejectedIds(selfRoot))
+    assert(rejectedIds(preRoot).nonEmpty, "the history must exercise rejections")
+    def sigs(root: String) = spark.read.parquet(s"$root/sigs")
+      .selectExpr("doc_id", s"${graft.functions.Portable.sigDigest("sig")} AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sigs(preRoot) == sigs(selfRoot))
+  }
 }
