@@ -110,6 +110,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("vec_project is map-only: zero hash exchanges at any corpus size") {
+    // the row's 100 TB claim is that the projection fuses into the
+    // scan — the only exchange in the plan is the output orderBy's
+    // range partitioning, never a hashpartitioning
+    val p = plan(graft.operators.Ann.vecProject.name)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("text_tfidf: tf partial-aggregates map-side; the totals frame broadcasts") {
+    val p = plan(graft.operators.TextOps.textTfidf.name)
+    // partial + final HashAggregate pairs for tf (and df over it)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    // the 1-row corpus count reaches the join as a broadcast, never a
+    // shuffle (the vocabulary join may broadcast at toy SF — that's
+    // AQE's call, not a hint; the registry-wide no-cartesian audit
+    // covers the crossJoin)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q_approx_topk: sketch and exact sides shuffle once each, estimate join broadcasts") {
     val p = plan("q_approx_topk")
     // two hash exchanges total: the (r, b) cell aggregation and the
