@@ -417,9 +417,11 @@ object Native {
     * path ann_quantized assumes at scale: quantization identical
     * (maxabs fold seeded 1e-12; floor(x*127/maxabs + 0.5)), codes
     * emitted as doubles (integer-exact for |c| <= 127) so the
-    * candidate scorer feeds them straight into graft_dot. */
+    * candidate scorer feeds them straight into graft_dot. Codegen'd
+    * (doGenCode) so quantize→project pipelines (vec_project) stay
+    * inside the scan's whole-stage span. */
   case class Int8Codes(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("max_abs", DoubleType, nullable = false),
       StructField("codes", ArrayType(DoubleType, containsNull = false),
@@ -445,6 +447,30 @@ object Native {
       org.apache.spark.sql.catalyst.InternalRow(maxabs,
         new GenericArrayData(out))
     }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val a = ctx.freshName("a")
+        val maxabs = ctx.freshName("maxabs")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = $in.numElements();
+           |double $maxabs = 1e-12;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $a = java.lang.Math.abs($in.getDouble($i));
+           |  if ($a > $maxabs) $maxabs = $a;
+           |}
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = java.lang.Math.floor($in.getDouble($i) * 127.0 / $maxabs + 0.5);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |  new Object[]{$maxabs, new org.apache.spark.sql.catalyst.util.GenericArrayData($out)});
+         """.stripMargin
+      })
+
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
@@ -456,9 +482,21 @@ object Native {
     * form walks an expression tree per (j, k) cell (~1024 interpreted
     * evals per row — measured 13.5 s over 2k vectors where this loop
     * is milliseconds), and vec_project's whole point is a projection
-    * cheap enough to run ahead of every pair-heavy stage. */
+    * cheap enough to run ahead of every pair-heavy stage.
+    *
+    * The sign is the HIGH bit of TWO chained LCG rounds, not the low
+    * bit of one: with a power-of-two modulus the low bit is just the
+    * parity of the input, and the flattened index j·16+k has the
+    * parity of k alone — a low-bit sign collapses the matrix to rank 1
+    * (every output ±the same column sum) and preserves no pairwise
+    * geometry. One round's high bit is still affine enough to leave
+    * rank 9/16; the second round breaks the linearity — the resulting
+    * 64×16 sign matrix is measured full-rank (16) with 28–36 of 64
+    * positive entries per column (pinned in DedupTextSpec), so the
+    * O(1/√16) JL distortion bound applies. Codegen'd (doGenCode) so
+    * the projection stays inside the scan's whole-stage span. */
   case class JlProject16(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_jl_project"
 
@@ -472,7 +510,8 @@ object Native {
         val base = j * 16
         var k = 0
         while (k < 16) {
-          val s = 1L - 2L * (((1103515245L * (base + k) + 12345L) % 2147483648L) % 2L)
+          val x1 = (1103515245L * (base + k) + 12345L) % 2147483648L
+          val s = 1L - 2L * (((1103515245L * x1 + 12345L) % 2147483648L) / 1073741824L)
           out(k) += cj * s
           k += 1
         }
@@ -480,6 +519,33 @@ object Native {
       }
       new GenericArrayData(out)
     }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => {
+        val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val cj = ctx.freshName("cj")
+        val base = ctx.freshName("base")
+        val x1 = ctx.freshName("x1")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = $in.numElements();
+           |long[] $out = new long[16];
+           |for (int $j = 0; $j < $n; $j++) {
+           |  long $cj = (long) $in.getDouble($j);
+           |  long $base = $j * 16L;
+           |  for (int $k = 0; $k < 16; $k++) {
+           |    long $x1 = (1103515245L * ($base + $k) + 12345L) % 2147483648L;
+           |    long $s = 1L - 2L * (((1103515245L * $x1 + 12345L) % 2147483648L) / 1073741824L);
+           |    $out[$k] += $cj * $s;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }

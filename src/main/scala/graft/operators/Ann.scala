@@ -2387,21 +2387,34 @@ object Ann {
     * form walks an expression tree per (j, k) cell — ~1024 interpreted
     * evals per row, measured 13.5 s over 2k vectors). */
   private[graft] val jlProjectSql: String = {
-    // y_k = Σ_j codes[j] · sign(j·16+k); sign(i) = 1 − 2·((a·i+c) mod m mod 2)
+    // y_k = Σ_j codes[j] · sign(j·16+k); sign(i) = high bit of TWO
+    // chained LCG rounds mod 2^31 (x2 = a·((a·i+c) mod m)+c mod m,
+    // sign = 1 − 2·(x2 div 2^30)). The low bit of a power-of-two-
+    // modulus LCG is parity(i) = parity(k), which collapses the sign
+    // matrix to rank 1, and one round's high bit is still affine
+    // enough to leave rank 9/16; two rounds measure full-rank
+    // (see JlProject16).
     val sign =
-      "(1 - 2 * (((CAST(1103515245 AS BIGINT) * (j * 16 + k) + 12345) % 2147483648) % 2))"
+      "(1 - 2 * (((CAST(1103515245 AS BIGINT) * ((CAST(1103515245 AS BIGINT) * (j * 16 + k) + 12345) % 2147483648) + 12345) % 2147483648) div 1073741824))"
     "transform(sequence(0, 15), k -> aggregate(sequence(0, 63), " +
       s"CAST(0 AS BIGINT), (acc, j) -> acc + codes[j] * $sign))"
   }
 
   val vecProject: Q = {
+    // DuckDB mirror of JlProject16's two-round high-bit LCG sign
+    // (// = int div)
     val sign =
-      "(1 - 2 * (((CAST(1103515245 AS BIGINT) * (j * 16 + k) + 12345) % 2147483648) % 2))"
+      "(1 - 2 * (((CAST(1103515245 AS BIGINT) * ((CAST(1103515245 AS BIGINT) * (j * 16 + k) + 12345) % 2147483648) + 12345) % 2147483648) // 1073741824))"
     Q(
       "vec_project",
+      // CAST(array<float> AS array<double>) instead of the HOF
+      // transform: elementwise-identical, but Cast supports codegen
+      // while a lambda transform is CodegenFallback — with it the
+      // whole quantize→project Project fuses into the scan's
+      // WholeStageCodegen span (pinned in PlanAuditSpec)
       (s, dir) => Tables(s, dir).embeddings
         .withColumn("y", expr(
-          s"graft_jl_project(graft_int8_codes(${toDouble("embedding")}).codes)"))
+          "graft_jl_project(graft_int8_codes(CAST(embedding AS ARRAY<DOUBLE>)).codes)"))
         .select(col("vec_id"),
           expr(sigDigest("transform(y, v -> v + 8192)")).as("proj_digest"),
           expr("aggregate(y, CAST(0 AS BIGINT), (acc, v) -> acc + abs(v))")

@@ -105,7 +105,31 @@ object SerialDriver {
   /** Replace a (possibly corpse-held) gate with a fresh one. Test-only:
     * sessions still holding the old lock keep releasing the old lock;
     * new arrivals queue on the new one. */
-  private[graft] def resetGateForTest(): Unit = { gate = new ReentrantLock(true) }
+  private[graft] def resetGateForTest(): Unit = {
+    gate = new ReentrantLock(true)
+    consecutiveTimeouts.set(0)
+  }
+
+  /** Consecutive gate-wait expiries with no successful acquire in
+    * between. After [[GateTimeoutEscalation]] of them the gate is
+    * treated as POISONED — the holder died without routing close()
+    * through the proxy and nothing can ever unlock its owner-bound
+    * lock — and every later arrival fails FAST (one non-blocking
+    * tryLock, no wait) with a non-transient SQLException the sink does
+    * NOT classify as chunk-severe, so the writer task fails and the
+    * job surfaces the defect loudly instead of burning a full
+    * gate-timeout per chunk forever (the pre-round-14 behavior). The
+    * fast-fail still attempts the lock, so a holder that was merely
+    * SLOW (legitimately past the timeout — queued writers saw bounded
+    * chunk-severe retries meanwhile) self-heals: the first arrival
+    * after the release acquires, resets the counter, and the gate is
+    * clean again. No auto-swap of the lock instance — a live holder
+    * plus a fresh gate would recreate the ≥2-writer engine deadlock
+    * this driver exists to prevent. Operator action on the loud
+    * failure: restart the sink JVM (tests: resetGateForTest). */
+  private[graft] val GateTimeoutEscalation = 3
+  private val consecutiveTimeouts = new AtomicInteger(0)
+  private[graft] def consecutiveGateTimeouts: Int = consecutiveTimeouts.get()
 
   /** Peak number of sessions simultaneously at the gate (holder +
     * queued). The multi-writer spec asserts this exceeded 1: proof that
@@ -142,9 +166,12 @@ object SerialDriver {
       val g = gate // pin the instance: lock and unlock the SAME object
       val n = atGate.incrementAndGet()
       peakAtGate.accumulateAndGet(n, Math.max)
+      val poisoned = consecutiveTimeouts.get() >= GateTimeoutEscalation
       val acquired =
-        try g.tryLock(gateTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-        catch {
+        try {
+          if (poisoned) g.tryLock() // fast-fail, but self-heal if freed
+          else g.tryLock(gateTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        } catch {
           case ie: InterruptedException =>
             atGate.decrementAndGet()
             Thread.currentThread().interrupt()
@@ -153,11 +180,24 @@ object SerialDriver {
         }
       if (!acquired) {
         atGate.decrementAndGet()
+        if (poisoned)
+          // NOT chunk-severe (not a connection-class exception, state
+          // outside 08/40): propagates and fails the writer task loudly
+          throw new java.sql.SQLNonTransientException(
+            s"graftserial gate poisoned: $GateTimeoutEscalation consecutive " +
+              s"${gateTimeoutMs} ms gate waits expired with no successful " +
+              "acquire — the holder died without closing its connection " +
+              "and its owner-bound lock can never be released. Failing " +
+              "fast instead of timing out per chunk forever; restart the " +
+              "sink JVM to recover (tests: resetGateForTest)", "XJGFP")
+        val t = consecutiveTimeouts.incrementAndGet()
         throw new java.sql.SQLTransientConnectionException(
           s"gave up after ${gateTimeoutMs} ms queued at the graftserial " +
             "gate — the holder likely died without closing its " +
-            "connection; treat as chunk-severe and retry", "08000")
+            "connection; treat as chunk-severe and retry (consecutive " +
+            s"timeout $t of $GateTimeoutEscalation before escalation)", "08000")
       }
+      consecutiveTimeouts.set(0)
       held = g
     }
 

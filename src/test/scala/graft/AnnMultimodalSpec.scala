@@ -434,14 +434,30 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     // convergence: local inertia (sum of 1 − winning within-cell
     // cosine, captured on each round's assignment BEFORE its update —
     // the flat kmeansIterate spec's measure restricted to the local
-    // stage) must improve on the seeds, then never rise
+    // stage) must improve on the seeds, then never rise.
+    //
+    // Tolerance note (the Cms.EpsMul treatment): Lloyd monotonicity is
+    // a THEOREM only for squared-Euclidean with exact means; this
+    // update is an integer-floored mean and the objective is 1−cosine,
+    // so a tiny round-over-round rise is possible on adversarial data
+    // with NO code defect. The checks below therefore carry a small
+    // relative tolerance (RelTol). On the committed generators the
+    // descent holds strictly — if a data-generator or SF change trips
+    // these asserts, that is a per-SF data obligation to re-verify the
+    // tolerance, not automatically a regression.
+    val RelTol = 1e-3
     val (lc3, la3, inertias) = Ann.kmeans2LocalIterate(a1, rounds = 3, inertia = true)
     assert(inertias.length == 3)
     assert(inertias.head > 0.0)
+    assert(inertias(1) <= inertias(0) * (1 + RelTol),
+      s"the first local update must not worsen the seeds: $inertias")
+    // strict descent currently holds on the committed generator — kept
+    // as a separate line so a tolerance-band failure is distinguishable
+    // from a no-op iteration (per-SF data obligation, see above)
     assert(inertias(1) < inertias(0),
-      s"the first local update must strictly improve on the seeds: $inertias")
-    assert(inertias.sliding(2).forall { case Seq(x, y) => y <= x + 1e-9 },
-      s"local inertia must be non-increasing round over round: $inertias")
+      s"expected strict first-round descent on this generator: $inertias")
+    assert(inertias.sliding(2).forall { case Seq(x, y) => y <= x * (1 + RelTol) },
+      s"local inertia must be (tolerance-)non-increasing round over round: $inertias")
     // R > 1 keeps every structural contract the R=1 oracle pins: la3
     // is still a partition of the corpus that never crosses cells
     val n = a1.count()

@@ -248,8 +248,23 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       .selectExpr("vec_id",
         "transform(graft_int8_codes(transform(embedding, x -> CAST(x AS DOUBLE))).codes, x -> CAST(x AS BIGINT)) AS c")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    def sign(i: Int): Long =
-      1L - 2L * (((1103515245L * i + 12345L) % 2147483648L) % 2L)
+    // high bit of two chained LCG rounds — must match JlProject16
+    def sign(i: Int): Long = {
+      val x1 = (1103515245L * i + 12345L) % 2147483648L
+      1L - 2L * (((1103515245L * x1 + 12345L) % 2147483648L) / 1073741824L)
+    }
+    // the sign matrix must actually mix j and k: the original low-bit
+    // LCG derivation collapsed it to rank 1 (sign depended on the
+    // parity of k alone — every output coordinate ±the same column
+    // sum, no pairwise geometry preserved). Pin full rank via distinct
+    // canonical columns and per-column sign balance.
+    val cols = (0 until 16).map(k => (0 until 64).map(j => sign(j * 16 + k)))
+    val canonical = cols.map(c => if (c.head == 1L) c else c.map(-_)).distinct
+    assert(canonical.size == 16, s"sign columns collinear: ${canonical.size} distinct")
+    cols.foreach { c =>
+      val plus = c.count(_ == 1L)
+      assert(plus >= 16 && plus <= 48, s"sign column unbalanced: $plus/64 positive")
+    }
     rows.foreach { r =>
       val c = codes(r.getLong(0))
       val y = (0 until 16).map(k =>

@@ -354,4 +354,75 @@ class JdbcUpsertSpec extends SparkSpec {
       st.close()
     } finally c.close()
   }
+
+  test("gate escalates after consecutive timeouts: fast non-chunk-severe failure; a freed gate self-heals") {
+    import graft.sinks.SerialDriver
+    import java.sql.DriverManager
+    SerialDriver.ensureRegistered()
+    val url = SerialDriver.Prefix + JdbcUpsert.memUrl()
+    JdbcUpsert.ensureTable(url, "snapshot")
+    val savedTimeout = SerialDriver.gateTimeoutMs
+    SerialDriver.gateTimeoutMs = 300L
+    SerialDriver.resetGateForTest() // counter + lock known-clean
+    try {
+      // Phase 1 — a LIVE holder merely slower than the timeout: queued
+      // writers see bounded chunk-severe retries, and once the holder
+      // releases, the first post-escalation arrival still ACQUIRES
+      // (poisoned fast-fail is a non-blocking tryLock, not a hard
+      // refusal) — the counter resets and no spurious permanent
+      // failure survives a slow-but-alive transaction.
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val slow = new Thread(() => {
+        val c = DriverManager.getConnection(url)
+        c.setAutoCommit(false) // gate held
+        release.await()
+        c.commit()
+        c.close()
+      })
+      slow.setDaemon(true)
+      slow.start()
+      Thread.sleep(100) // let the holder take the gate
+      for (i <- 1 to SerialDriver.GateTimeoutEscalation)
+        intercept[java.sql.SQLTransientConnectionException] {
+          DriverManager.getConnection(url)
+        }
+      assert(SerialDriver.consecutiveGateTimeouts ==
+        SerialDriver.GateTimeoutEscalation)
+      release.countDown()
+      slow.join(30000)
+      assert(!slow.isAlive)
+      val healed = DriverManager.getConnection(url) // poisoned path, but freed
+      healed.close()
+      assert(SerialDriver.consecutiveGateTimeouts == 0, "acquire must reset the counter")
+
+      // Phase 2 — a real corpse: after the escalation threshold the
+      // failure is FAST (no per-chunk timeout burn) and NOT classified
+      // chunk-severe, so the writer task fails loudly instead of
+      // retrying forever.
+      val corpse = new Thread(() => {
+        val c = DriverManager.getConnection(url)
+        c.setAutoCommit(false) // held; thread dies without close
+      })
+      corpse.setDaemon(true)
+      corpse.start()
+      corpse.join(30000)
+      assert(!corpse.isAlive)
+      for (_ <- 1 to SerialDriver.GateTimeoutEscalation)
+        intercept[java.sql.SQLTransientConnectionException] {
+          DriverManager.getConnection(url)
+        }
+      val t0 = System.nanoTime()
+      val ex = intercept[java.sql.SQLNonTransientException] {
+        DriverManager.getConnection(url)
+      }
+      val tookMs = (System.nanoTime() - t0) / 1000000L
+      assert(ex.getMessage.contains("poisoned"), ex.getMessage)
+      assert(tookMs < 250, s"escalated failure must be fast, took ${tookMs}ms")
+      assert(!JdbcUpsert.chunkSeverity(ex),
+        "escalated failure must NOT be chunk-severe (it must propagate)")
+    } finally {
+      SerialDriver.gateTimeoutMs = savedTimeout
+      SerialDriver.resetGateForTest()
+    }
+  }
 }

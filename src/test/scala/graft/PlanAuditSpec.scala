@@ -116,6 +116,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // range partitioning, never a hashpartitioning
     val p = plan(graft.operators.Ann.vecProject.name)
     assert(!p.contains("Exchange hashpartitioning"), p)
+    // and the projection itself participates in whole-stage codegen:
+    // since JlProject16 implements doGenCode the scan-side stage must
+    // plan as a single WholeStageCodegen span with the Project inside
+    // it (a CodegenFallback expression would break the span and run
+    // the projection interpreted)
+    val df = SparkEntry.queries(graft.operators.Ann.vecProject.name)(spark, sfDir)
+    df.collect() // materialize so AQE finalizes codegen stages
+    // keep only the Final Plan section (the AQE string repeats the
+    // un-codegen'd Initial Plan below it)
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // "*(n)" is the WholeStageCodegen marker: every node evaluating
+    // the projection expression must carry it
+    val projLines = executed.linesIterator
+      .filter(_.contains("graft_jl_project")).toSeq
+    assert(projLines.nonEmpty, executed)
+    assert(projLines.forall(_.contains("*(")),
+      "projection fell out of whole-stage codegen\n" + executed)
   }
 
   test("text_tfidf: tf partial-aggregates map-side; the totals frame broadcasts") {
