@@ -543,20 +543,24 @@ object CdcQueries {
 
   /** ksqlDB-style PULL query (reference README, ksqlDB section: the
     * consumer surface is push + pull) as a registry row: the CURRENT
-    * state of specific keys, each served by
-    * [[graft.sinks.ParquetUpsert.pointLookup]] from the ONE hash
-    * bucket directory the key's writer-recorded bucket count maps it
-    * to — at 100 TB each lookup opens a few-GB `bucket=N` tree, never
-    * the table (pruning + writer/reader bucket-count agreement are
-    * spec-pinned in ParquetUpsertSpec; the registry row's plan pins
-    * PartitionFilters in CdcSpec). Tombstoned keys return no row. The
-    * oracle recomputes each key's latest state from the raw feed. */
+    * state of specific keys, served as ONE batched scan by
+    * [[graft.sinks.ParquetUpsert.pointLookupMany]] — the partition
+    * filter is `bucket IN (the keys' hash buckets)` under the
+    * writer-recorded bucket count, so the scan opens only the touched
+    * `bucket=N` directories with the `key IN` residual inside them —
+    * the shape a pull-query server runs for a key batch (N unioned
+    * single-key scans would plan N times; pointLookup remains the
+    * single-key API). At 100 TB a 1000-key batch opens ≤1000 few-GB
+    * trees, never the table (pruning + writer/reader bucket-count
+    * agreement are spec-pinned in ParquetUpsertSpec; the registry
+    * row's plan pins ONE scan with a multi-value PartitionFilter in
+    * CdcSpec). Tombstoned keys return no row. The oracle recomputes
+    * each key's latest state from the raw feed. */
   val qPullLookup: Q = Q(
     "q_pull_lookup",
     (s, dir) => {
       val target = lakeTable(s, dir)
-      PullKeys.map(k => graft.sinks.ParquetUpsert.pointLookup(s, target, k))
-        .reduce(_.unionByName(_))
+      graft.sinks.ParquetUpsert.pointLookupMany(s, target, PullKeys)
         .select(col("key"), col("id"), col("cents"), col("typ").as("type"),
           col("scn").as("last_scn"))
         .orderBy("key")

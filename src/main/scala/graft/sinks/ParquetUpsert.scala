@@ -236,6 +236,38 @@ object ParquetUpsert {
       .drop("bucket")
   }
 
+  /** The key's `bucket=N` directory under the writer's layout: the SAME
+    * hash the writer used (`pmod(hash(col("key")), lit(b))` — Murmur3
+    * seed 42), evaluated driver-side through the identical Catalyst
+    * expression so writer and reader can never disagree. */
+  private def bucketFor(key: Long, b: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = Murmur3Hash(Seq(Literal(key)), 42).eval().asInstanceOf[Int]
+    val m = h % b
+    if (m < 0) m + b else m
+  }
+
+  /** Batched pull query: the current state of MANY keys in ONE scan —
+    * the shape a pull-query server runs for a 1000-key batch (N
+    * single-key [[pointLookup]]s would plan N scans). The partition
+    * filter is `bucket IN (the keys' distinct buckets)`, computed
+    * driver-side from the writer-recorded bucket count, so the scan
+    * opens only the touched `bucket=N` directories — at 100 TB a
+    * 1000-key batch opens ≤1000 few-GB trees, never the table — with
+    * the `key IN (...)` residual applied inside them. Same
+    * tombstone-hiding contract as pointLookup. */
+  def pointLookupMany(sp: org.apache.spark.sql.SparkSession, target: String,
+                      keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "pointLookupMany needs at least one key")
+    val b = bucketCount(sp, target).getOrElse(sys.error(
+      s"$target has no _graft_buckets metadata — not a ParquetUpsert table"))
+    val buckets = keys.map(bucketFor(_, b)).distinct
+    sp.read.parquet(target)
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .filter(col("key").isin(keys.map(Long.box): _*) && col("op") =!= "d")
+      .drop("bucket")
+  }
+
   /** Dynamic partition overwrite as a PER-WRITER option, not a session
     * conf mutation: concurrent upserts to different tables (the routed
     * fan-out runs per-table merges on a thread pool) must not race on

@@ -109,6 +109,14 @@ class CdcSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"pull lookups must prune to bucket directories; plan was:\n$plan")
+    // batched shape (round 14): ONE scan node carrying a multi-value
+    // bucket IN (...) partition filter — a server's 1000-key pull batch
+    // plans one pruned scan, not 1000 unioned single-key scans
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1,
+      s"pull batch must plan exactly one scan; plan was:\n$plan")
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("IN ("),
+      s"expected a multi-value bucket IN partition filter, got: $pf")
     // answers: each fixed key's current state, exactly the batch
     // materialized snapshot restricted to those keys (tombstoned and
     // absent keys contribute no row on either side)

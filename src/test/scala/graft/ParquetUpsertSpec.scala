@@ -155,6 +155,44 @@ class ParquetUpsertSpec extends SparkSpec {
     assert(ParquetUpsert.pointLookup(spark, target, 7L).collect().isEmpty)
   }
 
+  test("pointLookupMany serves a key batch from one scan over only the keys' bucket dirs") {
+    import org.apache.spark.sql.functions.input_file_name
+    val target = newTarget()
+    ParquetUpsert.applyBatch(
+      toBatch((1L to 40L).map(k => ins(k, k, k * 10))), target)
+    ParquetUpsert.applyBatch(toBatch(Seq(del(7, 100))), target)
+
+    val keys = Seq(5L, 7L, 12L, 29L, 999L) // live, tombstoned, live, live, absent
+    val got = ParquetUpsert.pointLookupMany(spark, target, keys)
+
+    // answers == the union of single-key lookups (tombstoned + absent
+    // keys contribute no row on either side)
+    val single = keys.map(ParquetUpsert.pointLookup(spark, target, _))
+      .reduce(_.unionByName(_))
+      .select("key", "cents").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(got.select("key", "cents").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq.sorted == single)
+    assert(single.map(_._1) == Seq(5L, 12L, 29L))
+
+    // scanned-file set: every file read sits under one of the KEYS'
+    // bucket directories — the batch never opens an untouched bucket
+    val allowedDirs = keys.map(k => s"bucket=${bucketOf(k)}").toSet
+    val scanned = ParquetUpsert.pointLookupMany(spark, target, keys)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(f => allowedDirs.exists(f.contains)),
+      s"batched pull leaked outside ${allowedDirs.mkString(",")}: ${scanned.mkString(", ")}")
+
+    // and it is ONE scan with a multi-value partition filter, not a
+    // union of per-key scans
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1, plan)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket") && pf.contains("IN ("),
+      s"expected a bucket IN (...) partition filter, got: $pf")
+  }
+
   test("bucket count is a table property: readers and later writers derive it, not guess it") {
     import org.apache.spark.sql.functions.input_file_name
     val target = newTarget()
