@@ -363,6 +363,104 @@ object TextOps {
             |  FROM c
             |) WHERE rank <= $BpeTopPairs""".stripMargin))
 
+  /** BPE merge-table TRAINING — the loop [[bpePairCounts]] opens, run
+    * for [[BpeMergeRounds]] sequential rounds: each round counts every
+    * adjacent-symbol pair over the current symbol stream (starting at
+    * characters), learns the top pair as that round's merge, and
+    * applies it map-side before the next round. Emits the learned
+    * merge table (rank, merge_pair, count-at-learn-time) — the
+    * artifact a tokenizer trainer ships.
+    *
+    * Symbol streams are SEPARATOR-ENCODED strings (U+001F between and
+    * around symbols, a char the whitespace-split word stream can never
+    * contain), so a merge application is one literal
+    * `replace(sep·a·sep·b·sep → sep·ab·sep)` — leftmost
+    * non-overlapping, identical semantics in Spark's UTF8String.replace
+    * and DuckDB's replace, and boundary-safe by construction (the
+    * pattern's flanking separators can only align to whole symbols).
+    * On a run of k≥3 identical self-pairs the leftmost-non-overlapping
+    * rewrite can differ from canonical greedy BPE in which occurrence
+    * merges ([a,a,a,a,a] → [aa,a,aa] vs [aa,aa,a]); the procedure here
+    * IS the contract, pinned by the oracle computing the same rewrite.
+    *
+    * Scale: each round = a map-side pair explode, a partial-agg count
+    * over a key domain bounded by the CURRENT symbol vocabulary
+    * squared (constant in corpus size), a top-1 TakeOrdered, and a
+    * map-only rewrite — a driver loop of R word-count-shaped jobs. The
+    * driver holds only the R-row merge table (the one collect is the
+    * output artifact itself). At 100 TB each round re-derives the
+    * stream through r−1 stacked codegen'd replaces fused into the
+    * scan; a production trainer would persist the rewritten stream
+    * every few rounds — same plan per round either way. */
+  private val BpeMergeRounds = 8
+  private val BpeSep = "\u001f"
+
+  val bpeTrainMerges: Q = {
+    val S = "chr(31)"
+    val roundCtes = (1 to BpeMergeRounds).map { r =>
+      val prev = s"w${r - 1}"
+      // MATERIALIZED: each w_r is referenced by both p_{r+1} and
+      // w_{r+1}; letting the optimizer inline the chain re-derives
+      // round r from scratch 2^(R-r) times (measured minutes vs 1 s)
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pair, count(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(syms)),
+         |      i -> syms[i] || $S || syms[i + 1])) AS pair
+         |    FROM (SELECT list_filter(string_split(e, $S), x -> x <> '') AS syms
+         |          FROM $prev)
+         |  ) GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS rank, pair, cnt
+         |        FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT replace(e, $S || (SELECT pair FROM m$r) || $S,
+         |    $S || (SELECT replace(pair, $S, '') FROM m$r) || $S) AS e
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "bpe_train_merges",
+      (s, dir) => {
+        import s.implicits._
+        val sep = BpeSep
+        var enc = docs(s, dir)
+          .select(explode(expr(words(normText("text")))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(concat(lit(sep),
+            regexp_replace(col("w"), "(.)", "$1" + sep)).as("e"))
+        val learned = Seq.newBuilder[(Long, String, Long)]
+        for (r <- 1 to BpeMergeRounds) {
+          // one row per round: the learned merge (driver-sized by
+          // construction — this IS the training output)
+          val top = enc
+            .select(expr("filter(split(e, chr(31)), x -> x <> '')").as("syms"))
+            .select(explode(expr(
+              """CASE WHEN size(syms) < 2 THEN array()
+                |ELSE transform(sequence(1, size(syms) - 1),
+                |  i -> concat(element_at(syms, i), chr(31),
+                |              element_at(syms, i + 1)))
+                |END""".stripMargin)).as("pair"))
+            .groupBy("pair").agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair")).limit(1)
+            .collect()(0)
+          val pair = top.getString(0)
+          learned += ((r.toLong, pair.replace(sep, " "), top.getLong(1)))
+          enc = enc.select(replace(col("e"),
+            lit(sep + pair + sep),
+            lit(sep + pair.replace(sep, "") + sep)).as("e"))
+        }
+        learned.result().toDF("rank", "merge_pair", "cnt").orderBy("rank")
+      },
+      Some(s"""WITH wrd AS MATERIALIZED (
+              |  SELECT w FROM (
+              |    SELECT unnest(${duckWords(duckNormText("text"))}) AS w
+              |    FROM documents) WHERE length(w) >= 2
+              |), w0 AS MATERIALIZED (
+              |  SELECT $S || regexp_replace(w, '(.)', '\\1' || $S, 'g') AS e FROM wrd
+              |),
+              |$roundCtes
+              |SELECT rank, replace(pair, $S, ' ') AS merge_pair, cnt
+              |FROM (${(1 to BpeMergeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+              |ORDER BY rank""".stripMargin))
+  }
+
   /** Bounded LM model sizes: top-V bigrams / top-U unigrams kept by
     * corpus frequency (deterministic tie-break by key). The model a
     * deployment ships is always capped like this — it must broadcast —
@@ -519,7 +617,7 @@ object TextOps {
             |SELECT doc_id, rank, word, tf, df, score FROM r WHERE rank <= 3
             |ORDER BY doc_id, rank""".stripMargin))
 
-  val all: Seq[Q] = Seq(textTokens, textLangid, textQuality,
+  val all: Seq[Q] = Seq(textTokens, textLangid, textQuality, bpeTrainMerges,
     textFingerprint, textNgramFreq, textPiiRedact, textRepetition,
     textLineDedup, bpePairCounts, textLmScore, textTfidf)
 }

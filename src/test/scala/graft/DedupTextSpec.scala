@@ -237,6 +237,58 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bpe_train_merges: full-loop scalar recompute; vocab grows by at most 1 symbol per round") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.TextOps.bpeTrainMerges.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == (1L to 8L), "one merge per round, ranked 1..R")
+    assert(got.forall(_._3 > 0))
+    // the max pair frequency is non-increasing across merges: a pair
+    // born of round r's merge occurs at most cnt_r times
+    assert(got.map(_._3).sliding(2).forall { case Seq(x, y) => y <= x })
+
+    // replicate the whole training loop in plain Scala (same word
+    // stream, same leftmost-non-overlapping merge, same tie-break)
+    val sep = "\u001f" // the engines tie-break on the sep-joined pair string
+    var ws: Seq[Vector[String]] = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(explode(expr(
+        "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), w -> w <> '')")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .collect().map(_.getString(0))
+      .map(w => w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp))))
+      .toSeq
+    val expected = Seq.newBuilder[(Long, String, Long)]
+    var vocab = ws.flatten.toSet
+    for (r <- 1 to 8) {
+      val counts = ws.flatMap(_.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // pair domain is bounded by the CURRENT vocab squared, and the
+      // vocab grows by at most one merged symbol per round
+      assert(counts.size <= vocab.size.toLong * vocab.size,
+        s"round $r pair domain ${counts.size} exceeds |vocab|^2")
+      val (pa, pb) = counts.keys.minBy { case (a, b) =>
+        (-counts((a, b)), a + sep + b)
+      }
+      expected += ((r.toLong, s"$pa $pb", counts((pa, pb))))
+      vocab = vocab + (pa + pb)
+      ws = ws.map { w =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == pa && w(i + 1) == pb) {
+            out += (pa + pb); i += 2
+          } else { out += w(i); i += 1 }
+        }
+        out.result()
+      }
+      assert(ws.flatten.toSet.subsetOf(vocab),
+        s"round $r produced a symbol outside alphabet+learned merges")
+    }
+    assert(got == expected.result(),
+      "registry row must equal the scalar recompute of the training loop")
+  }
+
   test("vec_project: exact integer JL projection, verified against a scalar recompute") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Ann.vecProject.run(spark, sfDir).collect()
