@@ -1481,16 +1481,62 @@ object Ann {
   private val PqM = 4
   private val PqSubDim = 16 // 64 dims / 4 subspaces
 
-  /** (vec_id, m, sv, sn2): the corpus split into per-subspace code
-    * vectors; sn2 = <sv,sv> (exact integer-valued double). */
-  private def pqSubvectors(s: SparkSession, dir: String): DataFrame =
-    kmeansCodes(s, dir)
+  /** (vec_id, m, sv, sn2): a (vec_id, qd) code-vector frame split into
+    * per-subspace code vectors; sn2 = <sv,sv> (exact integer-valued
+    * double). Shared by the natural-order and OPQ-permuted chains. */
+  private def subvectorsOf(codes: DataFrame): DataFrame =
+    codes
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${PqM - 1}), " +
           s"m -> struct(m AS m, slice(qd, m * $PqSubDim + 1, $PqSubDim) AS sv))"))
         .as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
       .withColumn("sn2", expr(dot("sv", "sv")))
+
+  /** The corpus split into per-subspace code vectors (natural
+    * coordinate order). */
+  private def pqSubvectors(s: SparkSession, dir: String): DataFrame =
+    subvectorsOf(kmeansCodes(s, dir))
+
+  /** OPQ-lite subvectors: a balanced-variance coordinate PERMUTATION
+    * applied before the subspace split — the parameter-free baseline
+    * of OPQ (Ge et al., CVPR 2013: optimize the space rotation so
+    * subquantizers share the variance; their "OPQ-NP" ablation shows a
+    * permutation balancing per-subspace variance captures much of the
+    * gain without the float SVD, which would not oracle-verify).
+    * Dimensions are ranked by exact-integer corpus variance
+    * (N·Σx² − (Σx)² over the int8 codes, BIGINT arithmetic) and dealt
+    * round-robin across the M subspaces — each subspace receives every
+    * M-th variance rank, so no subquantizer is starved while another
+    * carries all the energy. The 64-row census is index-build
+    * metadata (collected like the probed-cell list; at extreme N a
+    * deployment computes it on a sample — the ranks, not the moments,
+    * are what matters). Identical census + tie-break (varn desc, dim
+    * asc) in the DuckDB oracle. Storage and search cost are IDENTICAL
+    * to ann_ivf_pq — the permutation is free at query time. */
+  /** position → original dim, the permutation [[opqSubvectors]]
+    * applies (private[graft] so the spec can pin bijection +
+    * round-robin dealing against its own variance recompute). */
+  private[graft] def opqPermutation(s: SparkSession, dir: String): Seq[Int] = {
+    val stats = kmeansCodes(s, dir).select(explode(expr(
+        "transform(sequence(0, 63), d -> struct(d AS d, CAST(element_at(qd, d + 1) AS BIGINT) AS x))"))
+        .as("t"))
+      .select(col("t.d").as("d"), col("t.x").as("x"))
+      .groupBy("d")
+      .agg((count(lit(1)) * sum(expr("x * x")) - sum(col("x")) * sum(col("x")))
+        .as("varn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val perm = new Array[Int](64)
+    stats.sortBy { case (d, v) => (-v, d) }.map(_._1).zipWithIndex
+      .foreach { case (d, r) => perm((r % PqM) * PqSubDim + r / PqM) = d }
+    perm.toSeq
+  }
+
+  private def opqSubvectors(s: SparkSession, dir: String): DataFrame = {
+    val perm = opqPermutation(s, dir)
+    subvectorsOf(kmeansCodes(s, dir).withColumn("qd", expr(
+      s"transform(array(${perm.mkString(", ")}), i -> element_at(qd, i + 1))")))
+  }
 
   /** 64-row codebook (m, c_id, cd, cn2): subspace slices of the 16
     * seed vectors. Broadcast everywhere it is used. */
@@ -1697,9 +1743,12 @@ object Ann {
     * vector search affordable. Every stage is the already-verified
     * arithmetic of its parent row, so the composition hash-matches the
     * composed oracle. */
-  val annIvfPq: Q = Q(
-    "ann_ivf_pq",
-    (s, dir) => {
+  /** The composed IVF-PQ search given the PQ half's subvector frame —
+    * shared by ann_ivf_pq (natural order) and ann_ivfpq_opq (permuted)
+    * so the two variants can never drift anywhere except the input
+    * coordinate order. */
+  private def ivfPqSearchWith(s: SparkSession, dir: String,
+                              sub0: DataFrame): DataFrame = {
       val e = emb(s, dir)
       // offline: coarse cells + PQ codes
       val cents = broadcast(e.filter(col("vec_id") < 16)
@@ -1709,7 +1758,7 @@ object Ann {
           cosWith("v", "n2", "cv", "cn2").as("c_cos"))
       val assigned = cellScores.groupBy("vec_id")
         .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
-      val sub = pqSubvectors(s, dir).localCheckpoint()
+      val sub = sub0.localCheckpoint()
       val cb = pqCodebook(sub)
       val enc = sub.join(broadcast(cb), "m")
         .select(col("vec_id"), col("m"), col("c_id"),
@@ -1750,7 +1799,11 @@ object Ann {
         .filter(col("rank") <= 5)
         .select(col("probe_id"), col("n_id"), col("rank"),
           round(col("cos"), 6).as("cos_sim"))
-    },
+  }
+
+  val annIvfPq: Q = Q(
+    "ann_ivf_pq",
+    (s, dir) => ivfPqSearchWith(s, dir, pqSubvectors(s, dir)),
     Some(s"""WITH $ivfPqOracleCtes
             |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
             |FROM (
@@ -1848,6 +1901,130 @@ object Ann {
             |      row_number() OVER (PARTITION BY probe_id
             |        ORDER BY cos DESC, n_id) AS rank
             |    FROM reranked
+            |  ) WHERE rank <= 5
+            |), bf AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT p.vec_id AS probe_id, x.vec_id AS n_id,
+            |      row_number() OVER (PARTITION BY p.vec_id
+            |        ORDER BY ${duckCosine("p.v", "x.v")} DESC, x.vec_id) AS rank
+            |    FROM e x JOIN e p ON x.vec_id <> p.vec_id
+            |    WHERE p.$ProbeFilter
+            |  ) WHERE rank <= 5
+            |)
+            |SELECT b.probe_id, count(*) AS k, count(a.n_id) AS hits,
+            |  count(a.n_id) * 100 // count(*) AS recall_pct
+            |FROM bf b LEFT JOIN approx a
+            |  ON b.probe_id = a.probe_id AND b.n_id = a.n_id
+            |GROUP BY 1 ORDER BY b.probe_id""".stripMargin))
+
+  /** The OPQ-permuted IVF-PQ oracle chain through `rerankedp`: the
+    * same coarse-cell CTEs, then the permutation census (exact-integer
+    * variance N·Σx² − (Σx)², ranked varn DESC, d ASC, dealt
+    * round-robin: rank r → position (r mod M)·SubDim + r div M), the
+    * permuted split, and the p-suffixed PQ/ADC/rerank chain — textually
+    * parallel to [[ivfPqOracleCtes]] with `q` → `qp`. (`$pqSubCtes`
+    * also declares the natural-order `sub`; it is unreferenced here
+    * and DuckDB never evaluates unreferenced CTEs.) */
+  private lazy val ivfPqOpqOracleCtes: String = {
+    val d = duckSqDist _
+    s"""$coarseCellCtes, $pqSubCtes, opqstats AS (
+       |  SELECT t.d AS d,
+       |    count(*) * sum(CAST(qd[t.d + 1] AS BIGINT) * CAST(qd[t.d + 1] AS BIGINT))
+       |      - sum(CAST(qd[t.d + 1] AS BIGINT)) * sum(CAST(qd[t.d + 1] AS BIGINT)) AS varn
+       |  FROM q, unnest([i FOR i IN range(0, 64)]) AS t(d)
+       |  GROUP BY 1
+       |), permt AS (
+       |  SELECT ((r % $PqM) * $PqSubDim + r // $PqM) AS pos, d FROM (
+       |    SELECT d, row_number() OVER (ORDER BY varn DESC, d) - 1 AS r
+       |    FROM opqstats)
+       |), qp AS (
+       |  SELECT vec_id, list(x ORDER BY pos) AS qd FROM (
+       |    SELECT q.vec_id, p.pos, q.qd[p.d + 1] AS x FROM q, permt p
+       |  ) GROUP BY 1
+       |), subp AS (
+       |  SELECT vec_id, t.m,
+       |    list_slice(qd, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM qp, unnest([i FOR i IN range(0, $PqM)]) AS t(m)
+       |), snp AS (
+       |  SELECT vec_id, m, sv, ${duckDot("sv", "sv")} AS sn2 FROM subp
+       |), cbp AS (
+       |  SELECT m, vec_id AS c_id, sv AS cd, sn2 AS cn2 FROM snp WHERE vec_id < 16
+       |), encp AS (
+       |  SELECT vec_id, m, c_id AS code FROM (
+       |    SELECT snp.vec_id, snp.m, cbp.c_id,
+       |      row_number() OVER (PARTITION BY snp.vec_id, snp.m
+       |        ORDER BY ${d("sv", "cd", "sn2", "cn2")}, cbp.c_id) AS rn
+       |    FROM snp JOIN cbp ON snp.m = cbp.m
+       |  ) WHERE rn = 1
+       |), lutp AS (
+       |  SELECT p.vec_id AS probe_id, cbp.m, cbp.c_id,
+       |    ${d("p.sv", "cd", "p.sn2", "cn2")} AS dist
+       |  FROM snp p JOIN cbp ON p.m = cbp.m WHERE p.$ProbeFilter
+       |), adcpp AS (
+       |  SELECT pc.probe_id, a.vec_id AS n_id,
+       |    CAST(sum(lutp.dist) AS BIGINT) AS adist
+       |  FROM assigned a
+       |  JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+       |  JOIN encp ON encp.vec_id = a.vec_id
+       |  JOIN lutp ON lutp.probe_id = pc.probe_id AND lutp.m = encp.m
+       |    AND lutp.c_id = encp.code
+       |  GROUP BY 1, 2
+       |), shortp AS (
+       |  SELECT probe_id, n_id FROM (
+       |    SELECT probe_id, n_id,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY adist, n_id) AS rq
+       |    FROM adcpp
+       |  ) WHERE rq <= $AdcShortlist
+       |), rerankedp AS (
+       |  SELECT s.probe_id, s.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+       |  FROM shortp s
+       |  JOIN e ep ON s.probe_id = ep.vec_id
+       |  JOIN e en ON s.n_id = en.vec_id
+       |)""".stripMargin
+  }
+
+  /** IVF-PQ with the OPQ-lite permutation — identical index bytes,
+    * identical search cost, the coordinate order the codebook
+    * quantizes just balanced across subquantizers (see
+    * [[opqSubvectors]]). Every stage downstream of the permuted split
+    * is [[ivfPqSearchWith]] verbatim. */
+  val annIvfPqOpq: Q = Q(
+    "ann_ivfpq_opq",
+    (s, dir) => ivfPqSearchWith(s, dir, opqSubvectors(s, dir)),
+    Some(s"""WITH $ivfPqOpqOracleCtes
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id
+            |      ORDER BY cos DESC, n_id) AS rank
+            |  FROM rerankedp
+            |) WHERE rank <= 5""".stripMargin))
+
+  /** Recall@5 of the OPQ-permuted IVF-PQ vs exact brute force — the
+    * ladder point that prices the permutation: same harness as
+    * ann_recall_ivfpq (approx side materialized before comparison). */
+  val annRecallIvfPqOpq: Q = Q(
+    "ann_recall_ivfpq_opq",
+    (s, dir) => {
+      val exact = annBruteforce.run(s, dir).filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annIvfPqOpq.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+        .localCheckpoint()
+      exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+        .withColumn("recall_pct", expr("hits * 100 div k"))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH $ivfPqOpqOracleCtes, approx AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT probe_id, n_id,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY cos DESC, n_id) AS rank
+            |    FROM rerankedp
             |  ) WHERE rank <= 5
             |), bf AS (
             |  SELECT probe_id, n_id FROM (
@@ -2451,5 +2628,6 @@ object Ann {
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
     annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall,
     annIncremental, annPq, annRecallPq, annIvfPq, annRecallIvfPq,
+    annIvfPqOpq, annRecallIvfPqOpq,
     annIvfPqRes, annRecallIvfPqRes, annIvfAdc, annRecallIvfAdc, vecProject)
 }

@@ -5,6 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Measurement harness for the index-training ladder: what does each
   * trained half buy at identical nprobe/M/K/shortlist depth —
   * ann_recall_ivfpq (seed cells + raw codebook) vs
+  * ann_recall_ivfpq_opq (seed cells + OPQ-lite balanced-variance
+  * permutation, identical storage/cost) vs
   * ann_recall_ivfpq_res (seed cells + trained residual codebook) vs
   * ann_recall_ivfadc (trained cells + trained residual codebook, the
   * full FAISS IndexIVFPQ shape)? Runs the three recall rows on each
@@ -37,21 +39,23 @@ object ResidualGain {
 
     val sections = dirs.map { dir =>
       val base = recalls("ann_recall_ivfpq", dir)
+      val opq = recalls("ann_recall_ivfpq_opq", dir)
       val res = recalls("ann_recall_ivfpq_res", dir)
       val adc = recalls("ann_recall_ivfadc", dir)
-      require(base.keySet == res.keySet && base.keySet == adc.keySet,
-        s"probe sets diverge at $dir: ${base.keySet} vs ${res.keySet} vs ${adc.keySet}")
+      require(base.keySet == res.keySet && base.keySet == adc.keySet &&
+          base.keySet == opq.keySet,
+        s"probe sets diverge at $dir: ${base.keySet} vs ${res.keySet} vs ${adc.keySet} vs ${opq.keySet}")
       val probes = base.keys.toSeq.sorted
       def mean(m: Map[Long, Long]): Double =
         m.values.sum.toDouble / m.size
       val perProbe = probes.map { p =>
-        s"""{"probe_id":$p,"ivfpq":${base(p)},"ivfpq_res":${res(p)},"ivfadc":${adc(p)}}"""
+        s"""{"probe_id":$p,"ivfpq":${base(p)},"ivfpq_opq":${opq(p)},"ivfpq_res":${res(p)},"ivfadc":${adc(p)}}"""
       }.mkString("[", ",", "]")
       val sfName = new java.io.File(dir).getName
-      f"""{"sf":"$sfName","mean_recall_ivfpq":${mean(base)}%.1f,"mean_recall_ivfpq_res":${mean(res)}%.1f,"mean_recall_ivfadc":${mean(adc)}%.1f,"mean_delta_res_pts":${mean(res) - mean(base)}%.1f,"mean_delta_adc_pts":${mean(adc) - mean(base)}%.1f,"per_probe":$perProbe}"""
+      f"""{"sf":"$sfName","mean_recall_ivfpq":${mean(base)}%.1f,"mean_recall_ivfpq_opq":${mean(opq)}%.1f,"mean_recall_ivfpq_res":${mean(res)}%.1f,"mean_recall_ivfadc":${mean(adc)}%.1f,"mean_delta_opq_pts":${mean(opq) - mean(base)}%.1f,"mean_delta_res_pts":${mean(res) - mean(base)}%.1f,"mean_delta_adc_pts":${mean(adc) - mean(base)}%.1f,"per_probe":$perProbe}"""
     }
     val doc = sections.mkString(
-      """{"metric":"recall_at_5_pct","harness":"ann_recall_ivfpq vs ann_recall_ivfpq_res vs ann_recall_ivfadc","runs":[""",
+      """{"metric":"recall_at_5_pct","harness":"ann_recall_ivfpq vs ann_recall_ivfpq_opq vs ann_recall_ivfpq_res vs ann_recall_ivfadc","runs":[""",
       ",", "]}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc + "\n")
     spark.stop()

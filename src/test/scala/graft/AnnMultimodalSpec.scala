@@ -423,6 +423,43 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(nb == cellOf.size)
   }
 
+  test("ann_ivfpq_opq: the OPQ-lite permutation is a bijection dealing variance ranks round-robin") {
+    graft.functions.Native.install(spark)
+    val perm = Ann.opqPermutation(spark, sfDir)
+    assert(perm.sorted == (0 until 64), "must be a permutation of the 64 dims")
+    // recompute per-dim integer variance in plain Scala from the same
+    // int8 codes and pin the dealing rule: variance rank r sits at
+    // position (r mod M)·SubDim + r div M — every subspace receives
+    // every M-th rank, so per-subspace energy is balanced
+    val codes = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("transform(graft_int8_codes(transform(embedding, x -> CAST(x AS DOUBLE))).codes, x -> CAST(x AS BIGINT)) AS c")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = codes.length.toLong
+    val ranked = (0 until 64).map { d =>
+      val s1 = codes.map(_(d)).sum
+      val s2 = codes.map(c => c(d) * c(d)).sum
+      d -> (n * s2 - s1 * s1)
+    }.sortBy { case (d, v) => (-v, d) }.map(_._1)
+    ranked.zipWithIndex.foreach { case (d, r) =>
+      assert(perm((r % 4) * 16 + r / 4) == d,
+        s"variance rank $r (dim $d) not dealt round-robin")
+    }
+    // per-subspace variance balance: with round-robin dealing no
+    // subspace's total variance may exceed the most energetic one by
+    // more than one rank-0 dim's worth vs the poorest — structurally,
+    // each subspace's rank multiset is {m, m+M, m+2M, ...}
+    val ranksBySubspace = (0 until 64).groupBy(p => p / 16)
+      .view.mapValues(_.map(p => ranked.indexOf(perm(p))).sorted.toSeq).toMap
+    for (m <- 0 until 4)
+      assert(ranksBySubspace(m) == (m until 64 by 4),
+        s"subspace $m rank multiset ${ranksBySubspace(m)}")
+    // and the permuted row keeps the search contract: 5 ranked
+    // neighbors per probe (values are the DuckDB oracle's job)
+    val rows = Ann.annIvfPqOpq.run(spark, sfDir).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getLong(0)).distinct.length == 5)
+  }
+
   test("two-level local Lloyd: R rounds converge, and R=1 IS the registry's kmeans2Local") {
     // same synthetic coarse assignment as above so the split branch
     // (kloc >= 2 in cell 0) gives the local rounds something to move

@@ -265,14 +265,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("ann_ivf_pq: every small side broadcasts (centroids, codebook, probe cells, LUT)") {
+  test("ann_ivf_pq (and its OPQ variant): every small side broadcasts (centroids, codebook, probe cells, LUT)") {
     // the index side must never shuffle against the coarse centroids
     // (16 rows), the PQ codebook (64), the probed cells (<= 2/probe) or
-    // the ADC lookup table (|probes| x M x K) — all four join broadcast
-    val p = plan("ann_ivf_pq")
-    assert("BroadcastExchange".r.findAllIn(p).size >= 4, p)
-    assert(p.contains("partial_sum"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    // the ADC lookup table (|probes| x M x K) — all four join broadcast.
+    // The OPQ permutation must not change the plan shape: identical
+    // bytes stored, identical search topology.
+    for (n <- Seq("ann_ivf_pq", "ann_ivfpq_opq")) {
+      val p = plan(n)
+      assert("BroadcastExchange".r.findAllIn(p).size >= 4, s"$n\n" + p)
+      assert(p.contains("partial_sum"), s"$n\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$n\n" + p)
+    }
   }
 
   test("every IVF-family assign/encode argmax is the codegen graft_argmax, never ObjectHashAggregate") {
@@ -283,7 +287,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // full per-partition SORT of the pair stream plus interpreted
     // per-row updates (measured 190 s vs 5.6 s on the sf10 training
     // assign, N=200k x k=1563)
-    for (q <- Seq("ann_ivf", "ann_ivf_nprobe", "ann_ivf_pq",
+    for (q <- Seq("ann_ivf", "ann_ivf_nprobe", "ann_ivf_pq", "ann_ivfpq_opq",
         "ann_ivf_pq_res", "ann_ivfadc", "cluster_kmeans")) {
       val p = plan(q)
       assert(p.contains("partial_graft_argmax"), s"$q\n" + p)
