@@ -2624,10 +2624,172 @@ object Ann {
               |FROM p ORDER BY vec_id""".stripMargin))
   }
 
+  /** FILTERED vector search — the production shape every vector store
+    * serves ("nearest neighbors WHERE metadata predicate"): each probe
+    * searches its own IVF cell restricted to candidates sharing the
+    * probe's `label`. The predicate is applied to the index slice
+    * BEFORE any rerank join, so at 100 TB an index laid out as
+    * parquet partitioned by cell gets partition pruning on the cell
+    * AND row-group predicate pushdown on the label column — the
+    * filter never rides through the distance computation. This is
+    * pre-filtering (candidate set = cell ∩ predicate), the variant
+    * that keeps cost cell-bounded; post-filtering (search first,
+    * filter the top-k after) returns < k rows whenever the cell's
+    * top-k is predicate-poor, which ann_recall_filtered quantifies.
+    * Plan: same one-exchange argmax assign as [[annIvf]], candidates
+    * label-filtered map-side under the broadcast probe join, exact
+    * rerank only on survivors. */
+  val annFiltered: Q = Q(
+    "ann_filtered",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2")))
+      val assigned = e.crossJoin(cents)
+        .select(col("vec_id"), col("label"), col("c_id"),
+          cosWith("v", "n2", "cv", "cn2").as("c_cos"))
+        .groupBy("vec_id", "label")
+        .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
+      val probes = assigned.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+          col("cell"))
+      // the metadata predicate lands HERE — on the index slice, before
+      // the rerank joins ever see a candidate
+      val cand = assigned.join(broadcast(probes), "cell")
+        .filter(col("vec_id") =!= col("probe_id") &&
+          col("label") === col("p_label"))
+        .select(col("probe_id"), col("vec_id").as("n_id"))
+      val scored = cand
+        .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
+          col("probe_id") === col("vec_id"))
+        .drop("vec_id")
+        .join(e.select(col("vec_id"), col("v").as("nv"), col("n2").as("nn2")),
+          col("n_id") === col("vec_id"))
+        .select(col("probe_id"), col("n_id"),
+          cosWith("pv", "pn2", "nv", "nn2").as("cos"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+            |), c AS (
+            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+            |), assigned AS (
+            |  SELECT vec_id, label, c_id AS cell FROM (
+            |    SELECT e.vec_id, e.label, c_id,
+            |      row_number() OVER (PARTITION BY e.vec_id
+            |        ORDER BY ${duckCosine("e.v", "cv")} DESC, c_id) AS rn
+            |    FROM e CROSS JOIN c
+            |  ) WHERE rn = 1
+            |), p AS (
+            |  SELECT vec_id AS probe_id, label AS p_label, cell
+            |  FROM assigned WHERE $ProbeFilter
+            |), cand AS (
+            |  SELECT p.probe_id, a.vec_id AS n_id
+            |  FROM assigned a JOIN p ON a.cell = p.cell
+            |    AND a.vec_id <> p.probe_id AND a.label = p.p_label
+            |), scored AS (
+            |  SELECT cand.probe_id, cand.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM cand
+            |  JOIN e ep ON cand.probe_id = ep.vec_id
+            |  JOIN e en ON cand.n_id = en.vec_id
+            |), ranked AS (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM scored
+            |)
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM ranked WHERE rank <= 5""".stripMargin))
+
+  /** Recall@5 of filtered IVF search vs filtered EXACT ground truth
+    * (brute-force top-5 among all same-label vectors, cells ignored).
+    * Filtered search loses recall two ways at once — the cell boundary
+    * (as ann_recall_ivf) plus predicate starvation (a cell may hold
+    * few same-label candidates; k_found < 5 shows as a smaller k on
+    * the exact side only, so hits/k exposes it) — and this row
+    * measures the compound effect. Production systems size nprobe UP
+    * under selective filters for exactly this reason. */
+  val annRecallFiltered: Q = Q(
+    "ann_recall_filtered",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val probes = broadcast(e.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+          col("v").as("pv"), col("n2").as("pn2")))
+      val exact = e.join(probes,
+          col("vec_id") =!= col("probe_id") && col("label") === col("p_label"))
+        .select(col("probe_id"), col("vec_id").as("n_id"),
+          cosWith("pv", "pn2", "v", "n2").as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annFiltered.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+      exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+        .withColumn("recall_pct", expr("hits * 100 div k"))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+            |), p AS (
+            |  SELECT vec_id AS probe_id, label AS p_label, v AS pv
+            |  FROM e WHERE $ProbeFilter
+            |), bf_scored AS (
+            |  SELECT probe_id, e.vec_id AS n_id, ${duckCosine("pv", "e.v")} AS cos
+            |  FROM e JOIN p ON e.vec_id <> p.probe_id AND e.label = p.p_label
+            |), bf_ranked AS (
+            |  SELECT probe_id, n_id,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM bf_scored
+            |), exact AS (
+            |  SELECT probe_id, n_id FROM bf_ranked WHERE rank <= 5
+            |), c AS (
+            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+            |), assigned AS (
+            |  SELECT vec_id, label, c_id AS cell FROM (
+            |    SELECT e.vec_id, e.label, c_id,
+            |      row_number() OVER (PARTITION BY e.vec_id
+            |        ORDER BY ${duckCosine("e.v", "cv")} DESC, c_id) AS rn
+            |    FROM e CROSS JOIN c
+            |  ) WHERE rn = 1
+            |), ip AS (
+            |  SELECT vec_id AS probe_id, label AS p_label, cell
+            |  FROM assigned WHERE $ProbeFilter
+            |), cand AS (
+            |  SELECT ip.probe_id, a.vec_id AS n_id
+            |  FROM assigned a JOIN ip ON a.cell = ip.cell
+            |    AND a.vec_id <> ip.probe_id AND a.label = ip.p_label
+            |), f_scored AS (
+            |  SELECT cand.probe_id, cand.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM cand
+            |  JOIN e ep ON cand.probe_id = ep.vec_id
+            |  JOIN e en ON cand.n_id = en.vec_id
+            |), f_ranked AS (
+            |  SELECT probe_id, n_id,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM f_scored
+            |), approx AS (
+            |  SELECT probe_id, n_id FROM f_ranked WHERE rank <= 5
+            |)
+            |SELECT x.probe_id, count(*) AS k, count(a.n_id) AS hits,
+            |  count(a.n_id) * 100 // count(*) AS recall_pct
+            |FROM exact x LEFT JOIN approx a
+            |  ON x.probe_id = a.probe_id AND x.n_id = a.n_id
+            |GROUP BY 1 ORDER BY x.probe_id""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
     annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall,
     annIncremental, annPq, annRecallPq, annIvfPq, annRecallIvfPq,
     annIvfPqOpq, annRecallIvfPqOpq,
-    annIvfPqRes, annRecallIvfPqRes, annIvfAdc, annRecallIvfAdc, vecProject)
+    annIvfPqRes, annRecallIvfPqRes, annIvfAdc, annRecallIvfAdc, vecProject,
+    annFiltered, annRecallFiltered)
 }

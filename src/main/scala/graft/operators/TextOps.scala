@@ -395,6 +395,42 @@ object TextOps {
   private val BpeMergeRounds = 8
   private val BpeSep = "\u001f"
 
+  /** The R-round training loop itself: returns (rank, SEP-encoded
+    * merge pair, count-at-learn-time) in learn order. The one collect
+    * per round is the 1-row learned merge — the training artifact, not
+    * data. Shared by [[bpeTrainMerges]] (which ships the table) and
+    * [[bpeEncode]] (which applies it), so the two rows cannot drift. */
+  private def bpeTrainLoop(s: SparkSession, dir: String): Seq[(Long, String, Long)] = {
+    val sep = BpeSep
+    var enc = docs(s, dir)
+      .select(explode(expr(words(normText("text")))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(concat(lit(sep),
+        regexp_replace(col("w"), "(.)", "$1" + sep)).as("e"))
+    val learned = Seq.newBuilder[(Long, String, Long)]
+    for (r <- 1 to BpeMergeRounds) {
+      // one row per round: the learned merge (driver-sized by
+      // construction — this IS the training output)
+      val top = enc
+        .select(expr("filter(split(e, chr(31)), x -> x <> '')").as("syms"))
+        .select(explode(expr(
+          """CASE WHEN size(syms) < 2 THEN array()
+            |ELSE transform(sequence(1, size(syms) - 1),
+            |  i -> concat(element_at(syms, i), chr(31),
+            |              element_at(syms, i + 1)))
+            |END""".stripMargin)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()(0)
+      val pair = top.getString(0)
+      learned += ((r.toLong, pair, top.getLong(1)))
+      enc = enc.select(replace(col("e"),
+        lit(sep + pair + sep),
+        lit(sep + pair.replace(sep, "") + sep)).as("e"))
+    }
+    learned.result()
+  }
+
   val bpeTrainMerges: Q = {
     val S = "chr(31)"
     val roundCtes = (1 to BpeMergeRounds).map { r =>
@@ -419,34 +455,9 @@ object TextOps {
       "bpe_train_merges",
       (s, dir) => {
         import s.implicits._
-        val sep = BpeSep
-        var enc = docs(s, dir)
-          .select(explode(expr(words(normText("text")))).as("w"))
-          .filter(length(col("w")) >= 2)
-          .select(concat(lit(sep),
-            regexp_replace(col("w"), "(.)", "$1" + sep)).as("e"))
-        val learned = Seq.newBuilder[(Long, String, Long)]
-        for (r <- 1 to BpeMergeRounds) {
-          // one row per round: the learned merge (driver-sized by
-          // construction — this IS the training output)
-          val top = enc
-            .select(expr("filter(split(e, chr(31)), x -> x <> '')").as("syms"))
-            .select(explode(expr(
-              """CASE WHEN size(syms) < 2 THEN array()
-                |ELSE transform(sequence(1, size(syms) - 1),
-                |  i -> concat(element_at(syms, i), chr(31),
-                |              element_at(syms, i + 1)))
-                |END""".stripMargin)).as("pair"))
-            .groupBy("pair").agg(count(lit(1)).as("cnt"))
-            .orderBy(col("cnt").desc, col("pair")).limit(1)
-            .collect()(0)
-          val pair = top.getString(0)
-          learned += ((r.toLong, pair.replace(sep, " "), top.getLong(1)))
-          enc = enc.select(replace(col("e"),
-            lit(sep + pair + sep),
-            lit(sep + pair.replace(sep, "") + sep)).as("e"))
-        }
-        learned.result().toDF("rank", "merge_pair", "cnt").orderBy("rank")
+        bpeTrainLoop(s, dir)
+          .map { case (r, p, c) => (r, p.replace(BpeSep, " "), c) }
+          .toDF("rank", "merge_pair", "cnt").orderBy("rank")
       },
       Some(s"""WITH wrd AS MATERIALIZED (
               |  SELECT w FROM (
@@ -459,6 +470,94 @@ object TextOps {
               |SELECT rank, replace(pair, $S, ' ') AS merge_pair, cnt
               |FROM (${(1 to BpeMergeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
               |ORDER BY rank""".stripMargin))
+  }
+
+  /** BPE ENCODING — the serve half of the tokenizer loop
+    * [[bpeTrainMerges]] trains: apply the R learned merges, in rank
+    * order, to every document's word stream and emit per-doc token
+    * statistics (n_words, n_tokens, n_chars — n_tokens/n_chars is the
+    * compression the learned vocabulary buys). Tokenization is what a
+    * training-data pipeline runs over the WHOLE corpus on every
+    * recipe change, so its scale shape matters more than training's.
+    *
+    * Scale: training reuses [[bpeTrainLoop]] (R word-count-shaped jobs,
+    * driver holds only the R-row merge table); encoding is then
+    * MAP-ONLY — the R merges are string literals folded into R stacked
+    * codegen'd `replace`s fused into one scan pass (the merge table is
+    * plan metadata, like a broadcast of R rows) — followed by one
+    * partial-aggregated groupBy(doc_id) and a doc-side left join.
+    * Nothing in the serve path shuffles more than the per-doc count
+    * rows; at 100 TB the encode is embarrassingly parallel. The same
+    * leftmost-non-overlapping replace contract as training, pinned by
+    * the oracle unrolling the identical R-round chain per doc. */
+  val bpeEncode: Q = {
+    val S = "chr(31)"
+    // the training chain with doc_id carried through every w_r: pair
+    // counts (p_r) ignore it, the rewrite (w_r) preserves it — same
+    // merges as bpe_train_merges by construction
+    val encRoundCtes = (1 to BpeMergeRounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pair, count(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(syms)),
+         |      i -> syms[i] || $S || syms[i + 1])) AS pair
+         |    FROM (SELECT list_filter(string_split(e, $S), x -> x <> '') AS syms
+         |          FROM $prev)
+         |  ) GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT pair FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT doc_id, replace(e, $S || (SELECT pair FROM m$r) || $S,
+         |    $S || (SELECT replace(pair, $S, '') FROM m$r) || $S) AS e
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "bpe_encode",
+      (s, dir) => {
+        val sep = BpeSep
+        val merges = bpeTrainLoop(s, dir).map(_._2)
+        val enc0 = docs(s, dir)
+          .select(col("doc_id"), explode(expr(words(normText("text")))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(col("doc_id"), concat(lit(sep),
+            regexp_replace(col("w"), "(.)", "$1" + sep)).as("e"))
+        val encoded = merges.foldLeft(enc0) { case (d, pair) =>
+          d.withColumn("e", replace(col("e"), lit(sep + pair + sep),
+            lit(sep + pair.replace(sep, "") + sep)))
+        }
+        val per = encoded.select(col("doc_id"),
+            expr("size(filter(split(e, chr(31)), x -> x <> ''))")
+              .cast("long").as("toks"),
+            expr("length(replace(e, chr(31), ''))").cast("long").as("chars"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum(col("toks")).as("n_tokens"),
+            sum(col("chars")).as("n_chars"))
+        docs(s, dir).select(col("doc_id"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH wrd AS MATERIALIZED (
+              |  SELECT doc_id, w FROM (
+              |    SELECT doc_id, unnest(${duckWords(duckNormText("text"))}) AS w
+              |    FROM documents) WHERE length(w) >= 2
+              |), w0 AS MATERIALIZED (
+              |  SELECT doc_id, $S || regexp_replace(w, '(.)', '\\1' || $S, 'g') AS e
+              |  FROM wrd
+              |),
+              |$encRoundCtes
+              |SELECT d.doc_id,
+              |  coalesce(t.n_words, 0) AS n_words,
+              |  coalesce(t.n_tokens, 0) AS n_tokens,
+              |  coalesce(t.n_chars, 0) AS n_chars
+              |FROM (SELECT doc_id FROM documents) d
+              |LEFT JOIN (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |    CAST(sum(len(list_filter(string_split(e, $S), x -> x <> ''))) AS BIGINT) AS n_tokens,
+              |    CAST(sum(length(replace(e, $S, ''))) AS BIGINT) AS n_chars
+              |  FROM w$BpeMergeRounds GROUP BY 1) t ON d.doc_id = t.doc_id
+              |ORDER BY d.doc_id""".stripMargin))
   }
 
   /** Bounded LM model sizes: top-V bigrams / top-U unigrams kept by
@@ -618,6 +717,7 @@ object TextOps {
             |ORDER BY doc_id, rank""".stripMargin))
 
   val all: Seq[Q] = Seq(textTokens, textLangid, textQuality, bpeTrainMerges,
+    bpeEncode,
     textFingerprint, textNgramFreq, textPiiRedact, textRepetition,
     textLineDedup, bpePairCounts, textLmScore, textTfidf)
 }

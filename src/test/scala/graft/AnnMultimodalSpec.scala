@@ -515,4 +515,39 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rows(lcIt, "cid", "lcid") == rows(lcReg, "cid", "lcid"))
     assert(rows(laIt, "vec_id") == rows(laReg, "vec_id"))
   }
+
+  test("ann_filtered: every neighbor carries its probe's label; ranks dense within 5; brute ceiling holds") {
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Ann.annFiltered.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the predicate actually filtered: a neighbor NEVER crosses labels
+    rows.foreach { r =>
+      assert(labels(r.getLong(1)) == labels(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} label != probe ${r.getLong(0)}'s")
+      assert(r.getLong(1) != r.getLong(0))
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 5)
+    }
+    // pre-filtered cell search can never beat the UNfiltered exact top-1
+    val brute = Ann.annBruteforce.run(spark, sfDir).collect()
+      .filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.filter(_.getInt(2) == 1).foreach { r =>
+      assert(r.getDouble(3) <= brute(r.getLong(0)) + 1e-12)
+    }
+  }
+
+  test("ann_recall_filtered: one row per probe, hits <= k <= 5, integer recall arithmetic") {
+    val rows = Ann.annRecallFiltered.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val (k, hits, pct) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k >= 1 && k <= 5, s"filtered exact side must emit 1..5 rows, got $k")
+      assert(hits >= 0 && hits <= k)
+      assert(pct == hits * 100 / k, "recall must be the integer percentage")
+    }
+  }
 }

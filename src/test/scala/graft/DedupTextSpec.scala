@@ -289,6 +289,53 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       "registry row must equal the scalar recompute of the training loop")
   }
 
+  test("bpe_encode: per-doc token stats match a scalar replay of train-then-apply") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.TextOps.bpeEncode.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val sep = "\u001f"
+    // the same scalar loop as the training spec, with doc_id carried
+    var ws: Seq[(Long, Vector[String])] = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(expr(
+        "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), w -> w <> '')")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp))))
+      .toSeq
+    for (_ <- 1 to 8) {
+      val counts = ws.flatMap(_._2.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (pa, pb) = counts.keys.minBy { case (a, b) =>
+        (-counts((a, b)), a + sep + b)
+      }
+      ws = ws.map { case (d, w) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == pa && w(i + 1) == pb) {
+            out += (pa + pb); i += 2
+          } else { out += w(i); i += 1 }
+        }
+        d -> out.result()
+      }
+    }
+    val expected = ws.groupBy(_._1).map { case (d, xs) =>
+      d -> ((xs.size.toLong,
+        xs.map(_._2.size.toLong).sum,
+        xs.map(_._2.map(_.length).sum.toLong).sum))
+    }
+    val allDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == allDocs.toSet, "exactly one output row per document")
+    allDocs.foreach { d =>
+      assert(got(d) == expected.getOrElse(d, (0L, 0L, 0L)), s"doc $d stats mismatch")
+    }
+    // the learned merges actually compress: corpus-wide tokens < chars
+    assert(got.values.map(_._2).sum < got.values.map(_._3).sum,
+      "8 merges must leave strictly fewer tokens than characters")
+  }
+
   test("vec_project: exact integer JL projection, verified against a scalar recompute") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Ann.vecProject.run(spark, sfDir).collect()

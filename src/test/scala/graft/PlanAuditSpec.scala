@@ -88,8 +88,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // shape 1: broadcast centroid/probe/codebook products
       "ann_bruteforce", "ann_ivf", "ann_ivf_nprobe", "ann_ivf_pq",
       "ann_ivfpq_opq", "ann_ivf_pq_res", "ann_ivfadc", "ann_quantized",
+      "ann_filtered",
       // shape 2: recall harnesses over shape 1
       "ann_recall", "ann_recall_ivf", "ann_recall_nprobe",
+      "ann_recall_filtered",
       "ann_recall_quantized", "ann_recall_pq", "ann_recall_ivfpq",
       "ann_recall_ivfpq_opq", "ann_recall_ivfpq_res", "ann_recall_ivfadc",
       // shape 3: 1-row totals / bounded rate censuses
@@ -107,6 +109,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       .filterNot(broadcastProductRows)
     assert(strayBnlj.isEmpty,
       s"unlisted BroadcastNestedLoopJoin in: $strayBnlj — a non-equi join became a product")
+  }
+
+  test("bpe_encode: the serve path is stacked literal replaces + one doc aggregation") {
+    val p = plan("bpe_encode")
+    // the R learned merges are string LITERALS folded into codegen'd
+    // replace()s in the scan project — the merge table is plan
+    // metadata, not a joined table
+    assert("replace\\(".r.findAllIn(p).size >= 8, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // encode agg + doc-side join + final sort: bounded exchange budget
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("ann_filtered: label predicate joins the index slice below the rerank, assign is the argmax aggregate") {
+    val p = plan(Ann.annFiltered.name)
+    assert(p.contains("graft_argmax"), p)
+    // the predicate must appear as a join/filter condition on the
+    // candidate side (p_label reaches the plan), not a post-hoc filter
+    // over ranked output: the Window (rank) must sit ABOVE the last
+    // p_label occurrence in the formatted tree
+    assert(p.contains("p_label"), p)
+    val treeLines = p.linesIterator.takeWhile(!_.startsWith("(1)")).toSeq
+    val winIdx = treeLines.indexWhere(_.contains("Window"))
+    val filterIdx = treeLines.lastIndexWhere(_.contains("Join"))
+    assert(winIdx >= 0 && filterIdx > winIdx,
+      s"rerank Window must be above the candidate joins\n$p")
   }
 
   test("q5 star join broadcasts every dimension, shuffles only the fact join") {
