@@ -557,49 +557,92 @@ object Dedup {
             |FROM sig""".stripMargin))
 
   /** MinHash LSH: 16 bands x 4 rows -> candidate pairs sharing any
-    * band bucket, with the signature-estimated Jaccard. The only
-    * shuffle is the band-key self-join; bucket sizes are bounded (a
-    * hot bucket would be salted at scale). */
+    * band bucket, with the signature-estimated Jaccard.
+    *
+    * Runs REP-LEVEL (exact-dedup-first, round 15): byte-identical
+    * texts have identical signatures, hence identical band keys, so
+    * enumerating a copy family member-by-member through the band
+    * self-join is pure waste — at 300-copy replica scale it was the
+    * repo's #1 cost (a 300-member family is 44,850 pairs through the
+    * join) and once spilled a 71 GB scratch disk. Instead: group by
+    * text ([[textGroups]]), run the band machinery over ONE
+    * representative per family, and recover member pairs by group
+    * expansion at output — generation cost scales with DISTINCT
+    * texts, the copy fan-out lives in output-sized joins (the
+    * contam_fuzzy pattern).
+    *
+    * The output is BIT-IDENTICAL to the direct doc-level form at any
+    * corpus (the oracle below is still the direct form): the bucket
+    * census weights each rep by its family size (`sum(gn)` = exactly
+    * the doc count the direct census saw), so hot-bucket drops agree;
+    * cross-family pairs inherit the rep pair's estimate (signatures
+    * are a pure function of the text); intra-family pairs are est 1.0
+    * (64/64 lanes — exact in binary), emitted iff the family has >= 1
+    * surviving bucket, which under the weighted census is exactly
+    * when the direct form emitted them. */
   val dedupMinhashLsh: Q = Q(
     "dedup_minhash_lsh",
     (s, dir) => {
-      // the band self-join moves only (doc_id, bk) — 16 bytes/row, not
-      // the 64-lane signature; signatures are re-attached only for the
-      // (distinct, few) candidate pairs.
+      val g = textGroups(s, dir)
+      val m = g.select(col("doc_id"), col("gid"))
+      // ALL reps, no MaxShingleBlock drop: the weighted census below is
+      // the authority on hot families (a family over MaxBucket saturates
+      // every bucket it touches, exactly as its members did directly)
+      val reps = g.filter(col("doc_id") === col("gid"))
+        .select(col("doc_id"), col("text"), col("gn"))
       // `hashes` is materialized as a column BEFORE the signature fold:
       // inlining it into the per-permutation lambda would re-evaluate
       // the shingle hashing once per permutation (64x).
-      val sig = docs(s, dir)
+      val sig = reps
         .withColumn("words", expr(words("text")))
         .filter(expr("size(words) >= 3"))
         .withColumn("hashes", expr(shingleHashes("words")))
-        .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
-      val bands = sig.select(col("doc_id"),
+        .select(col("doc_id").as("sgid"), col("gn"),
+          expr(minhashSig("hashes")).as("sig"))
+      val bands = sig.select(col("sgid"), col("gn"),
         explode(expr(minhashBands("sig"))).as("bk"))
       // hot-bucket guard: a band bucket of size m yields m^2/2 pairs, so
       // one pathological bucket (boilerplate, empty docs) can dominate
       // the whole join; buckets over the cap are dropped — their
       // contents are so common that pair enumeration inside them is
-      // noise, not dedup signal. The oracle applies the same cap. A
-      // window (not agg+join) computes the size: it hash-partitions on
-      // bk, and the self-join below reuses that exact partitioning, so
-      // the guard costs zero extra shuffles. The >=2 bound is free
-      // pruning (a singleton bucket can never produce a pair), not a
-      // semantic change.
+      // noise, not dedup signal. The oracle applies the same cap. The
+      // census is MEMBER-weighted (sum of family sizes, not rep count):
+      // bit-identical drops to the direct form. A window (not agg+join)
+      // computes it: it hash-partitions on bk, and the self-join below
+      // reuses that exact partitioning, so the guard costs zero extra
+      // shuffles. The >=2 bound is free pruning (a weight-1 bucket is a
+      // singleton doc), not a semantic change.
       val bounded = bands
-        .withColumn("bn", count(lit(1)).over(
+        .withColumn("bn", sum("gn").over(
           org.apache.spark.sql.expressions.Window.partitionBy("bk")))
         .filter(col("bn").between(2, MaxBucket))
         .drop("bn")
       val cand = bounded.as("a")
-        .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.sgid") < col("b.sgid"))
+        .select(col("a.sgid").as("ga"), col("b.sgid").as("gb"))
         .distinct()
-      cand
-        .join(sig.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sig.as("sb"), col("db") === col("sb.doc_id"))
-        .select(col("da"), col("db"),
+      val repPairs = cand
+        .join(sig.as("sa"), col("ga") === col("sa.sgid"))
+        .join(sig.as("sb"), col("gb") === col("sb.sgid"))
+        .select(col("ga"), col("gb"),
           round(expr(minhashEstJaccard("sa.sig", "sb.sig")), 6).as("est_jaccard"))
+      val cross = repPairs
+        .join(m.as("x"), col("ga") === col("x.gid"))
+        .join(m.as("y"), col("gb") === col("y.gid"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("da"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("db"),
+          col("est_jaccard"))
+      // families with >= 2 members and >= 1 surviving bucket: every
+      // member pair is a pair the direct join emitted, est exactly 1.0
+      val intraGids = bounded.filter(col("gn") >= 2)
+        .select(col("sgid")).distinct()
+      val intra = m.as("x")
+        .join(m.as("y"),
+          col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+        .join(intraGids, col("x.gid") === col("sgid"), "left_semi")
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          lit(1.0).as("est_jaccard"))
+      cross.unionByName(intra)
     },
     Some(s"""WITH w AS (
             |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
