@@ -2730,11 +2730,21 @@ object Ann {
         .select(col("probe_id"), col("n_id"))
       val approx = annFiltered.run(s, dir)
         .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
-      exact.join(approx,
+      val per = exact.join(approx,
           col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
         .groupBy("probe_id")
         .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
-        .withColumn("recall_pct", expr("hits * 100 div k"))
+      // LEFT join from the PROBE set: a probe whose label has zero
+      // same-label neighbors must appear with k=0 — a starved probe
+      // silently vanishing from the starvation metric would defeat
+      // the row (its recall is vacuously 100: nothing to find)
+      e.filter(expr(ProbeFilter)).select(col("vec_id").as("probe_id"))
+        .join(per, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("k"), lit(0L)).as("k"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_pct",
+          when(col("k") === 0, lit(100L)).otherwise(expr("hits * 100 div k")))
         .orderBy("probe_id")
     },
     Some(s"""WITH e AS (
@@ -2778,12 +2788,199 @@ object Ann {
             |  FROM f_scored
             |), approx AS (
             |  SELECT probe_id, n_id FROM f_ranked WHERE rank <= 5
+            |), per AS (
+            |  SELECT x.probe_id, count(*) AS k, count(a.n_id) AS hits
+            |  FROM exact x LEFT JOIN approx a
+            |    ON x.probe_id = a.probe_id AND x.n_id = a.n_id
+            |  GROUP BY 1
             |)
-            |SELECT x.probe_id, count(*) AS k, count(a.n_id) AS hits,
-            |  count(a.n_id) * 100 // count(*) AS recall_pct
-            |FROM exact x LEFT JOIN approx a
-            |  ON x.probe_id = a.probe_id AND x.n_id = a.n_id
-            |GROUP BY 1 ORDER BY x.probe_id""".stripMargin))
+            |SELECT p.probe_id, coalesce(per.k, 0) AS k,
+            |  coalesce(per.hits, 0) AS hits,
+            |  CASE WHEN coalesce(per.k, 0) = 0 THEN 100
+            |       ELSE per.hits * 100 // per.k END AS recall_pct
+            |FROM p LEFT JOIN per ON p.probe_id = per.probe_id
+            |ORDER BY p.probe_id""".stripMargin))
+
+  /** [[annFiltered]] with nprobe=2 — the lever a production store
+    * pulls under SELECTIVE predicates: ann_recall_filtered measures
+    * predicate starvation (a probe's single cell may hold fewer than
+    * k same-label candidates), and probing the probe's TWO nearest
+    * cells refills the candidate pool the predicate drained. Shape is
+    * ann_ivf_nprobe's: base vectors keep their single argmax cell, so
+    * the two probed cells' candidate sets are disjoint (no dedup);
+    * the label predicate still lands on the index slice BELOW the
+    * rerank joins and Window (plan-pinned) — candidate cost is
+    * ~2x ann_filtered, cell-bounded, never O(n). */
+  val annFilteredNprobe: Q = Q(
+    "ann_filtered_nprobe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2")))
+      val cellScores = e.crossJoin(cents)
+        .select(col("vec_id"), col("label"), col("c_id"),
+          cosWith("v", "n2", "cv", "cn2").as("c_cos"))
+      val assigned = cellScores.groupBy("vec_id", "label")
+        .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
+      // per-probe top-2 cells: a window over only |probes| x 16 rows
+      val probeCells = cellScores.filter(expr(ProbeFilter))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+          col("c_id").as("cell"))
+      val cand = assigned.join(broadcast(probeCells), "cell")
+        .filter(col("vec_id") =!= col("probe_id") &&
+          col("label") === col("p_label"))
+        .select(col("probe_id"), col("vec_id").as("n_id"))
+      val scored = cand
+        .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
+          col("probe_id") === col("vec_id"))
+        .drop("vec_id")
+        .join(e.select(col("vec_id"), col("v").as("nv"), col("n2").as("nn2")),
+          col("n_id") === col("vec_id"))
+        .select(col("probe_id"), col("n_id"),
+          cosWith("pv", "pn2", "nv", "nn2").as("cos"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+            |), c AS (
+            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+            |), cs AS (
+            |  SELECT e.vec_id, e.label, c_id, ${duckCosine("e.v", "cv")} AS c_cos
+            |  FROM e CROSS JOIN c
+            |), assigned AS (
+            |  SELECT vec_id, label, c_id AS cell FROM (
+            |    SELECT vec_id, label, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS rn
+            |    FROM cs
+            |  ) WHERE rn = 1
+            |), pc AS (
+            |  SELECT vec_id AS probe_id, label AS p_label, c_id AS cell FROM (
+            |    SELECT vec_id, label, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS crn
+            |    FROM cs WHERE $ProbeFilter
+            |  ) WHERE crn <= 2
+            |), cand AS (
+            |  SELECT pc.probe_id, a.vec_id AS n_id
+            |  FROM assigned a JOIN pc ON a.cell = pc.cell
+            |    AND a.vec_id <> pc.probe_id AND a.label = pc.p_label
+            |), scored AS (
+            |  SELECT cand.probe_id, cand.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM cand
+            |  JOIN e ep ON cand.probe_id = ep.vec_id
+            |  JOIN e en ON cand.n_id = en.vec_id
+            |), ranked AS (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM scored
+            |)
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM ranked WHERE rank <= 5""".stripMargin))
+
+  /** Recall@5 of nprobe=2 filtered search vs the same filtered-exact
+    * ground truth as [[annRecallFiltered]] — the same harness, so the
+    * two recall rows are directly comparable and price exactly what
+    * the second probe buys back from predicate starvation. Starved
+    * probes (zero same-label neighbors anywhere) appear with k=0. */
+  val annRecallFilteredNprobe: Q = Q(
+    "ann_recall_filtered_nprobe",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val probes = broadcast(e.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+          col("v").as("pv"), col("n2").as("pn2")))
+      val exact = e.join(probes,
+          col("vec_id") =!= col("probe_id") && col("label") === col("p_label"))
+        .select(col("probe_id"), col("vec_id").as("n_id"),
+          cosWith("pv", "pn2", "v", "n2").as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annFilteredNprobe.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+      val per = exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+      e.filter(expr(ProbeFilter)).select(col("vec_id").as("probe_id"))
+        .join(per, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("k"), lit(0L)).as("k"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_pct",
+          when(col("k") === 0, lit(100L)).otherwise(expr("hits * 100 div k")))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+            |), p AS (
+            |  SELECT vec_id AS probe_id, label AS p_label, v AS pv
+            |  FROM e WHERE $ProbeFilter
+            |), bf_scored AS (
+            |  SELECT probe_id, e.vec_id AS n_id, ${duckCosine("pv", "e.v")} AS cos
+            |  FROM e JOIN p ON e.vec_id <> p.probe_id AND e.label = p.p_label
+            |), bf_ranked AS (
+            |  SELECT probe_id, n_id,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM bf_scored
+            |), exact AS (
+            |  SELECT probe_id, n_id FROM bf_ranked WHERE rank <= 5
+            |), c AS (
+            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+            |), cs AS (
+            |  SELECT e.vec_id, e.label, c_id, ${duckCosine("e.v", "cv")} AS c_cos
+            |  FROM e CROSS JOIN c
+            |), assigned AS (
+            |  SELECT vec_id, label, c_id AS cell FROM (
+            |    SELECT vec_id, label, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS rn
+            |    FROM cs
+            |  ) WHERE rn = 1
+            |), pc AS (
+            |  SELECT vec_id AS probe_id, label AS p_label, c_id AS cell FROM (
+            |    SELECT vec_id, label, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS crn
+            |    FROM cs WHERE $ProbeFilter
+            |  ) WHERE crn <= 2
+            |), cand AS (
+            |  SELECT pc.probe_id, a.vec_id AS n_id
+            |  FROM assigned a JOIN pc ON a.cell = pc.cell
+            |    AND a.vec_id <> pc.probe_id AND a.label = pc.p_label
+            |), f_scored AS (
+            |  SELECT cand.probe_id, cand.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM cand
+            |  JOIN e ep ON cand.probe_id = ep.vec_id
+            |  JOIN e en ON cand.n_id = en.vec_id
+            |), f_ranked AS (
+            |  SELECT probe_id, n_id,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM f_scored
+            |), approx AS (
+            |  SELECT probe_id, n_id FROM f_ranked WHERE rank <= 5
+            |), per AS (
+            |  SELECT x.probe_id, count(*) AS k, count(a.n_id) AS hits
+            |  FROM exact x LEFT JOIN approx a
+            |    ON x.probe_id = a.probe_id AND x.n_id = a.n_id
+            |  GROUP BY 1
+            |)
+            |SELECT p.probe_id, coalesce(per.k, 0) AS k,
+            |  coalesce(per.hits, 0) AS hits,
+            |  CASE WHEN coalesce(per.k, 0) = 0 THEN 100
+            |       ELSE per.hits * 100 // per.k END AS recall_pct
+            |FROM p LEFT JOIN per ON p.probe_id = per.probe_id
+            |ORDER BY p.probe_id""".stripMargin))
 
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
@@ -2791,5 +2988,5 @@ object Ann {
     annIncremental, annPq, annRecallPq, annIvfPq, annRecallIvfPq,
     annIvfPqOpq, annRecallIvfPqOpq,
     annIvfPqRes, annRecallIvfPqRes, annIvfAdc, annRecallIvfAdc, vecProject,
-    annFiltered, annRecallFiltered)
+    annFiltered, annRecallFiltered, annFilteredNprobe, annRecallFilteredNprobe)
 }

@@ -641,45 +641,77 @@ object Curation {
           .filter(expr("size(array_distinct(words)) * 10 >= n_words * 3"))
           .persist() // batch-scoped; released below, not left to GC
         // batch-scoped signature cache, released with gated: the
-        // 64-lane minhash over every batch doc is the topology's
-        // single most expensive map-side stage, and BOTH consumers
-        // need it (the decon gate's est-Jaccard test, the dedup
-        // index) — persist it so it runs ONCE per micro-batch
-        var csigCache: Option[org.apache.spark.sql.DataFrame] = None
+        // 64-lane minhash is the topology's single most expensive
+        // map-side stage, and BOTH consumers need it (the decon
+        // gate's est-Jaccard test, the dedup index) — persist it so
+        // it runs ONCE per micro-batch, and (round 15, rep-level)
+        // once per DISTINCT TEXT: the verdict is a pure function of
+        // the text, so identical-copy families drop or survive
+        // together and the verdict expands by group membership
+        val caches = scala.collection.mutable.ListBuffer
+          .empty[org.apache.spark.sql.DataFrame]
         try {
           // every quality-gated doc has >= 5 words, so a signature
           // always exists; candidates only where band keys collide
-          val (decon, deconSig) = bench match {
-            case None => (gated, None)
+          bench match {
+            case None =>
+              IncrementalDedup.applyBatch(
+                gated.select("doc_id", "text"), indexRoot)
+              gated.select("doc_id", "lang", "n_words")
+                .write.mode("append").parquet(curatedDir)
             case Some((bsig, bbands)) =>
-              val csig = gated
-                .withColumn("hashes", expr(shingleHashes("words")))
-                .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
+              import org.apache.spark.sql.expressions.Window
+              // the words array stays OUT of the window shuffle (it is
+              // document-sized); reps recompute it from text
+              val gFam = gated.drop("words")
+                .withColumn("fpa", expr(fp60("text")))
+                .withColumn("fpb", expr(fp60b("text")))
+                .withColumn("gid",
+                  min("doc_id").over(Window.partitionBy("fpa", "fpb")))
+              val csig = gFam.filter(col("doc_id") === col("gid"))
+                // words materialized as a column first — inlined into
+                // the hash lambda it would re-evaluate per element
+                .withColumn("rwords", expr(words("text")))
+                .withColumn("hashes", expr(shingleHashes("rwords")))
+                .select(col("fpa"), col("fpb"), col("gid"),
+                  expr(minhashSig("hashes")).as("sig"))
                 .persist()
-              csigCache = Some(csig)
-              val candPairs = csig.select(col("doc_id"),
+              caches += csig
+              val candPairs = csig.select(col("fpa"), col("fpb"),
                   explode(expr(minhashBands("sig"))).as("bk"))
                 .join(broadcast(bbands), "bk")
-                .select("doc_id", "b_id").distinct()
-              val cont = candPairs
-                .join(csig, "doc_id")
+                .select("fpa", "fpb", "b_id").distinct()
+              // contaminated FAMILIES (by key)
+              val contG = candPairs
+                .join(csig, Seq("fpa", "fpb"))
                 .join(broadcast(bsig.select(col("b_id"), col("sig").as("bsig2"))),
                   "b_id")
                 .filter(expr(minhashEstJaccard("sig", "bsig2")) >= 0.5)
-                .select("doc_id").distinct()
-              // survivors' signatures = csig minus the contaminated —
-              // exactly sigOf(decon) (every gated doc has >= 5 words,
-              // so sigOf's >= 3-word filter passes everything): the
-              // precomputed-sig contract applyBatch pins
-              (gated.join(cont, Seq("doc_id"), "left_anti"),
-                Some(csig.join(cont, Seq("doc_id"), "left_anti")))
+                .select(col("fpa"), col("fpb")).distinct()
+              // survivors, persisted ONCE for the dedup index's whole
+              // batch (it was re-deriving this lineage per action)
+              val mem = gFam.join(contG, Seq("fpa", "fpb"), "left_anti")
+                .persist()
+              caches += mem
+              // surviving reps' signatures are exactly the rep rows of
+              // sigOf(survivors) (every gated doc has >= 5 words, so
+              // sigOf's >= 3-word filter passes everything; the decon
+              // gate drops whole families, so the family minima are
+              // these gids): the grouped contract applyBatchGrouped
+              // pins — the topology already grouped, so the index
+              // skips its second window + fingerprint pass
+              val repSig = csig.join(contG, Seq("fpa", "fpb"), "left_anti")
+              IncrementalDedup.applyBatchGrouped(
+                mem.select(col("doc_id"), col("fpa"), col("fpb"),
+                  col("gid").as("bmin")),
+                repSig.select(col("fpa"), col("fpb"),
+                  col("gid").as("bmin"), col("sig")),
+                indexRoot)
+              mem.select("doc_id", "lang", "n_words")
+                .write.mode("append").parquet(curatedDir)
           }
-          IncrementalDedup.applyBatch(
-            decon.select("doc_id", "text"), indexRoot, deconSig)
-          decon.select("doc_id", "lang", "n_words")
-            .write.mode("append").parquet(curatedDir)
         } finally {
-          csigCache.foreach(_.unpersist()); gated.unpersist(); ()
+          caches.foreach(_.unpersist()); gated.unpersist(); ()
         }
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()

@@ -4,6 +4,7 @@ import graft.Q
 import graft.functions.Portable._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental (online) corpus deduplication — the operation a
@@ -14,41 +15,66 @@ import org.apache.spark.sql.functions._
   * answer "which pairs exist in this corpus"; this operator answers
   * "which of today's documents survive against the corpus so far".
   *
-  * Design — the state is a persistent, bucketed MinHash band index:
+  * Design (REP-LEVEL since round 15 — exact-dedup-first): the unit of
+  * state is the FAMILY of byte-identical texts, keyed by a 120-bit
+  * text fingerprint (textGroups' collision stance), not the document.
+  * Identical texts have identical signatures and band keys, so the
+  * rejection predicate below factors exactly through families:
   *
-  *  - `index/bands`: (doc_id, band-key) rows, directory-partitioned by
-  *    `ibkt = pmod(hash(bk), B)`. A batch prunes its read to the ibkts
-  *    its own band keys touch, and the batch side (small) BROADCASTS
-  *    into the join against the index scan — per-batch cost is
-  *    O(batch + touched index buckets), independent of corpus size,
-  *    with no shuffle of the index, ever (the same touched-bucket
-  *    contract as ParquetUpsert, spec-pinned here too).
-  *  - `index/sigs`: (doc_id, 64-lane signature), partitioned by
-  *    `sbkt = pmod(hash(doc_id), B)`; candidate verification reads
-  *    only the id-buckets the candidate pairs touch.
+  *  - within an (eligible) family, every member except the smallest
+  *    id so far is rejected (partner: the family min — identical
+  *    text, est 1.0);
+  *  - a family MIN is rejected iff some matching family (reps share
+  *    >= 1 LSH band, signature est-Jaccard >= [[Tau]]) has a smaller
+  *    current min — because any member of the other family that is
+  *    smaller than this min implies its family min is smaller too.
+  *
+  * So the index holds one row per DISTINCT TEXT (bands/sigs) plus the
+  * family minima, and the band join runs only for "events" — families
+  * whose min changed this batch (new family, or a smaller id arriving
+  * late). A 300-copy replica family costs one band-join row instead
+  * of 300 rows and 44,850 enumerated pairs; the copy fan-out lives in
+  * the (output-sized) intra-rejection expansion, which is a batch-
+  * local window, not a join.
+  *
+  *  - `index/bands`: (fpa, fpb, bk) rows of each distinct text,
+  *    directory-partitioned by `ibkt = pmod(hash(bk), B)`. A batch
+  *    prunes its read to the ibkts its EVENT band keys touch, and the
+  *    event side (small) BROADCASTS into the join against the index
+  *    scan — per-batch cost is O(batch + touched index buckets),
+  *    independent of corpus size, with no shuffle of the index, ever
+  *    (the same touched-bucket contract as ParquetUpsert, spec-pinned
+  *    here too). Appended only when a NEW distinct text arrives.
+  *  - `index/fams`: (fpa, fpb, doc_id, sig), partitioned by
+  *    `kbkt = pmod(hash(fpa, fpb), B)`. One row per distinct text at
+  *    first sight (doc_id = the family min, sig = the 64-lane
+  *    signature) plus a null-sig row whenever the min IMPROVES; the
+  *    current min is min(doc_id) over appends. One pruned read of the
+  *    candidate partners' key-buckets feeds both signature
+  *    verification and minima resolution. Also the existence record
+  *    that makes band/sig appends once-per-text.
   *  - `index/rejected`: append-only (doc_id) — the REJECTION log.
   *
-  * Rejection rule: a document is rejected iff some document with a
-  * SMALLER doc_id shares >= 1 LSH band with it and their signature
+  * Rejection rule (unchanged, and the oracle still checks it doc-
+  * level from scratch): a document is rejected iff some document with
+  * a SMALLER doc_id shares >= 1 LSH band with it and their signature
   * est-Jaccard >= [[Tau]]. The rule names the larger id of each pair,
   * so it is a pure predicate over the corpus — INDEPENDENT of arrival
-  * order and micro-batch split: every qualifying pair is examined
-  * exactly once, in the batch where its later-ARRIVING member shows up
-  * (the earlier one is then in the index, or in the same batch), and
-  * whichever member that is, the larger ID is the one logged. A
-  * smaller-id near-dup arriving LATE therefore retroactively rejects
-  * the already-indexed larger doc — consistent with re-running the
-  * whole pipeline from scratch (spec-pinned; the DuckDB oracle IS the
-  * from-scratch computation). Rejected docs still enter the index:
-  * they were seen, and future arrivals must dedup against them.
+  * order and micro-batch split: a smaller-id near-dup arriving LATE
+  * retroactively rejects the already-indexed docs (the displaced
+  * family min is rejected by the intra rule; displaced cross partners
+  * by the event join) — consistent with re-running the whole pipeline
+  * from scratch (spec-pinned; the DuckDB oracle IS the from-scratch
+  * computation). Rejected docs still count: they were seen, and
+  * future arrivals must dedup against their families.
   *
-  * Index entries are append-only and never rewritten; both sub-indexes
+  * Index entries are append-only and never rewritten; the sub-indexes
   * compact by plain directory-partitioned rewrite if small-file count
   * ever matters (same lever as ParquetUpsert.rebucket).
   */
 object IncrementalDedup {
 
-  /** Directory-partition bucket count for both sub-indexes. */
+  /** Directory-partition bucket count for the sub-indexes. */
   private val B = 32
   /** est-Jaccard acceptance threshold (k/64 is exact in binary, so the
     * comparison is engine-deterministic). */
@@ -65,9 +91,23 @@ object IncrementalDedup {
       .select(col("doc_id"), expr(minhashSig("hashes")).as("sig"))
   }
 
-  /** (doc_id, band key, index bucket) rows of a signature set. */
-  def bandsOf(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), explode(expr(minhashBands("sig"))).as("bk"))
+  /** The batch tagged with its family key and batch-local family min:
+    * one window over the 120-bit fingerprint (16-byte shuffle key —
+    * batch-sized, the only shuffle the batch side ever does). */
+  private def famOf(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"), col("text"))
+      .withColumn("fpa", expr(fp60("text")))
+      .withColumn("fpb", expr(fp60b("text")))
+      .withColumn("bmin", min("doc_id").over(Window.partitionBy("fpa", "fpb")))
+
+  private def keyBkt(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column) =
+    pmod(hash(a, b), lit(B))
+
+  /** (fpa, fpb, bk, ibkt) band rows of a rep set carrying `sig`. */
+  private def bandsOf(reps: DataFrame): DataFrame =
+    reps.select(col("fpa"), col("fpb"),
+        explode(expr(minhashBands("sig"))).as("bk"))
       .withColumn("ibkt", pmod(hash(col("bk")), lit(B)))
 
   private def emptyLike(sp: SparkSession, like: DataFrame): DataFrame =
@@ -82,63 +122,159 @@ object IncrementalDedup {
 
   /** Process one arrival batch of (doc_id, text): log rejections
     * against the index-so-far (and within the batch), then append the
-    * batch's bands and signatures to the index.
+    * batch's NEW families (bands, signatures) and min-improvements to
+    * the index.
     *
-    * `precomputedSig`, when given, MUST equal `sigOf(batch)` — same
-    * (doc_id, sig) rows, same 64-lane minhash arithmetic. It exists
-    * for callers that already computed the batch's signatures for
-    * their own purposes (the curation topology's decontamination gate
-    * computes them for the est-Jaccard test against the benchmark
-    * suite), so the heaviest map-side stage — shingle → 64-lane
-    * minhash over every batch doc — runs ONCE per micro-batch instead
-    * of twice. Correctness is indifferent (the oracle hash pins it);
-    * this is the per-batch constant factor. */
+    * `precomputedSig`, when given, MUST contain sigOf(batch)'s row —
+    * same (doc_id, sig), same 64-lane minhash arithmetic — for at
+    * least every doc that is its batch-family min; extra rows are
+    * ignored (only rep rows are read). It exists for callers that
+    * already computed signatures for their own purposes (the curation
+    * topology's decontamination gate computes them rep-level for the
+    * est-Jaccard test against the benchmark suite), so the heaviest
+    * map-side stage — shingle → 64-lane minhash — runs ONCE per
+    * micro-batch and per DISTINCT TEXT. Correctness is indifferent
+    * (the oracle hash pins it); this is the per-batch constant
+    * factor. */
   def applyBatch(batch: DataFrame, indexRoot: String,
                  precomputedSig: Option[DataFrame] = None): Unit = {
-    val sp = batch.sparkSession
-    // batch-scoped persist, released in the finally: a signature set is
-    // the batch's largest intermediate (64 longs/doc), and blocks that
+    graft.functions.Native.install(batch.sparkSession) // idempotent
+    val fam = famOf(batch)
+    val r0 = fam.filter(col("doc_id") === col("bmin"))
+    val withSig = precomputedSig match {
+      case Some(ps) => r0.join(ps, Seq("doc_id"))
+      case None => r0
+        .withColumn("words", expr(words("text")))
+        .filter(expr("size(words) >= 3"))
+        .withColumn("hashes", expr(shingleHashes("words")))
+        .withColumn("sig", expr(minhashSig("hashes")))
+    }
+    applyBatchGrouped(fam.select("doc_id", "fpa", "fpb", "bmin"),
+      withSig.select(col("fpa"), col("fpb"), col("bmin"), col("sig")),
+      indexRoot)
+  }
+
+  /** The grouped core of [[applyBatch]]: `members` is the batch tagged
+    * with family key and batch-family min (famOf's shape, text not
+    * needed), `repSigs` one (fpa, fpb, bmin, sig) row per ELIGIBLE
+    * batch family. Callers that already grouped the batch (the
+    * curation topology groups for its decon gate) enter here and skip
+    * the second window + fingerprint pass. */
+  private[graft] def applyBatchGrouped(members: DataFrame,
+      repSigs: DataFrame, indexRoot: String): Unit = {
+    val sp = members.sparkSession
+    graft.functions.Native.install(sp) // idempotent
+    val t0 = System.nanoTime()
+    def mark(s: String): Unit =
+      if (sys.env.contains("GRAFT_INC_TIMING"))
+        println(f"[inc] $s%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // batch-scoped persists, released in the finally: blocks that
     // linger past the batch (as localCheckpoint's would, until GC)
     // starve later queries' execution memory in a shared JVM
-    val sig = precomputedSig.getOrElse(sigOf(batch)).persist()
-    val bands = bandsOf(sig).persist()
-    val cand = {
-      val touched = bands.select("ibkt").distinct()
-        .collect().map(_.getInt(0)).sorted
-      val idxBands = readOr(sp, s"$indexRoot/bands", bands)
-        .filter(col("ibkt").isin(touched.map(Int.box): _*))
-      // partners = earlier arrivals (pruned index scan) + the batch
-      // itself; the batch side broadcasts — the index is never shuffled
-      val partners = idxBands.unionByName(bands)
-        .select(col("doc_id").as("p_id"), col("bk"))
-      val newSide = broadcast(bands.select(col("doc_id").as("n_id"), col("bk")))
-      partners.join(newSide, "bk")
-        .filter(col("p_id") =!= col("n_id"))
-        .select(least(col("p_id"), col("n_id")).as("da"),
-          greatest(col("p_id"), col("n_id")).as("db"))
-        .distinct().persist()
-    }
+    val fam = members.persist()
+    val reps = repSigs.persist()
     try {
-      val sbkts = cand
-        .select(explode(array(col("da"), col("db"))).as("doc_id"))
-        .select(pmod(hash(col("doc_id")), lit(B)).as("sbkt"))
+      // ---- current minima of the batch's families (pruned index read)
+      val famsLike = reps.select(col("fpa"), col("fpb"),
+        col("bmin").as("doc_id"), col("sig"),
+        keyBkt(col("fpa"), col("fpb")).as("kbkt"))
+      def famsRead(kbkts: Array[Int]): DataFrame =
+        if (kbkts.isEmpty) emptyLike(sp, famsLike)
+        else readOr(sp, s"$indexRoot/fams", famsLike)
+          .filter(col("kbkt").isin(kbkts.map(Int.box): _*))
+      mark("start")
+      val mbkts = reps.select(keyBkt(col("fpa"), col("fpb")).as("kbkt"))
         .distinct().collect().map(_.getInt(0)).sorted
-      val sigLike = sig.withColumn("sbkt", pmod(hash(col("doc_id")), lit(B)))
-      val allSigs =
-        (if (sbkts.isEmpty) emptyLike(sp, sigLike)
-         else readOr(sp, s"$indexRoot/sigs", sigLike)
-           .filter(col("sbkt").isin(sbkts.map(Int.box): _*)))
-          .drop("sbkt").unionByName(sig)
-      val rejected = cand
-        .join(allSigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
-        .join(allSigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
-        .filter(expr(minhashEstJaccard("sa", "sb")) >= Tau)
-        .select(col("db").as("doc_id")).distinct()
-      rejected.write.mode("append").parquet(s"$indexRoot/rejected")
-      bands.write.mode("append").partitionBy("ibkt").parquet(s"$indexRoot/bands")
-      sigLike.write.mode("append").partitionBy("sbkt").parquet(s"$indexRoot/sigs")
+      val oldMin = famsRead(mbkts)
+        .groupBy("fpa", "fpb").agg(min("doc_id").as("omin"))
+      // el: one row per eligible batch family with old/new min
+      mark("minima-read")
+      val el = reps.join(oldMin, Seq("fpa", "fpb"), "left")
+        .withColumn("nmin", least(col("bmin"), col("omin")))
+        .persist()
+      // ---- intra rejections: every known member except the new min
+      val intraRej = fam
+        .join(el.select(col("fpa"), col("fpb"), col("nmin")), Seq("fpa", "fpb"))
+        .filter(col("doc_id") =!= col("nmin"))
+        .select(col("doc_id"))
+        .unionByName(el.filter(col("omin").isNotNull && col("omin") =!= col("nmin"))
+          .select(col("omin").as("doc_id")))
+      // ---- events: families whose min changed (new, or improved)
+      mark("el")
+      val ev = el.filter(col("omin").isNull || col("bmin") < col("omin"))
+        .persist()
+      val newFam = ev.filter(col("omin").isNull)
+      val evBands = bandsOf(ev)
+      val newBands = bandsOf(newFam).persist()
+      // partners = indexed families (pruned to the event bands' ibkts;
+      // the event side broadcasts — the index is never shuffled) plus
+      // this batch's new families (not yet in the index)
+      mark("ev")
+      val ibkts = evBands.select("ibkt").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val idxBands =
+        (if (ibkts.isEmpty) emptyLike(sp, newBands)
+         else readOr(sp, s"$indexRoot/bands", newBands)
+           .filter(col("ibkt").isin(ibkts.map(Int.box): _*)))
+      mark("ibkts")
+      val partners = idxBands.unionByName(newBands)
+        .select(col("fpa").as("pfa"), col("fpb").as("pfb"), col("bk"))
+      val cand = partners
+        .join(broadcast(evBands.select(col("fpa").as("efa"),
+          col("fpb").as("efb"), col("bk"))), Seq("bk"))
+        .filter(col("pfa") =!= col("efa") || col("pfb") =!= col("efb"))
+        .select("efa", "efb", "pfa", "pfb")
+        .distinct().persist()
+      mark("cand")
+      // ---- partner signatures and current minima: ONE pruned read
+      // of the fams index feeds both (a family's sig rides its
+      // first-seen row; min-improvement rows carry a null sig)
+      val sbkts = cand
+        .select(keyBkt(col("pfa"), col("pfb")).as("kbkt"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val pFams = famsRead(sbkts).persist()
+      try {
+        val partnerSigs = pFams.filter(col("sig").isNotNull)
+          .select(col("fpa"), col("fpb"), col("sig"))
+          .unionByName(newFam.select(col("fpa"), col("fpb"), col("sig")))
+        val partnerMins = pFams
+          .select(col("fpa"), col("fpb"), col("doc_id"))
+          .unionByName(el.select(col("fpa"), col("fpb"),
+            col("nmin").as("doc_id")))
+          .groupBy("fpa", "fpb").agg(min("doc_id").as("pmin"))
+        // ---- cross rejections: the larger of the two current minima
+        val crossRej = cand
+          .join(el.select(col("fpa").as("efa"), col("fpb").as("efb"),
+            col("sig").as("esig"), col("nmin")), Seq("efa", "efb"))
+          .join(partnerSigs.select(col("fpa").as("pfa"), col("fpb").as("pfb"),
+            col("sig").as("psig")), Seq("pfa", "pfb"))
+          .filter(expr(minhashEstJaccard("esig", "psig")) >= Tau)
+          .join(partnerMins.select(col("fpa").as("pfa"), col("fpb").as("pfb"),
+            col("pmin")), Seq("pfa", "pfb"))
+          .select(greatest(col("nmin"), col("pmin")).as("doc_id"))
+        mark("pre-rej")
+        intraRej.unionByName(crossRej).distinct()
+          .write.mode("append").parquet(s"$indexRoot/rejected")
+        mark("rej-write")
+        // ---- state appends: bands + fams, new texts once, a null-sig
+        // fams row on min improvement. repartition on the directory-
+        // partition column first: one file per touched bucket per
+        // batch instead of (tasks x buckets) — the small-file lever
+        // that keeps the per-batch pruned READS cheap as batches
+        // accumulate (measured: without it the next batches' index
+        // scans pay for thousands of shard files).
+        newBands.repartition(col("ibkt"))
+          .write.mode("append").partitionBy("ibkt")
+          .parquet(s"$indexRoot/bands")
+        ev.select(col("fpa"), col("fpb"), col("nmin").as("doc_id"),
+            when(col("omin").isNull, col("sig")).as("sig"),
+            keyBkt(col("fpa"), col("fpb")).as("kbkt"))
+          .repartition(col("kbkt"))
+          .write.mode("append").partitionBy("kbkt").parquet(s"$indexRoot/fams")
+        mark("state-write")
+      } finally { pFams.unpersist(); cand.unpersist(); () }
     } finally {
-      cand.unpersist(); bands.unpersist(); sig.unpersist(); ()
+      reps.unpersist(); fam.unpersist(); ()
     }
   }
 
@@ -170,9 +306,10 @@ object IncrementalDedup {
 
   /** The registry row: the documents table streamed through the
     * incremental pipeline in two forced micro-batches; the oracle
-    * recomputes the SAME acceptance predicate from scratch over the
-    * whole corpus, so a hash match proves the incremental path equals
-    * the from-scratch batch path under an arbitrary split. */
+    * recomputes the SAME acceptance predicate from scratch — DOC-LEVEL
+    * — over the whole corpus, so a hash match proves the rep-level
+    * incremental path equals the direct from-scratch batch path under
+    * an arbitrary split. */
   val dedupIncremental: Q = Q(
     "dedup_incremental",
     (s, dir) => {

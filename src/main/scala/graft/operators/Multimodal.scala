@@ -468,7 +468,17 @@ object Multimodal {
     * the per-bucket truncation window rides the self-join's own
     * exchange ([[Dedup.MaxEmbBucket]] cap), the pair stream is
     * band-local, and the verify is one integer XOR+popcount — no
-    * stage touches pixels after the map-side decode. */
+    * stage touches pixels after the map-side decode.
+    *
+    * Round 15 measured and REJECTED the exact-hash-first (rep-level)
+    * variant the text pair rows adopted: this payload's near-dups are
+    * byte-distinct brightness/bump variants, so identical-dHash
+    * families barely exist (no collapse to exploit), and the member-
+    * expansion joins added two pair-set-sized shuffles — 56 s → 248 s
+    * at sf10. Exact-hash collapse belongs where copies are identical
+    * (mm_dedup's sha census, the text suite's textGroups); a dHash
+    * census (mm_phash's groupBy) is the right pre-pass only when the
+    * corpus actually carries bit-identical perceptual hashes in bulk. */
   val mmPhashPairs: Q = Q(
     "mm_phash_pairs",
     (s, dir) => {
@@ -485,52 +495,20 @@ object Multimodal {
           }
         }
         .toDF()
-      // REP-LEVEL (exact-hash-first, round 15 — the DataComp order:
-      // collapse byte/bit-identical hashes, then near-dup the distinct
-      // ones): images with the SAME dHash have identical band keys and
-      // hamming 0 to each other, so they enter the band machinery as
-      // ONE representative; member pairs come back by group expansion
-      // (intra = all same-phash pairs at hamming 0, cross = the rep
-      // pair's hamming, which is family-constant). The per-bucket cap
-      // counts FAMILIES (ordered by the same LCG priority over the rep
-      // id), so a hot phash value can no longer saturate a bucket —
-      // the oracle applies the identical rep-level cap.
-      val fam = ph.withColumn("gid",
-        min("doc_id").over(Window.partitionBy("phash")))
-      val m = fam.select(col("doc_id"), col("gid"))
-      val reps = fam.filter(col("doc_id") === col("gid"))
-        .select(col("gid"), col("phash"))
-      val bands = reps.select(col("gid"), col("phash"),
+      val bands = ph.select(col("doc_id"), col("phash"),
         explode(expr("transform(sequence(0, 3), b -> b*16384 + " +
           "((phash div shiftleft(CAST(1 AS BIGINT), 14*b)) % 16384))")).as("bk"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("bk")
-            .orderBy(expr(Dedup.embPriority("gid")), col("gid"))))
+            .orderBy(expr(Dedup.embPriority("doc_id")), col("doc_id"))))
         .filter(col("rn") <= Dedup.MaxEmbBucket).drop("rn")
-      val cand = bands.as("a")
+      bands.as("a")
         .join(bands.as("b"),
-          col("a.bk") === col("b.bk") && col("a.gid") < col("b.gid"))
-        .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           expr("bit_count(a.phash ^ b.phash)").as("hamming"))
         .filter(col("hamming") <= 6)
         .distinct()
-      val cross = cand
-        .join(m.as("x"), col("ga") === col("x.gid"))
-        .join(m.as("y"), col("gb") === col("y.gid"))
-        .select(least(col("x.doc_id"), col("y.doc_id")).as("da"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("db"),
-          col("hamming"))
-      // same-phash member pairs: hamming exactly 0, emitted iff the
-      // family's rep is retained in >= 1 bucket (always, until the cap
-      // binds — mirrored in the oracle)
-      val intraGids = bands.select(col("gid").as("igid")).distinct()
-      val intra = m.as("x")
-        .join(m.as("y"),
-          col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-        .join(intraGids, col("x.gid") === col("igid"), "left_semi")
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-          lit(0).cast("integer").as("hamming"))
-      cross.unionByName(intra)
     },
     Some(s"""WITH fc AS (
             |  SELECT greatest(64, count(*) // 16) AS nf FROM documents
@@ -558,35 +536,20 @@ object Multimodal {
             |            THEN 1 ELSE 0 END FOR i IN range(0, 56)]),
             |      (acc, v) -> acc*2 + v) AS phash
             |  FROM gr
-            |), fam AS (
-            |  SELECT doc_id, phash,
-            |    min(doc_id) OVER (PARTITION BY phash) AS gid
-            |  FROM ph
-            |), reps AS (
-            |  SELECT gid, phash FROM fam WHERE doc_id = gid
             |), bands0 AS (
-            |  SELECT gid, phash,
+            |  SELECT doc_id, phash,
             |    unnest([b*16384 + ((phash // (CAST(1 AS BIGINT) << (14*b))) % 16384)
             |      FOR b IN range(0, 4)]) AS bk
-            |  FROM reps
+            |  FROM ph
             |), bands AS (
-            |  SELECT gid, phash, bk FROM bands0
+            |  SELECT doc_id, phash, bk FROM bands0
             |  QUALIFY row_number() OVER (PARTITION BY bk
-            |    ORDER BY ${Dedup.embPriority("gid")}, gid) <= ${Dedup.MaxEmbBucket}
-            |), cand AS (
-            |  SELECT DISTINCT a.gid AS ga, b.gid AS gb,
-            |    bit_count(xor(a.phash, b.phash)) AS hamming
-            |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.gid < b.gid
-            |  WHERE bit_count(xor(a.phash, b.phash)) <= 6
+            |    ORDER BY ${Dedup.embPriority("doc_id")}, doc_id) <= ${Dedup.MaxEmbBucket}
             |)
-            |SELECT least(x.doc_id, y.doc_id) AS da,
-            |  greatest(x.doc_id, y.doc_id) AS db, c.hamming AS hamming
-            |FROM cand c JOIN fam x ON c.ga = x.gid JOIN fam y ON c.gb = y.gid
-            |UNION ALL
-            |SELECT x.doc_id AS da, y.doc_id AS db,
-            |  CAST(0 AS INTEGER) AS hamming
-            |FROM fam x JOIN fam y ON x.gid = y.gid AND x.doc_id < y.doc_id
-            |WHERE x.gid IN (SELECT gid FROM bands)""".stripMargin))
+            |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+            |  bit_count(xor(a.phash, b.phash)) AS hamming
+            |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.phash, b.phash)) <= 6""".stripMargin))
 
   /** content-addressed dedup of binary media: group by sha-256 of the
     * payload (a 32-byte shuffle key regardless of media size — the only

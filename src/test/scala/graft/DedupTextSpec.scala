@@ -272,13 +272,20 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       }
       expected += ((r.toLong, s"$pa $pb", counts((pa, pb))))
       vocab = vocab + (pa + pb)
+      // the engines' rewrite is a SEPARATOR-STRING replace: a match
+      // consumes its trailing U+001F, which is the next occurrence's
+      // leading U+001F — so after a merge the immediately following
+      // pair cannot match, whether it repeats the same symbols
+      // ([a,a,a,a,a] -> [aa,a,aa]) or is an adjacent distinct repeat
+      // ([e,r,e,r] -> [er,e,r]). The sepOk flag replays exactly that.
       ws = ws.map { w =>
         val out = Vector.newBuilder[String]
         var i = 0
+        var sepOk = true
         while (i < w.length) {
-          if (i + 1 < w.length && w(i) == pa && w(i + 1) == pb) {
-            out += (pa + pb); i += 2
-          } else { out += w(i); i += 1 }
+          if (sepOk && i + 1 < w.length && w(i) == pa && w(i + 1) == pb) {
+            out += (pa + pb); i += 2; sepOk = false
+          } else { out += w(i); i += 1; sepOk = true }
         }
         out.result()
       }
@@ -309,13 +316,16 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
       val (pa, pb) = counts.keys.minBy { case (a, b) =>
         (-counts((a, b)), a + sep + b)
       }
+      // sep-string replace semantics (see the training replay above):
+      // a merge consumes the next occurrence's leading separator
       ws = ws.map { case (d, w) =>
         val out = Vector.newBuilder[String]
         var i = 0
+        var sepOk = true
         while (i < w.length) {
-          if (i + 1 < w.length && w(i) == pa && w(i + 1) == pb) {
-            out += (pa + pb); i += 2
-          } else { out += w(i); i += 1 }
+          if (sepOk && i + 1 < w.length && w(i) == pa && w(i + 1) == pb) {
+            out += (pa + pb); i += 2; sepOk = false
+          } else { out += w(i); i += 1; sepOk = true }
         }
         d -> out.result()
       }
@@ -334,6 +344,69 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     // the learned merges actually compress: corpus-wide tokens < chars
     assert(got.values.map(_._2).sum < got.values.map(_._3).sum,
       "8 merges must leave strictly fewer tokens than characters")
+  }
+
+  test("bpe merge replace: an adjacent distinct repeat merges once (consumed-separator semantics)") {
+    // 'erer' with merge (e,r) must tokenize [er, e, r] — the replaced
+    // occurrence's trailing U+001F was the next occurrence's leading
+    // U+001F — proven against the LIVE engine replace chain (and the
+    // DuckDB side below), not just documented. Guards the latent
+    // data-dependent divergence a corpus regeneration could expose.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sep = "\u001f"
+    val toks = Seq("erer").toDF("w")
+      .select(concat(lit(sep),
+        regexp_replace(col("w"), "(.)", "$1" + sep)).as("e"))
+      .select(org.apache.spark.sql.functions.replace(col("e"),
+        lit(sep + "e" + sep + "r" + sep), lit(sep + "er" + sep)).as("e"))
+      .selectExpr("filter(split(e, chr(31)), x -> x <> '') AS toks")
+      .collect()(0).getSeq[String](0)
+    assert(toks == Seq("er", "e", "r"),
+      s"engine merged the overlapping second occurrence: $toks")
+  }
+
+  test("bpe_encode_stored: per-doc stats equal a scalar replay of the committed table") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.TextOps.bpeEncodeStored.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    var ws: Seq[(Long, Vector[String])] = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(expr(
+        "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), w -> w <> '')")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp))))
+      .toSeq
+    // the committed table applied in rank order, consumed-separator
+    // replay (no training rounds anywhere — that is the row's point)
+    for ((pa, pb) <- graft.operators.TextOps.BpeStoredMerges) {
+      ws = ws.map { case (d, w) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        var sepOk = true
+        while (i < w.length) {
+          if (sepOk && i + 1 < w.length && w(i) == pa && w(i + 1) == pb) {
+            out += (pa + pb); i += 2; sepOk = false
+          } else { out += w(i); i += 1; sepOk = true }
+        }
+        d -> out.result()
+      }
+    }
+    val expected = ws.groupBy(_._1).map { case (d, xs) =>
+      d -> ((xs.size.toLong,
+        xs.map(_._2.size.toLong).sum,
+        xs.map(_._2.map(_.length).sum.toLong).sum))
+    }
+    val allDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == allDocs.toSet, "exactly one output row per document")
+    allDocs.foreach { d =>
+      assert(got(d) == expected.getOrElse(d, (0L, 0L, 0L)), s"doc $d stats mismatch")
+    }
+    // the stored vocabulary still compresses this corpus
+    assert(got.values.map(_._2).sum < got.values.map(_._3).sum,
+      "stored merges must leave strictly fewer tokens than characters")
   }
 
   test("vec_project: exact integer JL projection, verified against a scalar recompute") {

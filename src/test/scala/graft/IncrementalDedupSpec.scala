@@ -101,7 +101,10 @@ class IncrementalDedupSpec extends SparkSpec {
   test("a corrupt index fails loud instead of silently accepting everything") {
     // contract: only path-not-found bootstraps to an empty index; a
     // damaged parquet (truncated footer, bad magic) must propagate —
-    // treating it as empty would dedup the batch against nothing
+    // treating it as empty would dedup the batch against nothing.
+    // The follow-up batch delivers a NEW text (a band-join EVENT —
+    // since the rep-level rewrite, a non-event batch legitimately
+    // never opens the band index), so the damaged files are read.
     val root = Files.createTempDirectory("graft_inc_spec5").toString
     IncrementalDedup.applyBatch(docsDf(1L -> base), root)
     // clobber every band-index data file with non-parquet bytes
@@ -109,7 +112,7 @@ class IncrementalDedupSpec extends SparkSpec {
       .filter(_.toString.endsWith(".parquet"))
       .foreach(p => Files.write(p, "not a parquet file".getBytes("UTF-8")))
     intercept[Exception] {
-      IncrementalDedup.applyBatch(docsDf(2L -> base), root)
+      IncrementalDedup.applyBatch(docsDf(2L -> other), root)
     }
   }
 
@@ -133,9 +136,33 @@ class IncrementalDedupSpec extends SparkSpec {
     }
     assert(rejectedIds(preRoot) == rejectedIds(selfRoot))
     assert(rejectedIds(preRoot).nonEmpty, "the history must exercise rejections")
-    def sigs(root: String) = spark.read.parquet(s"$root/sigs")
-      .selectExpr("doc_id", s"${graft.functions.Portable.sigDigest("sig")} AS d")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sigs(root: String) = spark.read.parquet(s"$root/fams")
+      .where("sig IS NOT NULL")
+      .selectExpr("fpa", "fpb", s"${graft.functions.Portable.sigDigest("sig")} AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(sigs(preRoot) == sigs(selfRoot))
+  }
+
+  test("the index is rep-level: one band/sig row set per DISTINCT text, not per doc") {
+    // 4 copies of one text + 1 other text, split across two batches:
+    // the band index must hold 8 rows per distinct text (the 8x8 LSH
+    // bands; 2 texts -> 16) and the fams index one row per distinct
+    // text (no min ever improved here) — the structural contract that
+    // keeps the band join's input and the index's size proportional
+    // to DISTINCT texts at any copy factor
+    val root = Files.createTempDirectory("graft_inc_spec_rep").toString
+    IncrementalDedup.applyBatch(
+      docsDf(10L -> base, 11L -> base, 20L -> other), root)
+    IncrementalDedup.applyBatch(docsDf(12L -> base, 13L -> base), root)
+    assert(spark.read.parquet(s"$root/bands").count() == 16L)
+    assert(spark.read.parquet(s"$root/fams").count() == 2L)
+    assert(rejectedIds(root) == Set(11L, 12L, 13L))
+    // a late smaller id is a min-IMPROVEMENT event: one more (null-sig)
+    // fams row, NO new band rows (the text is already indexed)
+    IncrementalDedup.applyBatch(docsDf(5L -> base), root)
+    assert(spark.read.parquet(s"$root/bands").count() == 16L)
+    assert(spark.read.parquet(s"$root/fams").count() == 3L)
+    assert(spark.read.parquet(s"$root/fams").where("sig IS NULL").count() == 1L)
+    assert(rejectedIds(root) == Set(10L, 11L, 12L, 13L))
   }
 }

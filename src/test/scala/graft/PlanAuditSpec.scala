@@ -88,10 +88,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // shape 1: broadcast centroid/probe/codebook products
       "ann_bruteforce", "ann_ivf", "ann_ivf_nprobe", "ann_ivf_pq",
       "ann_ivfpq_opq", "ann_ivf_pq_res", "ann_ivfadc", "ann_quantized",
-      "ann_filtered",
+      "ann_filtered", "ann_filtered_nprobe",
       // shape 2: recall harnesses over shape 1
       "ann_recall", "ann_recall_ivf", "ann_recall_nprobe",
-      "ann_recall_filtered",
+      "ann_recall_filtered", "ann_recall_filtered_nprobe",
       "ann_recall_quantized", "ann_recall_pq", "ann_recall_ivfpq",
       "ann_recall_ivfpq_opq", "ann_recall_ivfpq_res", "ann_recall_ivfadc",
       // shape 3: 1-row totals / bounded rate censuses
@@ -122,19 +122,89 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("hashpartitioning\\(".r.findAllIn(p).size <= 4, p)
   }
 
-  test("ann_filtered: label predicate joins the index slice below the rerank, assign is the argmax aggregate") {
-    val p = plan(Ann.annFiltered.name)
-    assert(p.contains("graft_argmax"), p)
-    // the predicate must appear as a join/filter condition on the
-    // candidate side (p_label reaches the plan), not a post-hoc filter
-    // over ranked output: the Window (rank) must sit ABOVE the last
-    // p_label occurrence in the formatted tree
-    assert(p.contains("p_label"), p)
-    val treeLines = p.linesIterator.takeWhile(!_.startsWith("(1)")).toSeq
-    val winIdx = treeLines.indexWhere(_.contains("Window"))
-    val filterIdx = treeLines.lastIndexWhere(_.contains("Join"))
-    assert(winIdx >= 0 && filterIdx > winIdx,
-      s"rerank Window must be above the candidate joins\n$p")
+  test("ann_filtered (and its nprobe=2 variant): label predicate joins the index slice below the rerank, assign is the argmax aggregate") {
+    for (name <- Seq(Ann.annFiltered.name, "ann_filtered_nprobe")) {
+      val p = plan(name)
+      assert(p.contains("graft_argmax"), s"$name\n$p")
+      // PRE-filtering, actually pinned: every node that evaluates the
+      // label predicate (p_label) must sit BELOW the rerank Window —
+      // a plan that post-filtered labels above the rank Window would
+      // carry a p_label node above it. (Round-15 fix: the old pin
+      // compared the Window to the last Join TREE line, which a
+      // post-filtering plan would also satisfy.) In the formatted
+      // explain, children carry SMALLER node numbers than parents, so
+      // "below" = number < the rank Window's number; details live in
+      // the numbered blocks, not the tree section.
+      val winNum = "Window \\((\\d+)\\)".r.findAllMatchIn(p)
+        .map(_.group(1).toInt).max // the topmost (rank) Window
+      val header = "^\\((\\d+)\\) ".r
+      var cur = -1
+      val labelNodes = scala.collection.mutable.Set.empty[Int]
+      val joinNodes = scala.collection.mutable.Set.empty[Int]
+      p.linesIterator.foreach { l =>
+        header.findFirstMatchIn(l).foreach { m =>
+          cur = m.group(1).toInt
+          if (l.contains("Join")) joinNodes += cur
+        }
+        if (cur >= 0 && l.contains("p_label")) labelNodes += cur
+      }
+      assert(labelNodes.nonEmpty, s"$name: p_label never reaches the plan\n$p")
+      assert(labelNodes.forall(_ < winNum),
+        s"$name: label predicate must stay below the rerank Window " +
+          s"(p_label nodes $labelNodes, Window $winNum)\n$p")
+      assert(joinNodes.nonEmpty && joinNodes.forall(_ < winNum),
+        s"$name: rerank joins must sit below the Window\n$p")
+    }
+  }
+
+  test("bpe_encode_stored: the committed-table serve path is the pure map-only encode") {
+    // same stacked-literal-replace shape as bpe_encode, PLUS the
+    // stored row's whole point: no training rounds anywhere — loading
+    // the committed table must leave exactly the encode's exchanges
+    // (doc aggregation, doc-side join, presentation sort)
+    val p = plan("bpe_encode_stored")
+    assert("replace\\(".r.findAllIn(p).size >= 8, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("dedup_minhash_lsh: the band self-join input is the REP set under a member-weighted census") {
+    val p = plan("dedup_minhash_lsh")
+    // the census window is sum(gn) partitioned on the band key — the
+    // member-weighted bucket size riding the self-join's own exchange
+    assert(p.contains("windowspecdefinition(bk"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("sum(gn") || (l.contains("sum") && l.contains("gn"))), p)
+    // the self-join joins REP ids (sgid), and the rep groups come off
+    // the textGroups checkpoint (an ExistingRDD scan), so generation
+    // work scales with distinct texts
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("sgid")), p)
+    assert(p.contains("ExistingRDD"), p)
+    // member expansion joins exist (gid) and sit with the output side
+    assert(p.contains("gid"), p)
+  }
+
+  test("streaming rows: every captured micro-batch plan passes the product audit") {
+    // the registry-wide audit above covers batch plans only; streaming
+    // rows execute on .run through foreachBatch, so their micro-batch
+    // topologies surface as batch QueryExecutions — captured per row
+    // and held to the same discipline. ONE committed allowlist entry:
+    // q_stream_approx_topk's d*w-cell sketch estimate join (the
+    // streaming face of q_approx_topk's shape 4).
+    val allow = Set("q_stream_approx_topk")
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    for (n <- graft.tools.StreamingBnljCensus.streamingRows) {
+      val plans = graft.tools.StreamingBnljCensus.capturePlans(spark) {
+        SparkEntry.queries(n)(spark, sfDir).collect(); ()
+      }
+      assert(plans.nonEmpty, s"$n captured no micro-batch plans")
+      if (plans.exists(_.contains("CartesianProduct")))
+        offenders += s"$n: CartesianProduct"
+      if (!allow(n) && plans.exists(_.contains("BroadcastNestedLoopJoin")))
+        offenders += s"$n: BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      s"streaming product audit: ${offenders.mkString(", ")}")
   }
 
   test("q5 star join broadcasts every dimension, shuffles only the fact join") {
