@@ -676,8 +676,9 @@ object Dedup {
     * AVERAGE bucket exceeds any drop-cap and dropping hot buckets
     * (the minhash-LSH guard) would empty the operator. Same bound as
     * the embedding buckets instead: keep a deterministic LCG-uniform
-    * sample of [[MaxEmbBucket]] members per bucket, so candidates are
-    * <= 4 * 2^15 * cap^2 / 2 at any corpus size and recall degrades
+    * sample of [[MaxEmbBucket]] DISTINCT FINGERPRINTS per bucket
+    * (rep-level since round 15), so candidates are <= 4 * 2^15 *
+    * cap^2 / 2 rep pairs at any corpus size and recall degrades
     * gracefully rather than the plan exploding. The window partitions
     * on the join key and runs as a WindowGroupLimit, riding the
     * self-join's own exchange; at oracle SFs every bucket is under
@@ -685,23 +686,60 @@ object Dedup {
   val dedupSimhash: Q = Q(
     "dedup_simhash",
     (s, dir) => {
+      // REP-LEVEL by FINGERPRINT VALUE (round 15): identical texts have
+      // identical fps, so a copy family enters the band machinery as
+      // ONE representative — and so do distinct texts that happen to
+      // share an fp (hamming 0 to each other, so expansion is exact for
+      // them too). The per-bucket cap counts DISTINCT fps, ordered by
+      // the same LCG priority over the rep id; the oracle applies the
+      // identical rep-level cap. Member pairs come back by group
+      // expansion: intra = all same-fp pairs at hamming 0 (emitted iff
+      // the rep is retained in >= 1 bucket), cross = the rep pair's
+      // hamming, fp-constant. Unlike mm_phash_pairs (byte-distinct
+      // variants, no collapse — measured and reverted), replica copies
+      // here are byte-identical, so the collapse is real: at 300-copy
+      // scale the band self-join input shrinks 300x and intra pairs
+      // come from a gid equi-join instead of the self-join + distinct.
       val fp = docs(s, dir)
         .withColumn("words", expr(words("text")))
         .filter(expr("size(words) >= 3"))
         .withColumn("hashes", expr(shingleHashes60("words")))
         .select(col("doc_id"), expr(simhash60("hashes")).as("fp"))
-      val bands = fp.select(col("doc_id"), col("fp"),
+      // checkpointed like textGroups: members and reps are both
+      // consumed downstream (m four times across the expansion
+      // branches), and the fp window must run once, not per branch
+      val fam = fp.withColumn("gid",
+        min("doc_id").over(Window.partitionBy("fp")))
+        .localCheckpoint(true)
+      val m = fam.select(col("doc_id"), col("gid"))
+      val reps = fam.filter(col("doc_id") === col("gid"))
+        .select(col("gid"), col("fp"))
+      val bands = reps.select(col("gid"), col("fp"),
         explode(expr(simhashBands("fp"))).as("bk"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("bk")
-            .orderBy(expr(embPriority("doc_id")), col("doc_id"))))
+            .orderBy(expr(embPriority("gid")), col("gid"))))
         .filter(col("rn") <= MaxEmbBucket).drop("rn")
-      bands.as("a")
-        .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+      val cand = bands.as("a")
+        .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("ga"), col("b.gid").as("gb"),
           expr("bit_count(a.fp ^ b.fp)").as("hamming"))
         .filter(col("hamming") <= 8)
         .distinct()
+      val cross = cand
+        .join(m.as("x"), col("ga") === col("x.gid"))
+        .join(m.as("y"), col("gb") === col("y.gid"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("da"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("db"),
+          col("hamming"))
+      val intraGids = bands.select(col("gid").as("igid")).distinct()
+      val intra = m.as("x")
+        .join(m.as("y"),
+          col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+        .join(intraGids, col("x.gid") === col("igid"), "left_semi")
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          lit(0).cast("integer").as("hamming"))
+      cross.unionByName(intra)
     },
     Some(s"""WITH w AS (
             |  SELECT doc_id, ${duckWords("text")} AS words FROM documents
@@ -710,17 +748,31 @@ object Dedup {
             |  FROM w WHERE len(words) >= 3
             |), fp AS (
             |  SELECT doc_id, ${duckSimhash60("hashes")} AS fp FROM hs
+            |), fam AS (
+            |  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS gid
+            |  FROM fp
+            |), reps AS (
+            |  SELECT gid, fp FROM fam WHERE doc_id = gid
             |), bands0 AS (
-            |  SELECT doc_id, fp, unnest(${duckSimhashBands("fp")}) AS bk FROM fp
+            |  SELECT gid, fp, unnest(${duckSimhashBands("fp")}) AS bk FROM reps
             |), bands AS (
-            |  SELECT doc_id, fp, bk FROM bands0
+            |  SELECT gid, fp, bk FROM bands0
             |  QUALIFY row_number() OVER (PARTITION BY bk
-            |    ORDER BY ${embPriority("doc_id")}, doc_id) <= $MaxEmbBucket
+            |    ORDER BY ${embPriority("gid")}, gid) <= $MaxEmbBucket
+            |), cand AS (
+            |  SELECT DISTINCT a.gid AS ga, b.gid AS gb,
+            |    bit_count(xor(a.fp, b.fp)) AS hamming
+            |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.gid < b.gid
+            |  WHERE bit_count(xor(a.fp, b.fp)) <= 8
             |)
-            |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-            |  bit_count(xor(a.fp, b.fp)) AS hamming
-            |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-            |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin))
+            |SELECT least(x.doc_id, y.doc_id) AS da,
+            |  greatest(x.doc_id, y.doc_id) AS db, c.hamming AS hamming
+            |FROM cand c JOIN fam x ON c.ga = x.gid JOIN fam y ON c.gb = y.gid
+            |UNION ALL
+            |SELECT x.doc_id AS da, y.doc_id AS db,
+            |  CAST(0 AS INTEGER) AS hamming
+            |FROM fam x JOIN fam y ON x.gid = y.gid AND x.doc_id < y.doc_id
+            |WHERE x.gid IN (SELECT gid FROM bands)""".stripMargin))
 
   /** Portable deterministic bucket priority: same arithmetic in Spark
     * and DuckDB, mod-first so BIGINT multiplication cannot overflow
@@ -740,51 +792,104 @@ object Dedup {
   val dedupEmbedding: Q = Q(
     "dedup_embedding",
     (s, dir) => {
-      // bucket join on (vec_id, bk) only; dedup candidate pairs BEFORE
-      // computing any cosine, then re-attach the two vectors per pair.
+      // REP-LEVEL by VECTOR VALUE (round 15): byte-identical vectors
+      // (a crawl's replica copies, and exactly what replica scaling
+      // produces) have identical hyperplane keys and pairwise cosine
+      // 1.0, so a copy family enters the bucket machinery as ONE
+      // representative and member pairs come back by group expansion —
+      // intra pairs at cos 1.0 (iff the rep is retained in >= 1
+      // bucket), cross pairs inheriting the rep pair's exact cosine
+      // (a pure function of the two vectors). The grouping key in
+      // Spark is a 128-bit xxhash pair of the raw float array (the
+      // fp60/fp60b collision stance — 16-byte shuffle key, never the
+      // vector); the oracle partitions by the vector itself, so a
+      // collision would surface as a hash mismatch. The per-bucket cap
+      // counts DISTINCT vectors, LCG-ordered by rep id; the oracle
+      // applies the identical rep-level cap. Bucket join still moves
+      // (id, bk) only; cosines are computed once per rep pair.
       val tbl = Tables(s, dir)
       val raw = tbl.embeddings
       val bits = embBits(tbl.embeddingsCount)
-      val e = raw
-        .select(col("vec_id"), expr(toDouble("embedding")).as("v"))
+      // checkpointed like textGroups (the window must run once, not
+      // once per expansion branch); non-rep vectors are nulled before
+      // the checkpoint so pinned storage is O(ids + DISTINCT vectors)
+      val fam = raw
+        .withColumn("ha", xxhash64(col("embedding")))
+        .withColumn("hb", xxhash64(col("embedding"), lit(1L)))
+        .withColumn("gid", min("vec_id").over(Window.partitionBy("ha", "hb")))
+        .withColumn("embedding",
+          when(col("vec_id") === col("gid"), col("embedding")))
+        .select(col("vec_id"), col("gid"), col("embedding"))
+        .localCheckpoint(true)
+      val m = fam.select(col("vec_id"), col("gid"))
+      val reps = fam.filter(col("vec_id") === col("gid"))
+        .select(col("gid"), expr(toDouble("embedding")).as("v"))
         .withColumn("n2", expr(dot("v", "v")))
-      val keys = e.select(col("vec_id"),
+      val keys = reps.select(col("gid"),
         explode(expr(hyperplaneKeysN("v", bits.toString))).as("bk"))
       // per-bucket truncation window partitions on the join key, so it
       // rides the join's own exchange — zero extra shuffles
       val bounded = keys
         .withColumn("rn", row_number().over(
           Window.partitionBy("bk")
-            .orderBy(expr(embPriority("vec_id")), col("vec_id"))))
+            .orderBy(expr(embPriority("gid")), col("gid"))))
         .filter(col("rn") <= MaxEmbBucket).drop("rn")
       val cand = bounded.as("a")
-        .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .join(bounded.as("b"), col("a.bk") === col("b.bk") && col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("ga"), col("b.gid").as("gb"))
         .distinct()
-      cand
-        .join(e.as("ea"), col("va") === col("ea.vec_id"))
-        .join(e.as("eb"), col("vb") === col("eb.vec_id"))
-        .withColumn("cos", expr(s"${dot("ea.v", "eb.v")} / sqrt(ea.n2 * eb.n2)"))
+      val repPairs = cand
+        .join(reps.select(col("gid").as("ga"), col("v").as("av"), col("n2").as("an2")), "ga")
+        .join(reps.select(col("gid").as("gb"), col("v").as("bv"), col("n2").as("bn2")), "gb")
+        .withColumn("cos", expr(s"${dot("av", "bv")} / sqrt(an2 * bn2)"))
         .filter(col("cos") >= 0.4)
-        .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
+        .select(col("ga"), col("gb"), round(col("cos"), 6).as("cos_sim"))
+      val cross = repPairs
+        .join(m.as("x"), col("ga") === col("x.gid"))
+        .join(m.as("y"), col("gb") === col("y.gid"))
+        .select(least(col("x.vec_id"), col("y.vec_id")).as("va"),
+          greatest(col("x.vec_id"), col("y.vec_id")).as("vb"),
+          col("cos_sim"))
+      val intraGids = bounded.select(col("gid").as("igid")).distinct()
+      val intra = m.as("x")
+        .join(m.as("y"),
+          col("x.gid") === col("y.gid") && col("x.vec_id") < col("y.vec_id"))
+        .join(intraGids, col("x.gid") === col("igid"), "left_semi")
+        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+          lit(1.0).as("cos_sim"))
+      cross.unionByName(intra)
     },
     Some(s"""WITH p AS (
             |  SELECT ${duckEmbBitsFrom("count(*)")} AS bits FROM embeddings
             |), e AS (
             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            |), fam AS (
+            |  SELECT vec_id, v, min(vec_id) OVER (PARTITION BY v) AS gid
+            |  FROM e
+            |), reps AS (
+            |  SELECT gid, v FROM fam WHERE vec_id = gid
             |), keys AS (
-            |  SELECT vec_id, v, unnest(${duckHyperplaneKeysN("v", "p.bits")}) AS bk
-            |  FROM e CROSS JOIN p
+            |  SELECT gid, v, unnest(${duckHyperplaneKeysN("v", "p.bits")}) AS bk
+            |  FROM reps CROSS JOIN p
             |), bounded AS (
-            |  SELECT vec_id, v, bk FROM keys
+            |  SELECT gid, v, bk FROM keys
             |  QUALIFY row_number() OVER (PARTITION BY bk
-            |    ORDER BY ${embPriority("vec_id")}, vec_id) <= $MaxEmbBucket
-            |), cand AS (
-            |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
-            |    ${duckCosine("a.v", "b.v")} AS cos
-            |  FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.vec_id < b.vec_id
+            |    ORDER BY ${embPriority("gid")}, gid) <= $MaxEmbBucket
+            |), rp AS (
+            |  SELECT ga, gb, cos FROM (
+            |    SELECT DISTINCT a.gid AS ga, b.gid AS gb,
+            |      ${duckCosine("a.v", "b.v")} AS cos
+            |    FROM bounded a JOIN bounded b ON a.bk = b.bk AND a.gid < b.gid
+            |  ) WHERE cos >= 0.4
             |)
-            |SELECT va, vb, round(cos, 6) AS cos_sim FROM cand WHERE cos >= 0.4""".stripMargin))
+            |SELECT least(x.vec_id, y.vec_id) AS va,
+            |  greatest(x.vec_id, y.vec_id) AS vb,
+            |  round(r.cos, 6) AS cos_sim
+            |FROM rp r JOIN fam x ON r.ga = x.gid JOIN fam y ON r.gb = y.gid
+            |UNION ALL
+            |SELECT x.vec_id AS va, y.vec_id AS vb, CAST(1.0 AS DOUBLE) AS cos_sim
+            |FROM fam x JOIN fam y ON x.gid = y.gid AND x.vec_id < y.vec_id
+            |WHERE x.gid IN (SELECT gid FROM bounded)""".stripMargin))
 
   /** Iterative min-label connected components over an edge list
     * (columns a, b). Each round does TWO label moves:

@@ -31,15 +31,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // 12 when the kmeans constituent became two-level (the la1 local
     // reassign — cid join + argmax agg — is embedded once per
     // self-join side; deliberately NOT checkpointed so the argmax
-    // HashAggregate stays auditable in consumer plans). Each
-    // constituent stays under the ceiling (dedup_embedding 3,
-    // dedup_semantic 6, cluster_kmeans 4).
+    // HashAggregate stays auditable in consumer plans). Round 15 adds
+    // +3: the hyperplane constituent went rep-level and its member-
+    // expansion joins (cross x/y on gid, intra m x m) are embedded
+    // once per consumer — id-sized rows, output-scaled, never corpus
+    // text. 12 -> 15. Each constituent stays under the ceiling
+    // (dedup_embedding 8 incl. expansion, dedup_semantic 6,
+    // cluster_kmeans 4).
     // The IVF-PQ recall harnesses materialize (localCheckpoint) the
     // approx search output before scoring it, so their comparison
     // plans carry only the brute-force ground-truth chain — no
     // exception needed; the composed pipelines' own plan shapes are
     // audited on their search rows (ann_ivf_pq / ann_ivf_pq_res).
-    val ceiling = Map("dedup_blocking_recall" -> 12).withDefaultValue(8)
+    val ceiling = Map("dedup_blocking_recall" -> 15).withDefaultValue(8)
     val streaming = graft.streaming.Streams.all.map(_.name).toSet
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(streaming.contains)
