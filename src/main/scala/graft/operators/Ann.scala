@@ -1249,7 +1249,14 @@ object Ann {
       def recallOf(found: DataFrame, strategy: String): DataFrame = {
         // restrict the found side to anchor pairs first (a no-op for
         // the join result — every truth row has va ≡ 0 mod S — but it
-        // shrinks the join input by the sample factor)
+        // shrinks the join input by the sample factor). Note (round
+        // 15): with the hyperplane row rep-level, va is
+        // least(member, member), which this predicate cannot push
+        // below — the harness now pays the full member-pair
+        // materialization the SHIPPED row emits (sf10: 23 → 47 s).
+        // Deliberate: this row measures the pipeline as a user runs
+        // it, and the truth side is eval-only anyway; a production
+        // recall audit samples the corpus, not the pair stream.
         val f = found.filter(col("va") % sMod === 0L)
           .select(col("va").as("f_va"), col("vb").as("f_vb"))
         truth.join(f,
