@@ -1668,7 +1668,9 @@ object Ann {
     * silently diverge between the residual and non-residual chains. */
   // lazy: referenced from other lazy-val initializers whose first use
   // happens during the PQ rows' val initializers above
-  private lazy val pqSubCtes: String =
+  /** The int8-quantization CTE alone (`q`: vec_id, qd) — factored so
+    * chains can split either the raw or the OPQ-permuted codes. */
+  private lazy val duckQuantizeCte: String =
     s"""q AS (
        |  SELECT vec_id,
        |    list_transform(v, x -> CAST(CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT) AS DOUBLE)) AS qd
@@ -1677,16 +1679,43 @@ object Ann {
        |      list_reduce(list_prepend(CAST(1e-12 AS DOUBLE),
        |        list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
        |    FROM e)
-       |), $pqSplitCte""".stripMargin
+       |)""".stripMargin
 
-  /** The subspace-split half of [[pqSubCtes]] alone — for chains whose
-    * `q` already exists under another name's formula (the trained-cell
-    * chain reuses kmeansOracleCtes' identical `q`). Expects `q`. */
-  private lazy val pqSplitCte: String =
+  private lazy val pqSubCtes: String = s"$duckQuantizeCte, $pqSplitCte"
+
+  /** The subspace-split CTE over any (vec_id, qd) source — for chains
+    * whose `q` already exists under another name's formula (the
+    * trained-cell chain reuses kmeansOracleCtes' identical `q`; the
+    * OPQ∘residual chain splits the permuted `qp`). */
+  private def pqSplitCteFrom(src: String): String =
     s"""sub AS (
        |  SELECT vec_id, t.m,
        |    list_slice(qd, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS sv
-       |  FROM q, unnest([i FOR i IN range(0, $PqM)]) AS t(m)
+       |  FROM $src, unnest([i FOR i IN range(0, $PqM)]) AS t(m)
+       |)""".stripMargin
+
+  private lazy val pqSplitCte: String = pqSplitCteFrom("q")
+
+  /** The OPQ-lite permutation census CTEs (expects `q`; yields `qp` —
+    * the permuted (vec_id, qd)): exact-integer variance
+    * N·Σx² − (Σx)² per dim, ranked varn DESC / d ASC, dealt
+    * round-robin across the M subspaces. Shared by the plain OPQ
+    * chain and the OPQ∘residual composition. */
+  private lazy val opqCensusCtes: String =
+    s"""opqstats AS (
+       |  SELECT t.d AS d,
+       |    count(*) * sum(CAST(qd[t.d + 1] AS BIGINT) * CAST(qd[t.d + 1] AS BIGINT))
+       |      - sum(CAST(qd[t.d + 1] AS BIGINT)) * sum(CAST(qd[t.d + 1] AS BIGINT)) AS varn
+       |  FROM q, unnest([i FOR i IN range(0, 64)]) AS t(d)
+       |  GROUP BY 1
+       |), permt AS (
+       |  SELECT ((r % $PqM) * $PqSubDim + r // $PqM) AS pos, d FROM (
+       |    SELECT d, row_number() OVER (ORDER BY varn DESC, d) - 1 AS r
+       |    FROM opqstats)
+       |), qp AS (
+       |  SELECT vec_id, list(x ORDER BY pos) AS qd FROM (
+       |    SELECT q.vec_id, p.pos, q.qd[p.d + 1] AS x FROM q, permt p
+       |  ) GROUP BY 1
        |)""".stripMargin
 
   /** The PQ index/LUT oracle CTE chain (int8 codes -> subspace split
@@ -1934,21 +1963,7 @@ object Ann {
     * and DuckDB never evaluates unreferenced CTEs.) */
   private lazy val ivfPqOpqOracleCtes: String = {
     val d = duckSqDist _
-    s"""$coarseCellCtes, $pqSubCtes, opqstats AS (
-       |  SELECT t.d AS d,
-       |    count(*) * sum(CAST(qd[t.d + 1] AS BIGINT) * CAST(qd[t.d + 1] AS BIGINT))
-       |      - sum(CAST(qd[t.d + 1] AS BIGINT)) * sum(CAST(qd[t.d + 1] AS BIGINT)) AS varn
-       |  FROM q, unnest([i FOR i IN range(0, 64)]) AS t(d)
-       |  GROUP BY 1
-       |), permt AS (
-       |  SELECT ((r % $PqM) * $PqSubDim + r // $PqM) AS pos, d FROM (
-       |    SELECT d, row_number() OVER (ORDER BY varn DESC, d) - 1 AS r
-       |    FROM opqstats)
-       |), qp AS (
-       |  SELECT vec_id, list(x ORDER BY pos) AS qd FROM (
-       |    SELECT q.vec_id, p.pos, q.qd[p.d + 1] AS x FROM q, permt p
-       |  ) GROUP BY 1
-       |), subp AS (
+    s"""$coarseCellCtes, $pqSubCtes, $opqCensusCtes, subp AS (
        |  SELECT vec_id, t.m,
        |    list_slice(qd, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS sv
        |  FROM qp, unnest([i FOR i IN range(0, $PqM)]) AS t(m)
@@ -2114,9 +2129,14 @@ object Ann {
     * [[residualTailCtes]] so the two callers cannot diverge. */
   private def residualAdcSearch(s: SparkSession, dir: String,
       assigned: DataFrame, probeCells: DataFrame,
-      qcand: Int = AdcShortlist): DataFrame = {
+      qcand: Int = AdcShortlist,
+      subvectors: Option[DataFrame] = None): DataFrame = {
     val e = emb(s, dir)
-    val sub = pqSubvectors(s, dir).join(assigned, "vec_id").localCheckpoint()
+    // `subvectors` lets a caller swap the subspace split (the
+    // OPQ∘residual composition hands the PERMUTED split) — everything
+    // downstream is coordinate-order agnostic
+    val sub = subvectors.getOrElse(pqSubvectors(s, dir))
+      .join(assigned, "vec_id").localCheckpoint()
     // per-(cell, subspace) integer centroid of the member subvectors:
     // per-dim INTEGER sums (order-independent), floor-of-double-div
     // means — kmeansUpdate's exact arithmetic, k x M tiny rows
@@ -2380,6 +2400,109 @@ object Ann {
         .orderBy("probe_id")
     },
     Some(s"""WITH $ivfPqResOracleCtes, approx AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT probe_id, n_id,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY cos DESC, n_id) AS rank
+            |    FROM rerankedr
+            |  ) WHERE rank <= 5
+            |), bf AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT p.vec_id AS probe_id, x.vec_id AS n_id,
+            |      row_number() OVER (PARTITION BY p.vec_id
+            |        ORDER BY ${duckCosine("p.v", "x.v")} DESC, x.vec_id) AS rank
+            |    FROM e x JOIN e p ON x.vec_id <> p.vec_id
+            |    WHERE p.$ProbeFilter
+            |  ) WHERE rank <= 5
+            |)
+            |SELECT b.probe_id, count(*) AS k, count(a.n_id) AS hits,
+            |  count(a.n_id) * 100 // count(*) AS recall_pct
+            |FROM bf b LEFT JOIN approx a
+            |  ON b.probe_id = a.probe_id AND b.n_id = a.n_id
+            |GROUP BY 1 ORDER BY b.probe_id""".stripMargin))
+
+  /** The OPQ∘residual oracle chain through `rerankedr`: coarse cells,
+    * the quantize + permutation census CTEs, the subspace split over
+    * the PERMUTED codes (named `sub`, the residual tail's contract),
+    * then the residual tail verbatim — centroids, residuals, TRAINED
+    * codebook, encode, per-(probe, cell) LUT, ADC, rerank. */
+  private lazy val ivfPqOpqResOracleCtes: String =
+    s"""$coarseCellCtes, $duckQuantizeCte, $opqCensusCtes,
+       |${pqSplitCteFrom("qp")}, $residualTailCtes""".stripMargin
+
+  /** IVF-PQ with BOTH measured levers composed — the OPQ-lite
+    * balanced-variance permutation ([[opqSubvectors]]) feeding the
+    * TRAINED-residual-codebook pipeline ([[residualAdcSearch]]):
+    * residuals are taken in the permuted coordinate order, so the
+    * shared codebook trains on variance-balanced residual subspaces.
+    * RESIDUAL_GAIN.json prices whether the levers STACK — the ladder
+    * measured opq (52→72 at sf1j) and trained-residual (52→64/92)
+    * separately; this row is the composed arm on the same harness.
+    * Storage and search cost identical to ann_ivf_pq_res (the
+    * permutation is free at query time); identical seed cells, nprobe,
+    * M/K, shortlist, rerank.
+    *
+    * MEASURED ANSWER (round 15, artifact regenerated with this arm):
+    * they do NOT stack as composed here — sf1j mean recall@5 is 48 vs
+    * the 52 baseline (opq alone 72, trained-residual alone 64), and
+    * sf0.1 reads 84 vs 92. The census ranks dimensions by RAW-code
+    * variance, but subtracting the coarse centroid removes exactly the
+    * cell-level component that dominates that ranking, so the permuted
+    * dealing is near-arbitrary for the residual distribution and
+    * breaks the subspace coherence residual training exploits. The
+    * priced next step is a RESIDUAL-variance census (rank dims by the
+    * variance of v − centroid, which requires assignment before the
+    * permutation); this row stays as the measured "naive composition"
+    * arm the ladder needs either way. */
+  val annIvfPqOpqRes: Q = Q(
+    "ann_ivfpq_opq_res",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2")))
+      val cellScores = e.crossJoin(cents)
+        .select(col("vec_id"), col("c_id"),
+          cosWith("v", "n2", "cv", "cn2").as("c_cos"))
+      val assigned = cellScores.groupBy("vec_id")
+        .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
+      val probeCells = cellScores.filter(expr(ProbeFilter))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id").as("probe_id"), col("c_id").as("cell"))
+      residualAdcSearch(s, dir, assigned, probeCells,
+        subvectors = Some(opqSubvectors(s, dir)))
+    },
+    Some(s"""WITH $ivfPqOpqResOracleCtes
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id
+            |      ORDER BY cos DESC, n_id) AS rank
+            |  FROM rerankedr
+            |) WHERE rank <= 5""".stripMargin))
+
+  /** Recall@5 of the composed OPQ∘residual IVF-PQ vs exact brute
+    * force — the fifth point on the measured training ladder, same
+    * harness and depths as every other recall row, so the deltas
+    * against ann_recall_ivfpq_opq and ann_recall_ivfpq_res read
+    * directly as "do the levers stack". */
+  val annRecallIvfPqOpqRes: Q = Q(
+    "ann_recall_ivfpq_opq_res",
+    (s, dir) => {
+      val exact = annBruteforce.run(s, dir).filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annIvfPqOpqRes.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+        .localCheckpoint()
+      exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+        .withColumn("recall_pct", expr("hits * 100 div k"))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH $ivfPqOpqResOracleCtes, approx AS (
             |  SELECT probe_id, n_id FROM (
             |    SELECT probe_id, n_id,
             |      row_number() OVER (PARTITION BY probe_id
@@ -2994,6 +3117,7 @@ object Ann {
     annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall,
     annIncremental, annPq, annRecallPq, annIvfPq, annRecallIvfPq,
     annIvfPqOpq, annRecallIvfPqOpq,
-    annIvfPqRes, annRecallIvfPqRes, annIvfAdc, annRecallIvfAdc, vecProject,
+    annIvfPqRes, annRecallIvfPqRes, annIvfPqOpqRes, annRecallIvfPqOpqRes,
+    annIvfAdc, annRecallIvfAdc, vecProject,
     annFiltered, annRecallFiltered, annFilteredNprobe, annRecallFilteredNprobe)
 }

@@ -91,13 +91,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val broadcastProductRows = Set(
       // shape 1: broadcast centroid/probe/codebook products
       "ann_bruteforce", "ann_ivf", "ann_ivf_nprobe", "ann_ivf_pq",
-      "ann_ivfpq_opq", "ann_ivf_pq_res", "ann_ivfadc", "ann_quantized",
+      "ann_ivfpq_opq", "ann_ivf_pq_res", "ann_ivfpq_opq_res",
+      "ann_ivfadc", "ann_quantized",
       "ann_filtered", "ann_filtered_nprobe",
       // shape 2: recall harnesses over shape 1
       "ann_recall", "ann_recall_ivf", "ann_recall_nprobe",
       "ann_recall_filtered", "ann_recall_filtered_nprobe",
       "ann_recall_quantized", "ann_recall_pq", "ann_recall_ivfpq",
-      "ann_recall_ivfpq_opq", "ann_recall_ivfpq_res", "ann_recall_ivfadc",
+      "ann_recall_ivfpq_opq", "ann_recall_ivfpq_res",
+      "ann_recall_ivfpq_opq_res", "ann_recall_ivfadc",
       // shape 3: 1-row totals / bounded rate censuses
       "text_tfidf", "text_lm_score", "sample_mix", "sample_temperature",
       // shape 4: bounded non-equi joins
