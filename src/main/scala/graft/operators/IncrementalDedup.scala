@@ -164,6 +164,9 @@ object IncrementalDedup {
       repSigs: DataFrame, indexRoot: String): Unit = {
     val sp = members.sparkSession
     graft.functions.Native.install(sp) // idempotent
+    // GRAFT_INC_TIMING=1: per-phase wall marks on stdout — the ops
+    // instrumentation the round-15 per-batch cost work was driven by
+    // (a real deployment hangs metrics on exactly these boundaries)
     val t0 = System.nanoTime()
     def mark(s: String): Unit =
       if (sys.env.contains("GRAFT_INC_TIMING"))
