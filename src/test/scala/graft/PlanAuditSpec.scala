@@ -190,6 +190,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("gid"), p)
   }
 
+  test("dedup_simhash / dedup_embedding: band machinery runs over the checkpointed rep set") {
+    // same rep-level contract as dedup_minhash_lsh, value-keyed: the
+    // family frame is an eager checkpoint (ExistingRDD — the grouping
+    // window runs once, NOT once per expansion branch), the bucket-cap
+    // window partitions on the band key over REP ids, and the member
+    // expansion (gid joins + the intra self-join) sits beside it
+    for (name <- Seq("dedup_simhash", "dedup_embedding")) {
+      val p = plan(name)
+      assert(p.contains("ExistingRDD"),
+        s"$name: family frame must come off the checkpoint\n$p")
+      assert(p.contains("windowspecdefinition(bk"),
+        s"$name: bucket cap must partition on the band key\n$p")
+      assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("gid")),
+        s"$name: member-expansion joins missing\n$p")
+      // the band self-join inputs are rep rows (gid), never member ids
+      // re-entering the band machinery: the cap window's ORDER BY runs
+      // over gid, not doc_id/vec_id
+      val winLines = p.linesIterator
+        .filter(_.contains("windowspecdefinition(bk")).toSeq
+      assert(winLines.nonEmpty && winLines.forall(_.contains("gid")),
+        s"$name: cap window must order over rep ids\n$p")
+    }
+  }
+
   test("streaming rows: every captured micro-batch plan passes the product audit") {
     // the registry-wide audit above covers batch plans only; streaming
     // rows execute on .run through foreachBatch, so their micro-batch
