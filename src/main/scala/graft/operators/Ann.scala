@@ -1249,14 +1249,17 @@ object Ann {
       def recallOf(found: DataFrame, strategy: String): DataFrame = {
         // restrict the found side to anchor pairs first (a no-op for
         // the join result — every truth row has va ≡ 0 mod S — but it
-        // shrinks the join input by the sample factor). Note (round
-        // 15): with the hyperplane row rep-level, va is
-        // least(member, member), which this predicate cannot push
-        // below — the harness now pays the full member-pair
-        // materialization the SHIPPED row emits (sf10: 23 → 47 s).
-        // Deliberate: this row measures the pipeline as a user runs
-        // it, and the truth side is eval-only anyway; a production
-        // recall audit samples the corpus, not the pair stream.
+        // shrinks the join input by the sample factor). For the
+        // kmeans strategy va IS the a-side vec_id, so Catalyst pushes
+        // this predicate to the scan. The hyperplane strategy's
+        // shipped row hides member ids under `least()` (round 15's
+        // measured 23 → 47 s sf10 harness regression), so the harness
+        // enters the machinery through the EVAL-ONLY anchored
+        // expansion below — anchor predicate applied before the
+        // member-expansion joins; identical rep pairs, identical
+        // anchored pair set, none of the full member-pair
+        // materialization. The filter here stays as a (no-op) guard
+        // for that path too.
         val f = found.filter(col("va") % sMod === 0L)
           .select(col("va").as("f_va"), col("vb").as("f_vb"))
         truth.join(f,
@@ -1267,7 +1270,8 @@ object Ann {
             expr(s"n_found * 100 div $denom").as("recall_pct"))
       }
 
-      val hp = Dedup.dedupEmbedding.run(s, dir).select("va", "vb")
+      val hp = Dedup.embeddingFoundPairs(s, dir, Some(sMod))
+        .select("va", "vb")
       val km = dedupSemantic.run(s, dir).select("va", "vb")
       recallOf(hp, "hyperplane").unionByName(recallOf(km, "kmeans"))
         .orderBy("strategy")
@@ -2524,6 +2528,171 @@ object Ann {
             |  ON b.probe_id = a.probe_id AND b.n_id = a.n_id
             |GROUP BY 1 ORDER BY b.probe_id""".stripMargin))
 
+  /** position → original dim under the RESIDUAL-variance census: the
+    * permutation [[opqSubvectors]] computes from RAW-code variance,
+    * recomputed over r = code − floor-mean(assigned cell) instead —
+    * round 15's measured answer on the naive composition
+    * (ann_ivfpq_opq_res: 48 vs 52 baseline at sf1j) named the
+    * mechanism: subtracting the coarse centroid removes exactly the
+    * cell-level component that dominates the raw ranking, so the raw
+    * census's dealing is near-arbitrary FOR THE RESIDUAL
+    * distribution. This census ranks dimensions by what the residual
+    * codebook actually has to describe. Assignment must come first
+    * (the census depends on cells), so the build order is
+    * assign → census → permute → split → residual tail. Exactness:
+    * per-(cell, dim) centroids are the kmeansUpdate floor-of-double-
+    * div integer means; residuals are exact integers; the variance
+    * numerator N·Σr² − (Σr)² is computed in decimal(38,0) (Spark) /
+    * HUGEINT (DuckDB) so the RANKING cannot diverge by overflow at
+    * any bench SF. 64-row census = index-build metadata, the
+    * opqPermutation stance. */
+  private[graft] def opqResidualPermutation(s: SparkSession, dir: String,
+      assigned: DataFrame): Seq[Int] = {
+    val rexp = kmeansCodes(s, dir).join(assigned, "vec_id")
+      .select(col("cell"), posexplode(expr(
+        "transform(qd, x -> CAST(x AS BIGINT))")))
+      .select(col("cell"), col("pos").as("d"), col("col").as("x"))
+    val cent = rexp.groupBy("cell", "d")
+      .agg(sum("x").as("sm"), count(lit(1)).as("n"))
+      .withColumn("cm", floor(col("sm").cast("double") / col("n")).cast("long"))
+      .select(col("cell"), col("d"), col("cm"))
+    val stats = rexp.join(cent, Seq("cell", "d"))
+      .withColumn("r", col("x") - col("cm"))
+      .groupBy("d")
+      .agg((count(lit(1)).cast("decimal(38,0)") *
+            sum(expr("r * r")).cast("decimal(38,0)") -
+            sum(col("r")).cast("decimal(38,0)") *
+            sum(col("r")).cast("decimal(38,0)")).as("varn"))
+      .collect().map(r => (r.getInt(0), r.getDecimal(1)))
+    require(stats.length == 64, s"census must cover 64 dims, got ${stats.length}")
+    val ordered = stats.sortWith { (a, b) =>
+      val c = a._2.compareTo(b._2)
+      if (c != 0) c > 0 else a._1 < b._1 // varn DESC, d ASC
+    }.map(_._1)
+    val perm = new Array[Int](64)
+    ordered.zipWithIndex.foreach { case (d, r) =>
+      perm((r % PqM) * PqSubDim + r / PqM) = d }
+    perm.toSeq
+  }
+
+  /** The residual-variance-census oracle chain through `rerankedr`:
+    * coarse cells, quantize, the per-cell floor-mean residual census
+    * (exact integers; HUGEINT variance numerator mirrors the Spark
+    * decimal(38,0)), the round-robin dealing, the split over the
+    * rv-permuted codes (named `sub`, the residual tail's contract),
+    * then [[residualTailCtes]] verbatim. */
+  private lazy val ivfPqRvOpqResOracleCtes: String =
+    s"""$coarseCellCtes, $duckQuantizeCte, rexp AS (
+       |  SELECT cell, t.x['pos'] AS pos, CAST(t.x['v'] AS BIGINT) AS x
+       |  FROM (SELECT a.cell, q.qd FROM q JOIN assigned a ON q.vec_id = a.vec_id) j,
+       |    unnest([{'pos': i, 'v': qd[i]} FOR i IN range(1, len(qd) + 1)]) AS t(x)
+       |), rcent AS (
+       |  SELECT cell, pos,
+       |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+       |  FROM rexp GROUP BY 1, 2
+       |), rvstats AS (
+       |  SELECT pos - 1 AS d, count(*) * sum(r * r) - sum(r) * sum(r) AS varn
+       |  FROM (SELECT rexp.pos, rexp.x - rc.cm AS r
+       |        FROM rexp JOIN rcent rc
+       |          ON rexp.cell = rc.cell AND rexp.pos = rc.pos)
+       |  GROUP BY 1
+       |), permrv AS (
+       |  SELECT ((r % $PqM) * $PqSubDim + r // $PqM) AS pos, d FROM (
+       |    SELECT d, row_number() OVER (ORDER BY varn DESC, d) - 1 AS r
+       |    FROM rvstats)
+       |), qprv AS (
+       |  SELECT vec_id, list(x ORDER BY pos) AS qd FROM (
+       |    SELECT q.vec_id, p.pos, q.qd[p.d + 1] AS x FROM q, permrv p
+       |  ) GROUP BY 1
+       |), ${pqSplitCteFrom("qprv")}, $residualTailCtes""".stripMargin
+
+  /** IVF-PQ with the RESIDUAL-variance-census permutation feeding the
+    * trained residual codebook — round 15's priced next step, built:
+    * the naive OPQ∘residual composition measured a LOSS (48 vs 52 at
+    * sf1j) because the raw-code census ranks by cell-level energy the
+    * residual subtraction then removes; this arm computes the census
+    * on the residuals themselves (assignment before permutation), so
+    * the round-robin dealing balances what the shared residual
+    * codebook actually quantizes. Storage and search cost identical
+    * to ann_ivf_pq_res / ann_ivfpq_opq_res (a permutation is free at
+    * query time); identical seed cells, nprobe, M/K, shortlist,
+    * rerank — the recall delta against those two rows reads directly
+    * off the ladder (RESIDUAL_GAIN.json carries this as its sixth
+    * arm). */
+  val annIvfPqRvOpqRes: Q = Q(
+    "ann_ivfpq_rvopq_res",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2")))
+      val cellScores = e.crossJoin(cents)
+        .select(col("vec_id"), col("c_id"),
+          cosWith("v", "n2", "cv", "cn2").as("c_cos"))
+      val assigned = cellScores.groupBy("vec_id")
+        .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
+      val probeCells = cellScores.filter(expr(ProbeFilter))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id").as("probe_id"), col("c_id").as("cell"))
+      val perm = opqResidualPermutation(s, dir, assigned)
+      val permSub = subvectorsOf(kmeansCodes(s, dir).withColumn("qd", expr(
+        s"transform(array(${perm.mkString(", ")}), i -> element_at(qd, i + 1))")))
+      residualAdcSearch(s, dir, assigned, probeCells,
+        subvectors = Some(permSub))
+    },
+    Some(s"""WITH $ivfPqRvOpqResOracleCtes
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id
+            |      ORDER BY cos DESC, n_id) AS rank
+            |  FROM rerankedr
+            |) WHERE rank <= 5""".stripMargin))
+
+  /** Recall@5 of the residual-variance-census composition vs exact
+    * brute force — the sixth point on the measured training ladder,
+    * same harness and depths as every other recall row; the question
+    * it answers is whether a residual-aware census makes the
+    * permutation and the trained codebook finally stack
+    * (beats max(opq, res)?). */
+  val annRecallIvfPqRvOpqRes: Q = Q(
+    "ann_recall_ivfpq_rvopq_res",
+    (s, dir) => {
+      val exact = annBruteforce.run(s, dir).filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annIvfPqRvOpqRes.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+        .localCheckpoint()
+      exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+        .withColumn("recall_pct", expr("hits * 100 div k"))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH $ivfPqRvOpqResOracleCtes, approx AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT probe_id, n_id,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY cos DESC, n_id) AS rank
+            |    FROM rerankedr
+            |  ) WHERE rank <= 5
+            |), bf AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT p.vec_id AS probe_id, x.vec_id AS n_id,
+            |      row_number() OVER (PARTITION BY p.vec_id
+            |        ORDER BY ${duckCosine("p.v", "x.v")} DESC, x.vec_id) AS rank
+            |    FROM e x JOIN e p ON x.vec_id <> p.vec_id
+            |    WHERE p.$ProbeFilter
+            |  ) WHERE rank <= 5
+            |)
+            |SELECT b.probe_id, count(*) AS k, count(a.n_id) AS hits,
+            |  count(a.n_id) * 100 // count(*) AS recall_pct
+            |FROM bf b LEFT JOIN approx a
+            |  ON b.probe_id = a.probe_id AND b.n_id = a.n_id
+            |GROUP BY 1 ORDER BY b.probe_id""".stripMargin))
+
   /** The trained-cell CTE block for the IVFADC oracle: reuses
     * [[kmeansOracleCtes]] verbatim for the one-Lloyd-stage coarse
     * quantizer (codes -> seed centroids -> assign -> integer-mean
@@ -3112,12 +3281,251 @@ object Ann {
             |FROM p LEFT JOIN per ON p.probe_id = per.probe_id
             |ORDER BY p.probe_id""".stripMargin))
 
+  /** Filtered search over the COMPRESSED index — ann_filtered_nprobe's
+    * metadata pre-filter composed with ann_ivf_pq's coded index: the
+    * query shape a production vector store actually serves (FAISS
+    * IDSelector / Milvus filtered search / Vespa filtered ANN). The
+    * label predicate lands on the (cell, label, codes) index slice —
+    * BELOW the ADC LUT join, so disqualified candidates never cost a
+    * table lookup, let alone a raw-vector read — then ADC-sums the
+    * survivors and exact-reranks the [[AdcShortlist]]-deep shortlist.
+    * At 100 TB each filtered query touches nprobe/k of the CODED
+    * index (4 ints + a label per row), and raw vectors are fetched
+    * for shortlist finalists only; nprobe=2 is carried over from
+    * ann_filtered_nprobe because a selective predicate starves
+    * single-cell candidate pools (measured on ann_recall_filtered).
+    * Every stage is the already-verified arithmetic of its parents,
+    * so the composition hash-matches the composed oracle. */
+  val annFilteredPq: Q = Q(
+    "ann_filtered_pq",
+    (s, dir) => {
+      val e = emb(s, dir)
+      // offline: labeled coarse cells + PQ codes
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2")))
+      val cellScores = e.crossJoin(cents)
+        .select(col("vec_id"), col("label"), col("c_id"),
+          cosWith("v", "n2", "cv", "cn2").as("c_cos"))
+      val assigned = cellScores.groupBy("vec_id", "label")
+        .agg(expr("graft_argmax(c_id, c_cos)").as("cell"))
+      val sub = pqSubvectors(s, dir).localCheckpoint()
+      val cb = pqCodebook(sub)
+      val enc = sub.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("c_id"),
+          sqDist("sn2", "cn2", "sv", "cd").as("d"))
+        .groupBy("vec_id", "m")
+        .agg(expr("graft_argmax(c_id, -d)").as("c_id"))
+      val indexed = enc.join(assigned, "vec_id")
+      // online: probed cells -> label filter on the coded slice ->
+      // ADC -> exact rerank
+      val probeCells = cellScores.filter(expr(ProbeFilter))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+          col("c_id").as("cell"))
+      val lut = sub.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("m").as("pm"),
+          col("sv").as("psv"), col("sn2").as("psn2"))
+        .join(cb, col("pm") === col("m"))
+        .select(col("probe_id"), col("m"), col("c_id"),
+          sqDist("psn2", "cn2", "psv", "cd").as("d"))
+      val shortlist = indexed.join(broadcast(probeCells), "cell")
+        .filter(col("vec_id") =!= col("probe_id") &&
+          col("label") === col("p_label"))
+        .join(broadcast(lut), Seq("probe_id", "m", "c_id"))
+        .select(col("probe_id"), col("vec_id").as("n_id"), col("d"))
+        .groupBy("probe_id", "n_id")
+        .agg(sum(col("d")).cast("long").as("adist"))
+        .withColumn("rq", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("adist"), col("n_id"))))
+        .filter(col("rq") <= AdcShortlist)
+      shortlist
+        .join(e.select(col("vec_id"), col("v").as("pv"), col("n2").as("pn2")),
+          col("probe_id") === col("vec_id")).drop("vec_id")
+        .join(e.select(col("vec_id"), col("v").as("nv"), col("n2").as("nn2")),
+          col("n_id") === col("vec_id"))
+        .select(col("probe_id"), col("n_id"),
+          cosWith("pv", "pn2", "nv", "nn2").as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"), col("rank"),
+          round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+            |), c AS (
+            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+            |), cs AS (
+            |  SELECT e.vec_id, e.label, c_id, ${duckCosine("e.v", "cv")} AS c_cos
+            |  FROM e CROSS JOIN c
+            |), assigned AS (
+            |  SELECT vec_id, label, c_id AS cell FROM (
+            |    SELECT vec_id, label, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS rn
+            |    FROM cs
+            |  ) WHERE rn = 1
+            |), pc AS (
+            |  SELECT vec_id AS probe_id, label AS p_label, c_id AS cell FROM (
+            |    SELECT vec_id, label, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS crn
+            |    FROM cs WHERE $ProbeFilter
+            |  ) WHERE crn <= 2
+            |), $pqCoreCtes, adcf AS (
+            |  SELECT pc.probe_id, a.vec_id AS n_id,
+            |    CAST(sum(lut.dist) AS BIGINT) AS adist
+            |  FROM assigned a
+            |  JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+            |    AND a.label = pc.p_label
+            |  JOIN enc ON enc.vec_id = a.vec_id
+            |  JOIN lut ON lut.probe_id = pc.probe_id AND lut.m = enc.m
+            |    AND lut.c_id = enc.code
+            |  GROUP BY 1, 2
+            |), shortf AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT probe_id, n_id,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY adist, n_id) AS rq
+            |    FROM adcf
+            |  ) WHERE rq <= $AdcShortlist
+            |), rerankedf AS (
+            |  SELECT s.probe_id, s.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM shortf s
+            |  JOIN e ep ON s.probe_id = ep.vec_id
+            |  JOIN e en ON s.n_id = en.vec_id
+            |)
+            |SELECT probe_id, n_id, rank, round(cos, 6) AS cos_sim
+            |FROM (
+            |  SELECT probe_id, n_id, cos,
+            |    row_number() OVER (PARTITION BY probe_id
+            |      ORDER BY cos DESC, n_id) AS rank
+            |  FROM rerankedf
+            |) WHERE rank <= 5""".stripMargin))
+
+  /** Recall@5 of filtered IVF-PQ vs the same filtered-exact ground
+    * truth as [[annRecallFiltered]] / [[annRecallFilteredNprobe]] —
+    * the three rows share one harness, so they price each lever
+    * separately: what the second probe buys back from predicate
+    * starvation, and what PQ compression then costs on top. Approx
+    * side materialized (localCheckpoint) before scoring, per the
+    * IVF-PQ recall discipline; starved probes surface with k=0. */
+  val annRecallFilteredPq: Q = Q(
+    "ann_recall_filtered_pq",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val probes = broadcast(e.filter(expr(ProbeFilter))
+        .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+          col("v").as("pv"), col("n2").as("pn2")))
+      val exact = e.join(probes,
+          col("vec_id") =!= col("probe_id") && col("label") === col("p_label"))
+        .select(col("probe_id"), col("vec_id").as("n_id"),
+          cosWith("pv", "pn2", "v", "n2").as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("n_id"))
+      val approx = annFilteredPq.run(s, dir)
+        .select(col("probe_id").as("a_probe"), col("n_id").as("a_n"))
+        .localCheckpoint()
+      val per = exact.join(approx,
+          col("probe_id") === col("a_probe") && col("n_id") === col("a_n"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k"), count(col("a_n")).as("hits"))
+      e.filter(expr(ProbeFilter)).select(col("vec_id").as("probe_id"))
+        .join(per, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("k"), lit(0L)).as("k"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_pct",
+          when(col("k") === 0, lit(100L)).otherwise(expr("hits * 100 div k")))
+        .orderBy("probe_id")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+            |), p AS (
+            |  SELECT vec_id AS probe_id, label AS p_label, v AS pv
+            |  FROM e WHERE $ProbeFilter
+            |), bf_scored AS (
+            |  SELECT probe_id, e.vec_id AS n_id, ${duckCosine("pv", "e.v")} AS cos
+            |  FROM e JOIN p ON e.vec_id <> p.probe_id AND e.label = p.p_label
+            |), bf_ranked AS (
+            |  SELECT probe_id, n_id,
+            |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, n_id) AS rank
+            |  FROM bf_scored
+            |), exact AS (
+            |  SELECT probe_id, n_id FROM bf_ranked WHERE rank <= 5
+            |), c AS (
+            |  SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+            |), cs AS (
+            |  SELECT e.vec_id, e.label, c_id, ${duckCosine("e.v", "cv")} AS c_cos
+            |  FROM e CROSS JOIN c
+            |), assigned AS (
+            |  SELECT vec_id, label, c_id AS cell FROM (
+            |    SELECT vec_id, label, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS rn
+            |    FROM cs
+            |  ) WHERE rn = 1
+            |), pc AS (
+            |  SELECT vec_id AS probe_id, label AS p_label, c_id AS cell FROM (
+            |    SELECT vec_id, label, c_id,
+            |      row_number() OVER (PARTITION BY vec_id
+            |        ORDER BY c_cos DESC, c_id) AS crn
+            |    FROM cs WHERE $ProbeFilter
+            |  ) WHERE crn <= 2
+            |), $pqCoreCtes, adcf AS (
+            |  SELECT pc.probe_id, a.vec_id AS n_id,
+            |    CAST(sum(lut.dist) AS BIGINT) AS adist
+            |  FROM assigned a
+            |  JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+            |    AND a.label = pc.p_label
+            |  JOIN enc ON enc.vec_id = a.vec_id
+            |  JOIN lut ON lut.probe_id = pc.probe_id AND lut.m = enc.m
+            |    AND lut.c_id = enc.code
+            |  GROUP BY 1, 2
+            |), shortf AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT probe_id, n_id,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY adist, n_id) AS rq
+            |    FROM adcf
+            |  ) WHERE rq <= $AdcShortlist
+            |), rerankedf AS (
+            |  SELECT s.probe_id, s.n_id, ${duckCosine("ep.v", "en.v")} AS cos
+            |  FROM shortf s
+            |  JOIN e ep ON s.probe_id = ep.vec_id
+            |  JOIN e en ON s.n_id = en.vec_id
+            |), approx AS (
+            |  SELECT probe_id, n_id FROM (
+            |    SELECT probe_id, n_id,
+            |      row_number() OVER (PARTITION BY probe_id
+            |        ORDER BY cos DESC, n_id) AS rank
+            |    FROM rerankedf
+            |  ) WHERE rank <= 5
+            |), per AS (
+            |  SELECT x.probe_id, count(*) AS k, count(a.n_id) AS hits
+            |  FROM exact x LEFT JOIN approx a
+            |    ON x.probe_id = a.probe_id AND x.n_id = a.n_id
+            |  GROUP BY 1
+            |)
+            |SELECT p.probe_id, coalesce(per.k, 0) AS k,
+            |  coalesce(per.hits, 0) AS hits,
+            |  CASE WHEN coalesce(per.k, 0) = 0 THEN 100
+            |       ELSE per.hits * 100 // per.k END AS recall_pct
+            |FROM p LEFT JOIN per ON p.probe_id = per.probe_id
+            |ORDER BY p.probe_id""".stripMargin))
+
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, vecNorms, annRecall,
     annRecallIvf, annIvfNprobe, vecQuantize, annRecallNprobe, annQuantized,
     annRecallQuantized, clusterKmeans, dedupSemantic, dedupBlockingRecall,
     annIncremental, annPq, annRecallPq, annIvfPq, annRecallIvfPq,
     annIvfPqOpq, annRecallIvfPqOpq,
     annIvfPqRes, annRecallIvfPqRes, annIvfPqOpqRes, annRecallIvfPqOpqRes,
+    annIvfPqRvOpqRes, annRecallIvfPqRvOpqRes,
     annIvfAdc, annRecallIvfAdc, vecProject,
-    annFiltered, annRecallFiltered, annFilteredNprobe, annRecallFilteredNprobe)
+    annFiltered, annRecallFiltered, annFilteredNprobe, annRecallFilteredNprobe,
+    annFilteredPq, annRecallFilteredPq)
 }

@@ -791,7 +791,24 @@ object Dedup {
     * scalar of driver metadata, same as dedup_blocking_recall's. */
   val dedupEmbedding: Q = Q(
     "dedup_embedding",
-    (s, dir) => {
+    (s, dir) => embeddingFoundPairs(s, dir, None),
+    embeddingOracleSql)
+
+  /** The hyperplane near-dup machinery behind [[dedupEmbedding]],
+    * parameterized for eval: `anchorMod = Some(S)` restricts the
+    * member expansion to pairs whose MIN member id ≡ 0 (mod S) —
+    * dedup_blocking_recall's anchor predicate — applied BEFORE the
+    * expansion joins (the shipped row's `least()` output hides the
+    * member ids from Catalyst, so a post-hoc filter pays full
+    * member-pair materialization; round-15's measured 23 → 47 s sf10
+    * regression). With `None` this IS the shipped row, bit for bit.
+    * Everything up to the rep-pair cosines is identical either way —
+    * the anchor path changes only which member pairs are enumerated,
+    * never which rep pairs are found, so the recall it measures is
+    * exactly the shipped pipeline's. */
+  private[operators] def embeddingFoundPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      anchorMod: Option[Long]): DataFrame = {
       // REP-LEVEL by VECTOR VALUE (round 15): byte-identical vectors
       // (a crawl's replica copies, and exactly what replica scaling
       // produces) have identical hyperplane keys and pairwise cosine
@@ -800,10 +817,14 @@ object Dedup {
       // intra pairs at cos 1.0 (iff the rep is retained in >= 1
       // bucket), cross pairs inheriting the rep pair's exact cosine
       // (a pure function of the two vectors). The grouping key in
-      // Spark is a 128-bit xxhash pair of the raw float array (the
-      // fp60/fp60b collision stance — 16-byte shuffle key, never the
-      // vector); the oracle partitions by the vector itself, so a
-      // collision would surface as a hash mismatch. The per-bucket cap
+      // Spark is a 128-bit pair (the fp60/fp60b collision stance —
+      // 16-byte shuffle key, never the vector): xxhash64 of the array
+      // plus xxhash64 of the REVERSED array — two different input
+      // byte streams, an independent family rather than a seed tweak
+      // of the same stream (a joint collision needs both hashes of
+      // both orderings to collide). The oracle partitions by the
+      // vector itself, so a collision would surface as a hash
+      // mismatch at tested SFs. The per-bucket cap
       // counts DISTINCT vectors, LCG-ordered by rep id; the oracle
       // applies the identical rep-level cap. Bucket join still moves
       // (id, bk) only; cosines are computed once per rep pair.
@@ -815,7 +836,7 @@ object Dedup {
       // the checkpoint so pinned storage is O(ids + DISTINCT vectors)
       val fam = raw
         .withColumn("ha", xxhash64(col("embedding")))
-        .withColumn("hb", xxhash64(col("embedding"), lit(1L)))
+        .withColumn("hb", xxhash64(reverse(col("embedding"))))
         .withColumn("gid", min("vec_id").over(Window.partitionBy("ha", "hb")))
         .withColumn("embedding",
           when(col("vec_id") === col("gid"), col("embedding")))
@@ -844,21 +865,61 @@ object Dedup {
         .withColumn("cos", expr(s"${dot("av", "bv")} / sqrt(an2 * bn2)"))
         .filter(col("cos") >= 0.4)
         .select(col("ga"), col("gb"), round(col("cos"), 6).as("cos_sim"))
-      val cross = repPairs
-        .join(m.as("x"), col("ga") === col("x.gid"))
-        .join(m.as("y"), col("gb") === col("y.gid"))
-        .select(least(col("x.vec_id"), col("y.vec_id")).as("va"),
-          greatest(col("x.vec_id"), col("y.vec_id")).as("vb"),
-          col("cos_sim"))
       val intraGids = bounded.select(col("gid").as("igid")).distinct()
-      val intra = m.as("x")
-        .join(m.as("y"),
-          col("x.gid") === col("y.gid") && col("x.vec_id") < col("y.vec_id"))
-        .join(intraGids, col("x.gid") === col("igid"), "left_semi")
-        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
-          lit(1.0).as("cos_sim"))
-      cross.unionByName(intra)
-    },
+      anchorMod match {
+        case None =>
+          val cross = repPairs
+            .join(m.as("x"), col("ga") === col("x.gid"))
+            .join(m.as("y"), col("gb") === col("y.gid"))
+            .select(least(col("x.vec_id"), col("y.vec_id")).as("va"),
+              greatest(col("x.vec_id"), col("y.vec_id")).as("vb"),
+              col("cos_sim"))
+          val intra = m.as("x")
+            .join(m.as("y"),
+              col("x.gid") === col("y.gid") && col("x.vec_id") < col("y.vec_id"))
+            .join(intraGids, col("x.gid") === col("igid"), "left_semi")
+            .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+              lit(1.0).as("cos_sim"))
+          cross.unionByName(intra)
+        case Some(sMod) =>
+          // Eval-only anchored expansion: a pair survives the recall
+          // harness's `va % S == 0` iff its MIN member is an anchor,
+          // so enumerate only (anchor member) × (member) with
+          // anchor < member. The anchor member table is ~AnchorCap
+          // rows corpus-wide (ids are uniform mod S), so the
+          // expansion is bounded by anchors × family size instead of
+          // the full member-pair product. The bounded rep-pair set is
+          // materialized first (localCheckpoint — the same discipline
+          // as the IVF-PQ recall harnesses' approx-output
+          // checkpoint): it is consumed in BOTH orientations (the min
+          // can live on either side of a cross pair), and the
+          // checkpoint runs the band machinery once instead of
+          // embedding it per orientation branch.
+          val mA = m.filter(col("vec_id") % sMod === 0L)
+          val rp = repPairs.localCheckpoint(true)
+          val rp2 = rp.unionByName(rp.select(col("gb").as("ga"),
+            col("ga").as("gb"), col("cos_sim")))
+          // retained-gid list checkpointed too: id-sized, and it keeps
+          // the band-machinery subtree out of the expansion plan
+          val rg = intraGids.localCheckpoint(true)
+          val crossA = rp2
+            .join(mA.as("x"), col("ga") === col("x.gid"))
+            .join(m.as("y"), col("gb") === col("y.gid"))
+            .filter(col("x.vec_id") < col("y.vec_id"))
+            .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+              col("cos_sim"))
+          val intraA = mA.as("x")
+            .join(m.as("y"),
+              col("x.gid") === col("y.gid") && col("x.vec_id") < col("y.vec_id"))
+            .join(rg, col("x.gid") === col("igid"), "left_semi")
+            .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+              lit(1.0).as("cos_sim"))
+          crossA.unionByName(intraA)
+      }
+  }
+
+  // lazy: referenced by dedupEmbedding's eager Q construction above
+  private lazy val embeddingOracleSql: Option[String] =
     Some(s"""WITH p AS (
             |  SELECT ${duckEmbBitsFrom("count(*)")} AS bits FROM embeddings
             |), e AS (
@@ -889,7 +950,7 @@ object Dedup {
             |UNION ALL
             |SELECT x.vec_id AS va, y.vec_id AS vb, CAST(1.0 AS DOUBLE) AS cos_sim
             |FROM fam x JOIN fam y ON x.gid = y.gid AND x.vec_id < y.vec_id
-            |WHERE x.gid IN (SELECT gid FROM bounded)""".stripMargin))
+            |WHERE x.gid IN (SELECT gid FROM bounded)""".stripMargin)
 
   /** Iterative min-label connected components over an edge list
     * (columns a, b). Each round does TWO label moves:

@@ -168,14 +168,22 @@ object IncrementalDedup {
     // instrumentation the round-15 per-batch cost work was driven by
     // (a real deployment hangs metrics on exactly these boundaries)
     val t0 = System.nanoTime()
+    // Marks sit immediately AFTER a materializing action (the three
+    // collects and the two writes) and are named for the action they
+    // bracket — a mark after a lazy DataFrame definition would
+    // timestamp driver-side plan construction, not the phase.
     def mark(s: String): Unit =
       if (sys.env.contains("GRAFT_INC_TIMING"))
         println(f"[inc] $s%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    // batch-scoped persists, released in the finally: blocks that
-    // linger past the batch (as localCheckpoint's would, until GC)
-    // starve later queries' execution memory in a shared JVM
-    val fam = members.persist()
-    val reps = repSigs.persist()
+    // batch-scoped persists, ALL released in the one finally: blocks
+    // that linger past the batch (as localCheckpoint's would, until
+    // GC) starve later queries' execution memory in a shared JVM —
+    // and in the streaming curation topology a leaked block per
+    // micro-batch starves the executor progressively.
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pst(df: DataFrame): DataFrame = { df.persist(); persisted += df; df }
+    val fam = pst(members)
+    val reps = pst(repSigs)
     try {
       // ---- current minima of the batch's families (pruned index read)
       val famsLike = reps.select(col("fpa"), col("fpb"),
@@ -185,16 +193,14 @@ object IncrementalDedup {
         if (kbkts.isEmpty) emptyLike(sp, famsLike)
         else readOr(sp, s"$indexRoot/fams", famsLike)
           .filter(col("kbkt").isin(kbkts.map(Int.box): _*))
-      mark("start")
       val mbkts = reps.select(keyBkt(col("fpa"), col("fpb")).as("kbkt"))
         .distinct().collect().map(_.getInt(0)).sorted
+      mark("kbkts") // reps materialized + kbkt distinct-collect
       val oldMin = famsRead(mbkts)
         .groupBy("fpa", "fpb").agg(min("doc_id").as("omin"))
       // el: one row per eligible batch family with old/new min
-      mark("minima-read")
-      val el = reps.join(oldMin, Seq("fpa", "fpb"), "left")
-        .withColumn("nmin", least(col("bmin"), col("omin")))
-        .persist()
+      val el = pst(reps.join(oldMin, Seq("fpa", "fpb"), "left")
+        .withColumn("nmin", least(col("bmin"), col("omin"))))
       // ---- intra rejections: every known member except the new min
       val intraRej = fam
         .join(el.select(col("fpa"), col("fpb"), col("nmin")), Seq("fpa", "fpb"))
@@ -203,23 +209,20 @@ object IncrementalDedup {
         .unionByName(el.filter(col("omin").isNotNull && col("omin") =!= col("nmin"))
           .select(col("omin").as("doc_id")))
       // ---- events: families whose min changed (new, or improved)
-      mark("el")
-      val ev = el.filter(col("omin").isNull || col("bmin") < col("omin"))
-        .persist()
+      val ev = pst(el.filter(col("omin").isNull || col("bmin") < col("omin")))
       val newFam = ev.filter(col("omin").isNull)
       val evBands = bandsOf(ev)
-      val newBands = bandsOf(newFam).persist()
+      val newBands = pst(bandsOf(newFam))
       // partners = indexed families (pruned to the event bands' ibkts;
       // the event side broadcasts — the index is never shuffled) plus
       // this batch's new families (not yet in the index)
-      mark("ev")
       val ibkts = evBands.select("ibkt").distinct()
         .collect().map(_.getInt(0)).sorted
+      mark("ibkts") // el+ev materialized + event-band distinct-collect
       val idxBands =
         (if (ibkts.isEmpty) emptyLike(sp, newBands)
          else readOr(sp, s"$indexRoot/bands", newBands)
            .filter(col("ibkt").isin(ibkts.map(Int.box): _*)))
-      mark("ibkts")
       val partners = idxBands.unionByName(newBands)
         .select(col("fpa").as("pfa"), col("fpb").as("pfb"), col("bk"))
       val cand = partners
@@ -227,16 +230,17 @@ object IncrementalDedup {
           col("fpb").as("efb"), col("bk"))), Seq("bk"))
         .filter(col("pfa") =!= col("efa") || col("pfb") =!= col("efb"))
         .select("efa", "efb", "pfa", "pfb")
-        .distinct().persist()
-      mark("cand")
+        .distinct()
+      pst(cand)
       // ---- partner signatures and current minima: ONE pruned read
       // of the fams index feeds both (a family's sig rides its
       // first-seen row; min-improvement rows carry a null sig)
       val sbkts = cand
         .select(keyBkt(col("pfa"), col("pfb")).as("kbkt"))
         .distinct().collect().map(_.getInt(0)).sorted
-      val pFams = famsRead(sbkts).persist()
-      try {
+      mark("sbkts") // cand materialized + partner-kbkt distinct-collect
+      val pFams = pst(famsRead(sbkts))
+      locally {
         val partnerSigs = pFams.filter(col("sig").isNotNull)
           .select(col("fpa"), col("fpb"), col("sig"))
           .unionByName(newFam.select(col("fpa"), col("fpb"), col("sig")))
@@ -255,7 +259,6 @@ object IncrementalDedup {
           .join(partnerMins.select(col("fpa").as("pfa"), col("fpb").as("pfb"),
             col("pmin")), Seq("pfa", "pfb"))
           .select(greatest(col("nmin"), col("pmin")).as("doc_id"))
-        mark("pre-rej")
         intraRej.unionByName(crossRej).distinct()
           .write.mode("append").parquet(s"$indexRoot/rejected")
         mark("rej-write")
@@ -275,9 +278,9 @@ object IncrementalDedup {
           .repartition(col("kbkt"))
           .write.mode("append").partitionBy("kbkt").parquet(s"$indexRoot/fams")
         mark("state-write")
-      } finally { pFams.unpersist(); cand.unpersist(); () }
+      }
     } finally {
-      reps.unpersist(); fam.unpersist(); ()
+      persisted.foreach(_.unpersist()); ()
     }
   }
 

@@ -83,6 +83,33 @@ object Streams {
     v
   }
 
+  /** State-store provider for the bounded runs — `hdfs` (Spark's
+    * default heap-backed provider) or `rocksdb`
+    * (RocksDBStateStoreProvider + changelog checkpointing). The heap
+    * provider keeps EVERY key of every state partition in executor
+    * heap — measured state-VOLUME-bound on the unbounded-dedup rows
+    * (cdc_stream_dedup ~600 s at sf30) and the first thing to fall
+    * over at 100 TB; RocksDB spills state off-heap to local SSD and
+    * checkpoints per-batch CHANGELOGS instead of full snapshots,
+    * which is what a 24/7 deployment of the reference's Kafka →
+    * exactly-once-sink shape runs. Default stays `hdfs` so the tiny
+    * bounded test feeds don't pay RocksDB's per-partition open cost;
+    * scale runs set `SPARK_GRAFT_STATE_PROVIDER=rocksdb` (A/B'd in
+    * BENCH_DETAIL — see SURVEY §14). */
+  private[graft] def stateProviderConfs: Seq[(String, String)] =
+    sys.props.get("graft.state.provider") // spec override (env is fixed per JVM)
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER"))
+      .getOrElse("hdfs") match {
+      case "rocksdb" => Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true")
+      case "hdfs" => Seq.empty
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATE_PROVIDER must be hdfs or rocksdb, got: $other")
+    }
+
   /** Runs a bounded streaming DataFrame to completion into a
     * file-backed sink and returns the sink contents. Synchronized on
     * the session: the shuffle-partition override below mutates shared
@@ -111,6 +138,11 @@ object Streams {
       // to executor count, and is a fixed property of the checkpoint)
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+      // provider is a fixed property of a checkpoint; the bounded runs
+      // use fresh checkpoints per call, so it is safe to swap per run
+      val prevProv = stateProviderConfs.map { case (k, _) =>
+        k -> spark.conf.getOption(k) }
+      stateProviderConfs.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         val q = sdf.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -124,7 +156,13 @@ object Streams {
           }
           .outputMode(mode).start()
         try q.processAllAvailable() finally q.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        prevProv.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
     }
     // an all-empty feed writes no files at all; preserve the
     // memory-sink behavior of returning an empty, correctly-typed DF.

@@ -30,10 +30,18 @@ object StreamingBnljCensus {
     spark.listenerManager.register(listener)
     try {
       body
-      // the listener bus is async: poll until no new plans arrive
-      var last = -1
-      var cur = buf.size
-      while (cur != last) { Thread.sleep(300); last = cur; cur = buf.size }
+      // the listener bus is async: a single quiet 300 ms poll can
+      // declare stability while a plan is still in flight (GC pause,
+      // slow bus drain) and the census would silently miss it.
+      // Require THREE consecutive quiet polls before trusting the
+      // capture.
+      var quiet = 0
+      var last = buf.size
+      while (quiet < 3) {
+        Thread.sleep(300)
+        val cur = buf.size
+        if (cur == last) quiet += 1 else { quiet = 0; last = cur }
+      }
       buf.asScala.toSeq
     } finally spark.listenerManager.unregister(listener)
   }

@@ -550,4 +550,100 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(pct == hits * 100 / k, "recall must be the integer percentage")
     }
   }
+
+  test("ann_filtered_pq: neighbors never cross labels; ranks dense within 5; brute ceiling holds") {
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Ann.annFilteredPq.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the predicate landed on the coded slice: a neighbor NEVER
+    // crosses labels even though scoring ran over PQ codes
+    rows.foreach { r =>
+      assert(labels(r.getLong(1)) == labels(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} label != probe ${r.getLong(0)}'s")
+      assert(r.getLong(1) != r.getLong(0))
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 5)
+    }
+    // filtered + compressed search can never beat the UNfiltered exact
+    // top-1 (the rerank cosine is a true cosine over a candidate
+    // subset)
+    val brute = Ann.annBruteforce.run(spark, sfDir).collect()
+      .filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.filter(_.getInt(2) == 1).foreach { r =>
+      assert(r.getDouble(3) <= brute(r.getLong(0)) + 1e-12)
+    }
+  }
+
+  test("ann_recall_filtered_pq: one row per probe, hits <= k <= 5, starved probes keep k=0") {
+    val rows = Ann.annRecallFilteredPq.run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val (k, hits, pct) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k >= 0 && k <= 5)
+      assert(hits >= 0 && hits <= k)
+      if (k == 0) assert(pct == 100L)
+      else assert(pct == hits * 100 / k, "recall must be the integer percentage")
+    }
+  }
+
+  test("ann_ivfpq_rvopq_res: the residual-variance census matches a scalar recompute and deals round-robin") {
+    graft.functions.Native.install(spark)
+    // scalar recompute of the row's whole census chain: raw doubles ->
+    // seed-cell cosine argmax assignment -> engine int8 codes ->
+    // per-(cell, dim) floor-of-double-div means -> exact-integer
+    // residual variance numerator (BigInt: overflow-proof like the
+    // row's decimal(38,0)) -> rank (varn desc, d asc) -> round-robin
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cents = vecs.filter(_._1 < 16)
+    val cellOf = vecs.map { case (id, v) =>
+      val n2 = dotd(v, v)
+      id -> cents.map { case (cid, cv) =>
+        (cid, dotd(v, cv) / math.sqrt(n2 * dotd(cv, cv)))
+      }.maxBy { case (cid, cos) => (cos, -cid.toDouble) }._1
+    }.toMap
+    val codes = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(graft_int8_codes(transform(embedding, x -> CAST(x AS DOUBLE))).codes, x -> CAST(x AS BIGINT)) AS c")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val byCell = codes.groupBy { case (id, _) => cellOf(id) }
+    val cm = byCell.map { case (cell, members) =>
+      cell -> (0 until 64).map { d =>
+        math.floor(members.map(_._2(d)).sum.toDouble / members.size).toLong
+      }.toArray
+    }
+    val n = BigInt(codes.length)
+    val ranked = (0 until 64).map { d =>
+      val rs = codes.map { case (id, c) => BigInt(c(d) - cm(cellOf(id))(d)) }
+      d -> (n * rs.map(r => r * r).sum - rs.sum * rs.sum)
+    }.sortBy { case (d, v) => (-v, BigInt(d)) }.map(_._1)
+    // the row's census, fed the SAME assignment
+    import spark.implicits._
+    val assigned = cellOf.toSeq.toDF("vec_id", "cell")
+    val perm = Ann.opqResidualPermutation(spark, sfDir, assigned)
+    assert(perm.sorted == (0 until 64), "must be a permutation of the 64 dims")
+    ranked.zipWithIndex.foreach { case (d, r) =>
+      assert(perm((r % 4) * 16 + r / 4) == d,
+        s"residual-variance rank $r (dim $d) not dealt round-robin")
+    }
+    // and the composed row keeps the search contract; its rank-1
+    // rerank cosine can never beat the exact brute-force top-1
+    val rows = Ann.annIvfPqRvOpqRes.run(spark, sfDir).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getLong(0)).distinct.length == 5)
+    val brute = Ann.annBruteforce.run(spark, sfDir).collect()
+      .filter(_.getInt(2) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.filter(_.getInt(2) == 1).foreach { r =>
+      assert(r.getDouble(3) <= brute(r.getLong(0)) + 1e-12)
+    }
+  }
 }

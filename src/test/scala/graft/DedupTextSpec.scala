@@ -52,6 +52,80 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r => assert(r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0))
   }
 
+  // Round 16: dedup_simhash / dedup_embedding moved to rep-level
+  // candidate generation in round 15, and their DuckDB oracles moved
+  // in lockstep (the cap counts DISTINCT fingerprints/vectors) — so
+  // the oracle now verifies "same rep-level algorithm on both
+  // engines", a weaker independence guarantee than the minhash rows'
+  // untouched doc-level oracles. These two specs restore the lost
+  // strength: at sf0.001 every bucket is under the cap, where the
+  // rep-level and the ORIGINAL direct doc-level definitions provably
+  // coincide — computed here independently (per-DOC band keys, plain
+  // self-join, no family machinery) and asserted set-equal to the
+  // shipped rows' output.
+
+  test("dedup_simhash rep-level ≡ direct doc-level at a cap-free SF") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Portable => P}
+    graft.functions.Native.install(spark)
+    val bands = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("words", expr(P.words("text")))
+      .filter(expr("size(words) >= 3"))
+      .select(col("doc_id"),
+        expr(P.simhash60(P.shingleHashes60("words"))).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        explode(expr(P.simhashBands("fp"))).as("bk"))
+    // precondition: the cap is a no-op here (counting DOC members)
+    val maxBucket = bands.groupBy("bk").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxBucket <= Dedup.MaxEmbBucket,
+      s"sf0.001 bucket occupancy $maxBucket exceeds the cap — the " +
+        "equivalence premise no longer holds at this SF")
+    val direct = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct()
+    val shipped = Dedup.dedupSimhash.run(spark, dir)
+    assert(direct.exceptAll(shipped).isEmpty &&
+      shipped.exceptAll(direct).isEmpty,
+      "rep-level output differs from the direct doc-level definition")
+    assert(shipped.count() > 0)
+  }
+
+  test("dedup_embedding rep-level ≡ direct doc-level at a cap-free SF") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Portable => P}
+    graft.functions.Native.install(spark)
+    val tbl = graft.sources.Tables(spark, dir)
+    val bits = Dedup.embBits(tbl.embeddingsCount)
+    val keys = tbl.embeddings
+      .select(col("vec_id"), expr(P.toDouble("embedding")).as("v"))
+      .withColumn("n2", expr(P.dot("v", "v")))
+      .select(col("vec_id"), col("v"), col("n2"),
+        explode(expr(P.hyperplaneKeysN("v", bits.toString))).as("bk"))
+    val maxBucket = keys.groupBy("bk").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxBucket <= Dedup.MaxEmbBucket,
+      s"sf0.001 bucket occupancy $maxBucket exceeds the cap — the " +
+        "equivalence premise no longer holds at this SF")
+    val direct = keys.as("a")
+      .join(keys.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        expr(s"${P.dot("a.v", "b.v")} / sqrt(a.n2 * b.n2)").as("cos"))
+      .distinct()
+      .filter(col("cos") >= 0.4)
+      .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
+    val shipped = Dedup.dedupEmbedding.run(spark, dir)
+    assert(direct.exceptAll(shipped).isEmpty &&
+      shipped.exceptAll(direct).isEmpty,
+      "rep-level output differs from the direct doc-level definition")
+    assert(shipped.count() > 0)
+  }
+
   test("text metrics are well-formed") {
     val q = TextOps.textQuality.run(spark, dir).collect()
     q.foreach { r =>

@@ -31,13 +31,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // 12 when the kmeans constituent became two-level (the la1 local
     // reassign — cid join + argmax agg — is embedded once per
     // self-join side; deliberately NOT checkpointed so the argmax
-    // HashAggregate stays auditable in consumer plans). Round 15 adds
-    // +3: the hyperplane constituent went rep-level and its member-
-    // expansion joins (cross x/y on gid, intra m x m) are embedded
-    // once per consumer — id-sized rows, output-scaled, never corpus
-    // text. 12 -> 15. Each constituent stays under the ceiling
-    // (dedup_embedding 8 incl. expansion, dedup_semantic 6,
-    // cluster_kmeans 4).
+    // HashAggregate stays auditable in consumer plans). Round 15 added
+    // +3 (the hyperplane constituent went rep-level, member-expansion
+    // joins embedded in the consumer: 12 -> 15); round 16 brought it
+    // back to 10: the harness enters the hyperplane machinery through
+    // the EVAL-ONLY anchored expansion (Dedup.embeddingFoundPairs with
+    // anchorMod), which materializes (localCheckpoint) the bounded
+    // rep-pair set and the retained-gid list before expanding — so the
+    // consumer plan carries only the anchored expansion joins, and the
+    // band machinery runs once instead of being embedded per branch.
+    // Ceiling kept at 15 (the documented worst shape). Each
+    // constituent stays under the default ceiling (dedup_embedding 8
+    // incl. expansion, dedup_semantic 6, cluster_kmeans 4).
     // The IVF-PQ recall harnesses materialize (localCheckpoint) the
     // approx search output before scoring it, so their comparison
     // plans carry only the brute-force ground-truth chain — no
@@ -45,10 +50,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // audited on their search rows (ann_ivf_pq / ann_ivf_pq_res).
     val ceiling = Map("dedup_blocking_recall" -> 15).withDefaultValue(8)
     val streaming = graft.streaming.Streams.all.map(_.name).toSet
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
+    val census = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(streaming.contains)
       .map(n => n -> "hashpartitioning\\(".r.findAllIn(plan(n)).size)
-      .filter { case (n, c) => c > ceiling(n) }
+    census.filter(_._2 > 8).foreach { case (n, c) =>
+      info(s"documented-exception row $n: $c static hash exchanges") }
+    val offenders = census.filter { case (n, c) => c > ceiling(n) }
     assert(offenders.isEmpty, s"shuffle ceiling exceeded: $offenders")
   }
 
@@ -92,14 +99,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       // shape 1: broadcast centroid/probe/codebook products
       "ann_bruteforce", "ann_ivf", "ann_ivf_nprobe", "ann_ivf_pq",
       "ann_ivfpq_opq", "ann_ivf_pq_res", "ann_ivfpq_opq_res",
-      "ann_ivfadc", "ann_quantized",
-      "ann_filtered", "ann_filtered_nprobe",
+      "ann_ivfadc", "ann_quantized", "ann_ivfpq_rvopq_res",
+      "ann_filtered", "ann_filtered_nprobe", "ann_filtered_pq",
       // shape 2: recall harnesses over shape 1
       "ann_recall", "ann_recall_ivf", "ann_recall_nprobe",
       "ann_recall_filtered", "ann_recall_filtered_nprobe",
+      "ann_recall_filtered_pq",
       "ann_recall_quantized", "ann_recall_pq", "ann_recall_ivfpq",
       "ann_recall_ivfpq_opq", "ann_recall_ivfpq_res",
-      "ann_recall_ivfpq_opq_res", "ann_recall_ivfadc",
+      "ann_recall_ivfpq_opq_res", "ann_recall_ivfpq_rvopq_res",
+      "ann_recall_ivfadc",
       // shape 3: 1-row totals / bounded rate censuses
       "text_tfidf", "text_lm_score", "sample_mix", "sample_temperature",
       // shape 4: bounded non-equi joins
@@ -128,8 +137,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("hashpartitioning\\(".r.findAllIn(p).size <= 4, p)
   }
 
-  test("ann_filtered (and its nprobe=2 variant): label predicate joins the index slice below the rerank, assign is the argmax aggregate") {
-    for (name <- Seq(Ann.annFiltered.name, "ann_filtered_nprobe")) {
+  test("ann_filtered (and its nprobe=2 / PQ variants): label predicate joins the index slice below the rerank, assign is the argmax aggregate") {
+    for (name <- Seq(Ann.annFiltered.name, "ann_filtered_nprobe",
+                     "ann_filtered_pq")) {
       val p = plan(name)
       assert(p.contains("graft_argmax"), s"$name\n$p")
       // PRE-filtering, actually pinned: every node that evaluates the
@@ -160,6 +170,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
           s"(p_label nodes $labelNodes, Window $winNum)\n$p")
       assert(joinNodes.nonEmpty && joinNodes.forall(_ < winNum),
         s"$name: rerank joins must sit below the Window\n$p")
+      // the PQ composition's stronger contract: the label predicate
+      // sits below even the SHORTLIST Window (the one ranking by
+      // adist, directly above the ADC sum) — disqualified candidates
+      // never cost a LUT lookup, not merely never a rerank. Identified
+      // by detail content, NOT by min node number: the probe-cells crn
+      // window lives inside a broadcast subtree whose nodes number
+      // below the candidate join.
+      if (name == "ann_filtered_pq") {
+        var curW = -1
+        var inWin = false
+        var shortWin = -1
+        p.linesIterator.foreach { l =>
+          header.findFirstMatchIn(l) match {
+            case Some(m) =>
+              curW = m.group(1).toInt
+              inWin = l.contains("Window")
+            case None =>
+              if (inWin && l.contains("adist") && shortWin < 0) shortWin = curW
+          }
+        }
+        assert(shortWin > 0, s"$name: no adist shortlist Window found\n$p")
+        assert(labelNodes.forall(_ < shortWin),
+          s"$name: label predicate must stay below the ADC shortlist " +
+            s"Window (p_label nodes $labelNodes, shortlist Window $shortWin)\n$p")
+      }
     }
   }
 
