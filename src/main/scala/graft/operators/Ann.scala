@@ -2618,7 +2618,21 @@ object Ann {
     * query time); identical seed cells, nprobe, M/K, shortlist,
     * rerank — the recall delta against those two rows reads directly
     * off the ladder (RESIDUAL_GAIN.json carries this as its sixth
-    * arm). */
+    * arm).
+    *
+    * MEASURED ANSWER (round 16, six-arm artifact): the residual-aware
+    * census recovers PART of the naive composition's loss at sf1j —
+    * 56 vs the naive 48, back above the 52 baseline — confirming the
+    * round-15 mechanism diagnosis (the raw census does misrank
+    * residual energy), but the levers STILL do not stack: both single
+    * levers stay ahead (opq 72, res 64). And at sf0.1 (N=2000, ~125
+    * codes per cell) it reads 68 vs base 92: per-cell floor-means are
+    * noisy at small occupancy, so the census ranks noise. Conclusion
+    * recorded for the ladder: any variance-census permutation breaks
+    * the subspace COHERENCE (adjacent correlated dims quantized
+    * together) that residual training exploits — the next real step
+    * up is a learned rotation (full OPQ SVD), which would not
+    * oracle-verify bit-exactly and is out of scope by design. */
   val annIvfPqRvOpqRes: Q = Q(
     "ann_ivfpq_rvopq_res",
     (s, dir) => {
