@@ -1489,8 +1489,8 @@ object Ann {
     * geometry — and EVERY distance is a sum of integer-valued doubles
     * (exact far below 2^53): no float rounding exists anywhere in the
     * operator, output distances are BIGINT. */
-  private val PqM = 4
-  private val PqSubDim = 16 // 64 dims / 4 subspaces
+  private[graft] val PqM = 4
+  private[graft] val PqSubDim = 16 // 64 dims / 4 subspaces
 
   /** (vec_id, m, sv, sn2): a (vec_id, qd) code-vector frame split into
     * per-subspace code vectors; sn2 = <sv,sv> (exact integer-valued
@@ -2564,12 +2564,13 @@ object Ann {
             sum(col("r")).cast("decimal(38,0)") *
             sum(col("r")).cast("decimal(38,0)")).as("varn"))
       .collect().map(r => (r.getInt(0), r.getDecimal(1)))
-    require(stats.length == 64, s"census must cover 64 dims, got ${stats.length}")
+    val dims = PqM * PqSubDim
+    require(stats.length == dims, s"census must cover $dims dims, got ${stats.length}")
     val ordered = stats.sortWith { (a, b) =>
       val c = a._2.compareTo(b._2)
       if (c != 0) c > 0 else a._1 < b._1 // varn DESC, d ASC
     }.map(_._1)
-    val perm = new Array[Int](64)
+    val perm = new Array[Int](dims)
     ordered.zipWithIndex.foreach { case (d, r) =>
       perm((r % PqM) * PqSubDim + r / PqM) = d }
     perm.toSeq

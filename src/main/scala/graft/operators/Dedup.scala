@@ -806,7 +806,7 @@ object Dedup {
     * the anchor path changes only which member pairs are enumerated,
     * never which rep pairs are found, so the recall it measures is
     * exactly the shipped pipeline's. */
-  private[operators] def embeddingFoundPairs(
+  private[graft] def embeddingFoundPairs(
       s: org.apache.spark.sql.SparkSession, dir: String,
       anchorMod: Option[Long]): DataFrame = {
       // REP-LEVEL by VECTOR VALUE (round 15): byte-identical vectors
@@ -819,10 +819,12 @@ object Dedup {
       // (a pure function of the two vectors). The grouping key in
       // Spark is a 128-bit pair (the fp60/fp60b collision stance —
       // 16-byte shuffle key, never the vector): xxhash64 of the array
-      // plus xxhash64 of the REVERSED array — two different input
-      // byte streams, an independent family rather than a seed tweak
-      // of the same stream (a joint collision needs both hashes of
-      // both orderings to collide). The oracle partitions by the
+      // plus SALTED xxhash64 of the REVERSED array — two different
+      // input byte streams, an independent family rather than a seed
+      // tweak of the same stream; the salt keeps the streams distinct
+      // even for reversal-symmetric vectors, where reverse(v) == v
+      // would otherwise collapse the 128-bit key to a single 64-bit
+      // hash. The oracle partitions by the
       // vector itself, so a collision would surface as a hash
       // mismatch at tested SFs. The per-bucket cap
       // counts DISTINCT vectors, LCG-ordered by rep id; the oracle
@@ -836,7 +838,7 @@ object Dedup {
       // the checkpoint so pinned storage is O(ids + DISTINCT vectors)
       val fam = raw
         .withColumn("ha", xxhash64(col("embedding")))
-        .withColumn("hb", xxhash64(reverse(col("embedding"))))
+        .withColumn("hb", xxhash64(reverse(col("embedding")), lit(1L)))
         .withColumn("gid", min("vec_id").over(Window.partitionBy("ha", "hb")))
         .withColumn("embedding",
           when(col("vec_id") === col("gid"), col("embedding")))

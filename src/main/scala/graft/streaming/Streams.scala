@@ -107,7 +107,8 @@ object Streams {
           "true")
       case "hdfs" => Seq.empty
       case other => throw new IllegalArgumentException(
-        s"SPARK_GRAFT_STATE_PROVIDER must be hdfs or rocksdb, got: $other")
+        "graft.state.provider / SPARK_GRAFT_STATE_PROVIDER must be hdfs " +
+          s"or rocksdb, got: $other")
     }
 
   /** Runs a bounded streaming DataFrame to completion into a

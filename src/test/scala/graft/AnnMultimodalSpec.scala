@@ -615,14 +615,15 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
       .selectExpr("vec_id",
         "transform(graft_int8_codes(transform(embedding, x -> CAST(x AS DOUBLE))).codes, x -> CAST(x AS BIGINT)) AS c")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val dims = Ann.PqM * Ann.PqSubDim
     val byCell = codes.groupBy { case (id, _) => cellOf(id) }
     val cm = byCell.map { case (cell, members) =>
-      cell -> (0 until 64).map { d =>
+      cell -> (0 until dims).map { d =>
         math.floor(members.map(_._2(d)).sum.toDouble / members.size).toLong
       }.toArray
     }
     val n = BigInt(codes.length)
-    val ranked = (0 until 64).map { d =>
+    val ranked = (0 until dims).map { d =>
       val rs = codes.map { case (id, c) => BigInt(c(d) - cm(cellOf(id))(d)) }
       d -> (n * rs.map(r => r * r).sum - rs.sum * rs.sum)
     }.sortBy { case (d, v) => (-v, BigInt(d)) }.map(_._1)
@@ -630,9 +631,9 @@ class AnnMultimodalSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val assigned = cellOf.toSeq.toDF("vec_id", "cell")
     val perm = Ann.opqResidualPermutation(spark, sfDir, assigned)
-    assert(perm.sorted == (0 until 64), "must be a permutation of the 64 dims")
+    assert(perm.sorted == (0 until dims), s"must be a permutation of the $dims dims")
     ranked.zipWithIndex.foreach { case (d, r) =>
-      assert(perm((r % 4) * 16 + r / 4) == d,
+      assert(perm((r % Ann.PqM) * Ann.PqSubDim + r / Ann.PqM) == d,
         s"residual-variance rank $r (dim $d) not dealt round-robin")
     }
     // and the composed row keeps the search contract; its rank-1

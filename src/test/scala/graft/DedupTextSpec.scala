@@ -126,6 +126,29 @@ class DedupTextSpec extends AnyFunSuite with SparkSpec {
     assert(shipped.count() > 0)
   }
 
+  test("anchored expansion (S>1) ≡ full expansion filtered on anchors") {
+    // The recall harness runs embeddingFoundPairs(Some(S)) with S>1 at
+    // sf10+, but the oracle SFs have <= AnchorCap vectors so S=1 there
+    // and the anchored branch reduces to the full expansion. Pin the
+    // S>1 regime directly: the anchored pair set must be EXACTLY the
+    // full expansion's pairs whose min member is an anchor — the
+    // invariant the published recall numbers rest on. Multiset
+    // equality (sorted collect, not Set): a duplicated pair would
+    // inflate the harness's left-join count even if the set matched.
+    import org.apache.spark.sql.functions._
+    graft.functions.Native.install(spark)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    val full = rows(Dedup.embeddingFoundPairs(spark, dir, None)
+      .filter(col("va") % 2 === 0))
+    val anchored = rows(Dedup.embeddingFoundPairs(spark, dir, Some(2L)))
+    assert(anchored == full,
+      "anchored (S=2) expansion differs from the full expansion " +
+        "filtered on va % 2 == 0")
+    assert(anchored.nonEmpty, "equivalence is vacuous — no anchored pairs")
+  }
+
   test("text metrics are well-formed") {
     val q = TextOps.textQuality.run(spark, dir).collect()
     q.foreach { r =>

@@ -392,6 +392,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert("hashpartitioning\\(fp".r.findAllIn(p).size == 1, p)
   }
 
+  test("text_clf_score serving is map-only: zero hash exchanges; the clf gate adds none to pipeline_curate") {
+    // the classifier's 100 TB claim: the trained weight vector is a
+    // plan LITERAL (8 KB array folded per row), so inference has no
+    // join, no aggregate, no exchange — the only exchange is the
+    // presentation orderBy's range partitioning. (The training job
+    // runs inside .run before the serving plan is built; what is
+    // audited here is the plan a scoring pass actually executes.)
+    val p = plan("text_clf_score")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    // and wiring the gate into pipeline_curate must cost zero extra
+    // exchanges — a pure per-row predicate over the same scan
+    val base = "hashpartitioning\\(".r.findAllIn(plan("pipeline_curate")).size
+    val gatedN = "hashpartitioning\\(".r.findAllIn(plan("pipeline_curate_clf")).size
+    assert(gatedN == base,
+      s"clf gate changed the exchange census: $base -> $gatedN")
+  }
+
   test("contamination rows carry no static broadcast hint") {
     // the bench side is a real eval suite's shingle rows — not provably
     // broadcast-sized — and under duplication the member tables aren't
