@@ -124,37 +124,64 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** REAL decoder: `ImageIO.read` over the PNG byte stream, then
-    * per-channel means and a row-major RGB digest over the DECODED
-    * pixels. Fails loud on an undecodable payload (a corrupt media
-    * item must surface, not silently zero its features). */
+  /** PNG decode WITHOUT the ImageIO disk cache: `ImageIO.read(
+    * InputStream)` silently wraps the stream in a
+    * FileCacheImageInputStream — a temp FILE created, written, and
+    * deleted PER IMAGE on the default filesystem. At one decode per
+    * row times 32 concurrent tasks that is a filesystem-metadata
+    * storm that grows with corpus size while being invisible at a
+    * fixed SF — the round-16 cross-SF superlinearity suspect
+    * (VERDICT r16 "what's wrong" #1). An explicit
+    * MemoryCacheImageInputStream keeps the whole decode in memory
+    * (the payloads are byte arrays already) and pins the behavior
+    * per call instead of flipping ImageIO's global setUseCache. */
+  private def decodePng(id: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes `in` itself on success (a
+    // second close throws "closed"); only the null return leaves it open
+    val img = javax.imageio.ImageIO.read(in)
+    if (img == null) {
+      in.close()
+      throw new IllegalArgumentException(
+        s"undecodable image payload for doc $id")
+    }
+    img
+  }
+
+  /** All pixels in ONE bulk `getRGB` call (row-major packed ARGB,
+    * identical ints to the per-pixel overload): the per-pixel call
+    * does a ColorModel conversion per invocation — the other half of
+    * the codec allocation churn named in VERDICT r16. */
+  private def rgbOf(img: java.awt.image.BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
+  /** REAL decoder: PNG decode ([[decodePng]]) then per-channel means
+    * and a row-major RGB digest over the DECODED pixels. Fails loud
+    * on an undecodable payload (a corrupt media item must surface,
+    * not silently zero its features). */
   private[graft] def decodeBatch(
       batch: Seq[(Long, Array[Byte])]): Seq[MmImageFeatures] =
     batch.map { case (id, bytes) =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      require(img != null, s"undecodable image payload for doc $id")
+      val img = decodePng(id, bytes)
       val w = img.getWidth
       val h = img.getHeight
+      val px = rgbOf(img)
       var digest = 0L
       var sr = 0L
       var sg = 0L
       var sb = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val r = (rgb >> 16) & 0xff
-          val g = (rgb >> 8) & 0xff
-          val b = rgb & 0xff
-          digest = (digest * 31 + r) % P1
-          digest = (digest * 31 + g) % P1
-          digest = (digest * 31 + b) % P1
-          sr += r; sg += g; sb += b
-          x += 1
-        }
-        y += 1
+      var p = 0
+      while (p < w * h) {
+        val rgb = px(p)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        digest = (digest * 31 + r) % P1
+        digest = (digest * 31 + g) % P1
+        digest = (digest * 31 + b) % P1
+        sr += r; sg += g; sb += b
+        p += 1
       }
       val n = (w.toLong * h).max(1L)
       MmImageFeatures(id, w, h, digest, sr / n, sg / n, sb / n)
@@ -213,12 +240,11 @@ object Multimodal {
   private[graft] def resizeBatch(
       batch: Seq[(Long, Array[Byte])]): Seq[MmResized] =
     batch.map { case (id, bytes) =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      require(img != null, s"undecodable image payload for doc $id")
+      val img = decodePng(id, bytes)
       val w = img.getWidth
       val h = img.getHeight
       require(w % 2 == 0 && h % 2 == 0, s"odd image dims ${w}x$h for doc $id")
+      val px = rgbOf(img)
       val ow = w / 2
       val oh = h / 2
       var digest = 0L
@@ -236,7 +262,7 @@ object Multimodal {
           while (dy < 2) {
             var dx = 0
             while (dx < 2) {
-              val rgb = img.getRGB(ox * 2 + dx, oy * 2 + dy)
+              val rgb = px((oy * 2 + dy) * w + (ox * 2 + dx))
               pr += (rgb >> 16) & 0xff
               pg += (rgb >> 8) & 0xff
               pb += rgb & 0xff
@@ -337,15 +363,14 @@ object Multimodal {
   private[graft] def phashBatch(
       batch: Seq[(Long, Array[Byte])]): Seq[MmPhash] =
     batch.map { case (id, bytes) =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      require(img != null, s"undecodable image payload for doc $id")
+      val img = decodePng(id, bytes)
       require(img.getWidth == 8 && img.getHeight == 8,
         s"unexpected dims ${img.getWidth}x${img.getHeight} for doc $id")
+      val px = rgbOf(img)
       val gray = new Array[Int](64)
       var p = 0
       while (p < 64) {
-        val rgb = img.getRGB(p % 8, p / 8)
+        val rgb = px(p)
         gray(p) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
         p += 1
       }
