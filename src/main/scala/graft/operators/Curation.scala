@@ -3,7 +3,7 @@ package graft.operators
 import graft.Q
 import graft.functions.Portable._
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -319,14 +319,22 @@ object Curation {
   }
 
   /** Per-row inference over a prepared `fs` feature-array column: fold
-    * the array through the weight vector embedded as a plan literal —
-    * mean bucket weight, integer div. Map-only by construction: no
-    * join, no aggregate, no exchange (plan-pinned in PlanAuditSpec). */
-  private def clfScoreSql(w: IndexedSeq[Long]): String =
-    s"""CASE WHEN size(fs) = 0 THEN 0L ELSE
-       |aggregate(fs, 0L, (acc, f) -> acc + element_at(
-       |  array(${w.mkString("L, ")}L),
-       |  CAST(${charHash("f", 53)} % $ClfF AS INT) + 1)) div size(fs) END""".stripMargin
+    * the array through the weight vector bound as ONE ArrayType
+    * Literal (`typedlit`) — mean bucket weight, integer div. Map-only
+    * by construction: no join, no aggregate, no exchange (plan-pinned
+    * in PlanAuditSpec). The literal matters: the first cut spelled the
+    * vector as an `array(w0, ..., w1023)` SQL literal, which parses to
+    * a 1024-child CreateArray that interpreted higher-order-function
+    * evaluation re-materialized PER FOLD STEP — sf0.1 read 32.8 s for
+    * a map-only row. A Literal evaluates to the same backing ArrayData
+    * every step (isolated re-read post-fix: see SURVEY §16). */
+  private def clfRawCol(w: IndexedSeq[Long]): Column = {
+    val wl = typedlit(w.toIndexedSeq)
+    aggregate(col("fs"), lit(0L), (acc, f) =>
+      acc + element_at(wl,
+        (call_function("graft_char_hash", f, lit(53), lit(P1)) % ClfF)
+          .cast("int") + 1))
+  }
 
   /** DuckDB mirror of train + serve (cw0 → cres). The oracle
     * recomputes the weights relationally (join per occurrence) — same
@@ -392,9 +400,11 @@ object Curation {
       val (wv, prior) = clfWeights(s, dir)
       Tables(s, dir).documents
         .withColumn("fs", expr(clfFeatsExpr))
+        .withColumn("craw", clfRawCol(wv))
         .select(col("doc_id"),
           expr("CAST(size(fs) AS BIGINT)").as("n_feats"),
-          expr(clfScoreSql(wv)).as("clf_score"))
+          expr("CASE WHEN size(fs) = 0 THEN 0L" +
+            " ELSE craw div size(fs) END").as("clf_score"))
         .withColumn("keep",
           when(col("clf_score") >= prior, 1).otherwise(0))
         .orderBy("doc_id")
@@ -430,9 +440,17 @@ object Curation {
       // exchanges over the ungated pipeline
       val gated = (if (clf) {
         val (wv, prior) = clfWeights(s, dir)
+        // keep ⟺ raw div n >= prior ⟺ raw >= prior·n (nonneg ints,
+        // n > 0) — cross-multiplied so no division exists at all.
+        // Empty-feature docs score 0 (oracle cres), so they pass iff
+        // 0 >= prior — prior is a plan-time Scala value, so that
+        // branch resolves here, keeping the predicate division-free.
+        val emptyKeeps = if (prior <= 0L) "size(fs) = 0 OR " else ""
         gated0.withColumn("fs", expr(clfFeatsExpr))
-          .filter(expr(clfScoreSql(wv)) >= prior)
-          .drop("fs")
+          .withColumn("craw", clfRawCol(wv))
+          .filter(expr(
+            s"$emptyKeeps(size(fs) > 0 AND craw >= $prior * size(fs))"))
+          .drop("fs", "craw")
       } else gated0)
         .withColumn("fp", expr(fp60(normText("text"))))
       // content dedup: keep the min doc_id of each fingerprint group
