@@ -265,15 +265,29 @@ object Curation {
   private val ClfF = 1024
   private val ClfScale = 1000000L
 
-  /** Hashed word-unigram + word-bigram feature stream of a document
-    * (fastText's default feature set), as a Spark SQL array expr over
-    * `text`. The CASE guards Spark's descending `sequence(1, 0)`. */
-  private def clfFeatsExpr: String = {
-    val ws = words(normText("text"))
-    s"""CASE WHEN size($ws) < 2 THEN $ws
-       |ELSE concat($ws, transform(sequence(1, size($ws) - 1),
-       |  i -> concat(element_at($ws, i), ' ', element_at($ws, i + 1)))) END""".stripMargin
-  }
+  /** The normalized words array the classifier features build on —
+    * materialized as its OWN column (`cws`) at every call site, never
+    * spliced into a lambda. The first cut inlined this snippet into a
+    * `transform(sequence(...), i -> element_at(<snippet>, i))` bigram
+    * lambda; higher-order functions are CodegenFallback, their lambda
+    * bodies evaluate interpreted PER ELEMENT with no subexpression
+    * reuse, so the whole regexp+split+filter chain re-ran ~2x per
+    * word — O(words x text_length) per document. text_clf_score read
+    * 216 s at sf10; the rewrite below reads the chain in linear time. */
+  private def clfWordsExpr: String = words(normText("text"))
+
+  /** Hashed word-unigram + word-bigram feature stream (fastText's
+    * default feature set) over a prepared `cws` words column. Bigrams
+    * via `zip_with(slice, slice)`: HOF children evaluate once per ROW
+    * (not per element), and the lambda touches only its own variables
+    * — every per-element step is O(1). The CASE guards size < 2
+    * (slice with length 0 is fine, but the short-circuit keeps the
+    * empty/one-word result shape identical to the oracle's). */
+  private def clfFeatsExpr: String =
+    s"""CASE WHEN size(cws) < 2 THEN cws
+       |ELSE concat(cws, zip_with(
+       |  slice(cws, 1, size(cws) - 1), slice(cws, 2, size(cws) - 1),
+       |  (a, b) -> concat(a, ' ', b))) END""".stripMargin
 
   /** The heuristic quality gate as ONE boolean expr — the classifier's
     * pseudo-label source (training-by-distillation: the standard way a
@@ -302,7 +316,8 @@ object Curation {
   private[operators] def clfWeights(s: SparkSession, dir: String): (IndexedSeq[Long], Long) = {
     val wrows = Tables(s, dir).documents
       .select(expr(s"CAST($clfLabelCond AS INT)").as("label"),
-        expr(clfFeatsExpr).as("fs"))
+        expr(clfWordsExpr).as("cws"))
+      .select(col("label"), expr(clfFeatsExpr).as("fs"))
       .select(col("label"), explode(col("fs")).as("f"))
       .select(col("label"), (expr(charHash("f", 53)) % ClfF).as("b"))
       .groupBy("b")
@@ -323,11 +338,12 @@ object Curation {
     * Literal (`typedlit`) — mean bucket weight, integer div. Map-only
     * by construction: no join, no aggregate, no exchange (plan-pinned
     * in PlanAuditSpec). The literal matters: the first cut spelled the
-    * vector as an `array(w0, ..., w1023)` SQL literal, which parses to
-    * a 1024-child CreateArray that interpreted higher-order-function
-    * evaluation re-materialized PER FOLD STEP — sf0.1 read 32.8 s for
-    * a map-only row. A Literal evaluates to the same backing ArrayData
-    * every step (isolated re-read post-fix: see SURVEY §16). */
+    * vector as an `array(w0, ..., w1023)` SQL literal — a 1024-child
+    * CreateArray that interpreted higher-order-function evaluation
+    * re-materialized PER FOLD STEP; a Literal evaluates to the same
+    * backing ArrayData every step. (This was the SECONDARY cost in the
+    * first cut; the primary one was the quadratic feature build — see
+    * [[clfWordsExpr]].) */
   private def clfRawCol(w: IndexedSeq[Long]): Column = {
     val wl = typedlit(w.toIndexedSeq)
     aggregate(col("fs"), lit(0L), (acc, f) =>
@@ -399,6 +415,7 @@ object Curation {
     (s, dir) => {
       val (wv, prior) = clfWeights(s, dir)
       Tables(s, dir).documents
+        .withColumn("cws", expr(clfWordsExpr))
         .withColumn("fs", expr(clfFeatsExpr))
         .withColumn("craw", clfRawCol(wv))
         .select(col("doc_id"),
@@ -446,11 +463,12 @@ object Curation {
         // 0 >= prior — prior is a plan-time Scala value, so that
         // branch resolves here, keeping the predicate division-free.
         val emptyKeeps = if (prior <= 0L) "size(fs) = 0 OR " else ""
-        gated0.withColumn("fs", expr(clfFeatsExpr))
+        gated0.withColumn("cws", expr(clfWordsExpr))
+          .withColumn("fs", expr(clfFeatsExpr))
           .withColumn("craw", clfRawCol(wv))
           .filter(expr(
             s"$emptyKeeps(size(fs) > 0 AND craw >= $prior * size(fs))"))
-          .drop("fs", "craw")
+          .drop("cws", "fs", "craw")
       } else gated0)
         .withColumn("fp", expr(fp60(normText("text"))))
       // content dedup: keep the min doc_id of each fingerprint group
