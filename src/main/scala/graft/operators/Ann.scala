@@ -841,7 +841,7 @@ object Ann {
       s"greatest(16, CAST(floor(4.0 * sqrt(CAST(($countExpr) AS DOUBLE))) AS BIGINT)))"
 
   private[graft] def kmeansIterate(s: SparkSession, dir: String, rounds: Int,
-      k: Int = 16)
+      k: Int = 16, inertia: Boolean = true)
       : (DataFrame, DataFrame, DataFrame, Seq[Double]) = {
     require(rounds >= 1, "kmeansIterate needs at least one Lloyd round")
     val codes = kmeansCodes(s, dir).localCheckpoint()
@@ -851,8 +851,20 @@ object Ann {
     var assign: DataFrame = null
     val inertias = Seq.newBuilder[Double]
     (1 to rounds).foreach { _ =>
-      assign = kmeansAssign(codes, cents).localCheckpoint()
-      inertias += assign.agg(sum(lit(1.0) - col("cos"))).head().getDouble(0)
+      // With inertia OFF (every registry caller — both kmeansStage
+      // consumers discard the assignment), the per-round assignment is
+      // consumed exactly once (by the update), so neither its
+      // localCheckpoint job nor the inertia aggregation job runs: a
+      // one-Lloyd-stage trains in 2 actions (codes, cents) instead of
+      // 4. Arithmetic is untouched — same plan, evaluated lazily
+      // inside the update's job. Inertia ON (the convergence spec)
+      // keeps the original shape: checkpoint each round's assignment,
+      // then aggregate 1 − winning cosine on it before the update.
+      assign = kmeansAssign(codes, cents)
+      if (inertia) {
+        assign = assign.localCheckpoint()
+        inertias += assign.agg(sum(lit(1.0) - col("cos"))).head().getDouble(0)
+      }
       cents = kmeansUpdate(assign).localCheckpoint()
     }
     (codes, assign, cents, inertias.result())
@@ -862,7 +874,8 @@ object Ann {
     * registry configuration). */
   private def kmeansStage(s: SparkSession, dir: String, k: Int = 16)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (codes, a0, c1, _) = kmeansIterate(s, dir, rounds = 1, k = k)
+    val (codes, a0, c1, _) =
+      kmeansIterate(s, dir, rounds = 1, k = k, inertia = false)
     (codes, a0, c1)
   }
 

@@ -408,33 +408,51 @@ object TextOps {
     * [[bpeEncode]] (which applies it), so the two rows cannot drift. */
   private def bpeTrainLoop(s: SparkSession, dir: String): Seq[(Long, String, Long)] = {
     val sep = BpeSep
-    var enc = docs(s, dir)
+    // Round 17 (optimization): train over DISTINCT words carrying their
+    // occurrence counts instead of over every word INSTANCE. A merge
+    // application is a deterministic function of the symbol stream, so
+    // every occurrence of the same word evolves identically through
+    // every round; a round's per-instance pair count is therefore
+    // exactly sum over distinct words of (pairs in that word) x
+    // multiplicity — same counts, same (cnt DESC, pair) top-1, same
+    // learned table, bit for bit. The vocabulary table is built in ONE
+    // corpus pass (map-side partial-agg count) and persisted for the
+    // loop, so each of the R rounds is a vocabulary-sized job instead
+    // of a corpus re-scan through r-1 stacked replaces (guide §1.2:
+    // algorithm first — rounds now scale with |vocab|, not |corpus|).
+    val vocab = docs(s, dir)
       .select(explode(expr(words(normText("text")))).as("w"))
       .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(concat(lit(sep),
-        regexp_replace(col("w"), "(.)", "$1" + sep)).as("e"))
-    val learned = Seq.newBuilder[(Long, String, Long)]
-    for (r <- 1 to BpeMergeRounds) {
-      // one row per round: the learned merge (driver-sized by
-      // construction — this IS the training output)
-      val top = enc
-        .select(expr("filter(split(e, chr(31)), x -> x <> '')").as("syms"))
-        .select(explode(expr(
-          """CASE WHEN size(syms) < 2 THEN array()
-            |ELSE transform(sequence(1, size(syms) - 1),
-            |  i -> concat(element_at(syms, i), chr(31),
-            |              element_at(syms, i + 1)))
-            |END""".stripMargin)).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .collect()(0)
-      val pair = top.getString(0)
-      learned += ((r.toLong, pair, top.getLong(1)))
-      enc = enc.select(replace(col("e"),
-        lit(sep + pair + sep),
-        lit(sep + pair.replace(sep, "") + sep)).as("e"))
-    }
-    learned.result()
+        regexp_replace(col("w"), "(.)", "$1" + sep)).as("e"), col("cnt"))
+      .persist()
+    try {
+      var enc = vocab
+      val learned = Seq.newBuilder[(Long, String, Long)]
+      for (r <- 1 to BpeMergeRounds) {
+        // one row per round: the learned merge (driver-sized by
+        // construction — this IS the training output)
+        val top = enc
+          .select(expr("filter(split(e, chr(31)), x -> x <> '')").as("syms"),
+            col("cnt"))
+          .select(col("cnt"), explode(expr(
+            """CASE WHEN size(syms) < 2 THEN array()
+              |ELSE transform(sequence(1, size(syms) - 1),
+              |  i -> concat(element_at(syms, i), chr(31),
+              |              element_at(syms, i + 1)))
+              |END""".stripMargin)).as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect()(0)
+        val pair = top.getString(0)
+        learned += ((r.toLong, pair, top.getLong(1)))
+        enc = enc.select(replace(col("e"),
+          lit(sep + pair + sep),
+          lit(sep + pair.replace(sep, "") + sep)).as("e"), col("cnt"))
+      }
+      learned.result()
+    } finally { vocab.unpersist(); () }
   }
 
   val bpeTrainMerges: Q = {
